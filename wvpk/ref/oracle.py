@@ -22,7 +22,7 @@ import numpy as np
 
 from .. import consts
 from ..container.blockstate import BlockState
-from ..tables import ONES_COUNT_TABLE, count_bits, exp2s, i32, mylog2
+from ..tables import ONES_COUNT_TABLE, count_bits, exp2s, i32, i64, mylog2
 
 
 class OracleBitstream:
@@ -107,8 +107,8 @@ class WordsState:
 
 
 def update_error_limit(w: WordsState, flags: int) -> None:
-    # WordsUtils.cs:195-261
-    w.bitrate_acc[0] = (w.bitrate_acc[0] + w.bitrate_delta[0]) & 0xFFFFFFFFFFFFFFFF
+    # WordsUtils.cs:195-261; bitrate_acc is a signed C# long
+    w.bitrate_acc[0] = i64(w.bitrate_acc[0] + w.bitrate_delta[0])
     bitrate_0 = i32(w.bitrate_acc[0] >> 16)
     if flags & consts.MONO_DATA:
         if flags & consts.HYBRID_BITRATE:
@@ -120,7 +120,7 @@ def update_error_limit(w: WordsState, flags: int) -> None:
         else:
             w.c[0].error_limit = exp2s(bitrate_0)
     else:
-        w.bitrate_acc[1] = (w.bitrate_acc[1] + w.bitrate_delta[1]) & 0xFFFFFFFFFFFFFFFF
+        w.bitrate_acc[1] = i64(w.bitrate_acc[1] + w.bitrate_delta[1])
         bitrate_1 = i32(w.bitrate_acc[1] >> 16)
         if flags & consts.HYBRID_BITRATE:
             slow_log_0 = (w.c[0].slow_level + consts.SLO) >> consts.SLS

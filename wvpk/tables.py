@@ -37,6 +37,12 @@ def u32(x: int) -> int:
     return x & 0xFFFFFFFF
 
 
+def i64(x: int) -> int:
+    """Wrap to signed 64-bit (C# long)."""
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - 0x10000000000000000 if x >= 0x8000000000000000 else x
+
+
 def i16(x: int) -> int:
     """Wrap to signed 16-bit (C# (short) cast)."""
     x &= 0xFFFF
