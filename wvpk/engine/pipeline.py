@@ -90,22 +90,17 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
     return results
 
 
-def _decode_dsd_host(st: BlockState) -> DecodedBlock:
-    # DSD currently decodes via the scalar oracle on host; device DSD lanes
-    # are the next milestone (SURVEY.md section 7 step 6).
-    from ..ref.dsd_oracle import unpack_dsd_samples
-    r = unpack_dsd_samples(st)
-    return DecodedBlock(samples=r.samples, crc=r.crc, crc_x=-1,
-                        mute_error=r.mute_error, crc_error=r.crc_error)
-
-
 def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
     """Decode a list of blocks (any mix of profiles) on device."""
+    from .dsd_pipeline import decode_dsd_states
+
     results: list[DecodedBlock | None] = [None] * len(states)
     pcm_states, pcm_indices = [], []
+    dsd_states, dsd_indices = [], []
     for i, st in enumerate(states):
         if st.flags & consts.DSD_FLAG:
-            results[i] = _decode_dsd_host(st)
+            dsd_states.append(st)
+            dsd_indices.append(i)
         elif st.header.block_samples == 0:
             results[i] = DecodedBlock(
                 samples=np.zeros((0, 1), np.int32), crc=-1, crc_x=-1,
@@ -117,6 +112,9 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
     for bucket in group_blocks(pcm_states):
         for st, res in zip(bucket.states, decode_bucket(bucket)):
             results[remap[id(st)]] = res
+    if dsd_states:
+        for i, res in zip(dsd_indices, decode_dsd_states(dsd_states)):
+            results[i] = res
     return results
 
 
