@@ -57,23 +57,39 @@ class WavpackContext:
     sample_index: int = 0
     open_flags: int = 0
     version: int = 0
-    _decoded: dict = field(default_factory=dict)   # block idx -> DecodedBlock
+    all_channels: bool = False
+    _decoded: dict = field(default_factory=dict)   # segment idx -> np array
     _first_audio: int = 0
-    _stream0: list[int] = field(default_factory=list)  # indices of stream-0 blocks
+    # segments: (block_index, end_index, [block positions]) per multichannel
+    # segment (single-element lists for 1-2ch files)
+    _segments: list = field(default_factory=list)
 
     # ------------------------------------------------------------------
-    def _ensure_decoded(self, bpos: int) -> DecodedBlock:
-        if bpos not in self._decoded:
-            todo = [i for i in self._stream0[
-                self._stream0.index(bpos):
-                self._stream0.index(bpos) + DECODE_BATCH_BLOCKS]
-                if i not in self._decoded]
-            results = decode_states([self.blocks[i].state for i in todo])
-            for i, r in zip(todo, results):
-                self._decoded[i] = r
+    def _ensure_decoded(self, seg_idx: int) -> np.ndarray:
+        """Decode (and cache) the assembled samples of a segment; decodes a
+        whole batch of upcoming segments lane-parallel."""
+        if seg_idx not in self._decoded:
+            todo_segs = [s for s in range(seg_idx,
+                                          min(seg_idx + DECODE_BATCH_BLOCKS,
+                                              len(self._segments)))
+                         if s not in self._decoded]
+            flat: list[int] = []
+            for s in todo_segs:
+                blocks = self._segments[s][2]
+                flat += blocks if self.all_channels else blocks[:1]
+            results = decode_states([self.blocks[i].state for i in flat])
+            for r in results:
                 if r.crc_error:
                     self.crc_errors += 1
-        return self._decoded[bpos]
+            pos = 0
+            for s in todo_segs:
+                nblk = (len(self._segments[s][2]) if self.all_channels else 1)
+                parts = results[pos:pos + nblk]
+                pos += nblk
+                self._decoded[s] = (parts[0].samples if nblk == 1 else
+                                    np.concatenate([p.samples for p in parts],
+                                                   axis=1))
+        return self._decoded[seg_idx]
 
     # -- getters (reference names in module functions below) ------------
     def get_mode(self) -> int:
@@ -183,10 +199,24 @@ def WavpackOpenFileInput(source, flags: int = 0) -> WavpackContext:
     wpc.version = hdr.version
     if hdr.total_samples != 0xFFFFFFFF:
         wpc.total_samples = hdr.total_samples
-    # stream-0 blocks: INITIAL_BLOCK of each multichannel segment (or all
-    # blocks for 1-2ch files)
-    wpc._stream0 = [i for i, b in enumerate(wpc.blocks)
-                    if b.header.block_samples > 0 and b.header.is_initial]
+    # group audio blocks into multichannel segments (INITIAL..FINAL)
+    cur: list[int] = []
+    for i, b in enumerate(wpc.blocks):
+        if b.header.block_samples == 0:
+            continue
+        if b.header.is_initial and cur:
+            h0 = wpc.blocks[cur[0]].header
+            wpc._segments.append((h0.block_index, h0.end_index, cur))
+            cur = []
+        cur.append(i)
+        if b.header.is_final:
+            h0 = wpc.blocks[cur[0]].header
+            wpc._segments.append((h0.block_index, h0.end_index, cur))
+            cur = []
+    if cur:
+        h0 = wpc.blocks[cur[0]].header
+        wpc._segments.append((h0.block_index, h0.end_index, cur))
+    wpc.all_channels = bool(flags & consts.OPEN_ALL_CHANNELS)
     st_flags = hdr.flags
     wpc.config.flags = (wpc.config.flags & ~0xFF) | (st_flags & 0xFF)
     wpc.config.bytes_per_sample = (st_flags & consts.BYTES_STORED) + 1
@@ -207,7 +237,8 @@ def WavpackOpenFileInput(source, flags: int = 0) -> WavpackContext:
         wpc.config.channel_mask = 0x5 - wpc.config.num_channels
     if (flags & consts.OPEN_2CH_MAX) and not (st_flags & consts.FINAL_BLOCK):
         wpc.reduced_channels = 1 if st_flags & consts.MONO_FLAG else 2
-    if not (flags & consts.OPEN_2CH_MAX) and wpc.config.num_channels > 2:
+    if not (flags & (consts.OPEN_2CH_MAX | consts.OPEN_ALL_CHANNELS)) \
+            and wpc.config.num_channels > 2:
         wpc.error_message = "only two channels supported!"
         return wpc
     if st_flags & consts.DSD_FLAG:
@@ -221,27 +252,29 @@ def WavpackUnpackSamples(wpc: WavpackContext, buffer: np.ndarray,
                          samples: int) -> int:
     """Unpack `samples` complete samples into `buffer` (int32, interleaved);
     returns the count actually unpacked (WavPackUtils.cs:200-282)."""
-    nch = wpc.reduced_channels or wpc.config.num_channels
-    nch = min(nch, 2)  # this surface decodes the first stream only
+    if wpc.all_channels:
+        nch = wpc.config.num_channels
+    else:
+        nch = min(wpc.reduced_channels or wpc.config.num_channels, 2)
     unpacked = 0
     out_pos = 0
     while samples > 0:
-        bpos = _find_block(wpc, wpc.sample_index)
-        if bpos is None:
+        seg = _find_segment(wpc, wpc.sample_index)
+        if seg is None:
             break
-        hdr = wpc.blocks[bpos].header
-        if wpc.sample_index < hdr.block_index:
-            fill = min(hdr.block_index - wpc.sample_index, samples)
+        start, end, _ = wpc._segments[seg]
+        if wpc.sample_index < start:
+            fill = min(start - wpc.sample_index, samples)
             buffer[out_pos:out_pos + fill * nch] = 0
             out_pos += fill * nch
             wpc.sample_index += fill
             unpacked += fill
             samples -= fill
             continue
-        res = wpc._ensure_decoded(bpos)
-        off = wpc.sample_index - hdr.block_index
-        take = min(hdr.end_index - wpc.sample_index, samples)
-        chunk = res.samples[off:off + take, :nch].reshape(-1)
+        vals = wpc._ensure_decoded(seg)
+        off = wpc.sample_index - start
+        take = min(end - wpc.sample_index, samples)
+        chunk = vals[off:off + take, :nch].reshape(-1)
         buffer[out_pos:out_pos + chunk.size] = chunk
         out_pos += chunk.size
         wpc.sample_index += take
@@ -252,11 +285,10 @@ def WavpackUnpackSamples(wpc: WavpackContext, buffer: np.ndarray,
     return unpacked
 
 
-def _find_block(wpc: WavpackContext, sample: int):
-    for i in wpc._stream0:
-        hdr = wpc.blocks[i].header
-        if sample < hdr.end_index:
-            return i
+def _find_segment(wpc: WavpackContext, sample: int):
+    for s, (_start, end, _blocks) in enumerate(wpc._segments):
+        if sample < end:
+            return s
     return None
 
 
@@ -364,7 +396,7 @@ def SetSample(wpc: WavpackContext, sample: int) -> bool:
     if wpc.total_samples >= 0 and sample >= wpc.total_samples:
         return False
     sample = max(0, sample)
-    if _find_block(wpc, sample) is None:
+    if _find_segment(wpc, sample) is None:
         return False
     wpc.sample_index = sample
     return True

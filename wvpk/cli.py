@@ -19,13 +19,16 @@ from .io.wav import write_wav
 
 def decode_one(path: str, out_path: str | None, quiet: bool = False) -> int:
     t_open = time.perf_counter()
-    wpc = api.WavpackOpenFileInput(path)
+    # unlike the reference demo (first two channels only), decode every
+    # stream of multichannel files
+    wpc = api.WavpackOpenFileInput(path, flags=consts.OPEN_ALL_CHANNELS)
     err = api.WavpackGetErrorMessage(wpc)
     if err:
         print(f"Error: {err}", file=sys.stderr)
         return 1
 
-    num_channels = api.WavpackGetReducedChannels(wpc)
+    num_channels = (api.WavpackGetNumChannels(wpc) if wpc.all_channels
+                    else api.WavpackGetReducedChannels(wpc))
     bits = api.WavpackGetBitsPerSample(wpc)
     byteps = api.WavpackGetBytesPerSample(wpc)
     block_align = byteps * num_channels

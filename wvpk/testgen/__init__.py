@@ -8,5 +8,7 @@ makes the encoder an oracle independent of the decoder implementation.
 
 from .encoder import EncodeSpec, encode_file, encode_blocks
 from .dsd_encoder import encode_dsd_file
+from .multichannel import encode_multichannel
 
-__all__ = ["EncodeSpec", "encode_file", "encode_blocks", "encode_dsd_file"]
+__all__ = ["EncodeSpec", "encode_file", "encode_blocks", "encode_dsd_file",
+           "encode_multichannel"]

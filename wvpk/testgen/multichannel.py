@@ -1,0 +1,93 @@
+"""Multichannel (>2ch) test-vector encoding.
+
+WavPack stores multichannel audio as a segment of 1-2 channel streams per
+time window: the first block carries INITIAL_BLOCK, the last FINAL_BLOCK
+(Defines.cs:94,43), with ID_CHANNEL_INFO metadata declaring the total
+channel count and WAVEFORMATEX mask (UnpackUtils.cs:389-410). Each stream
+is an independent self-seeded encode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+
+from .. import consts
+from ..container.header import HEADER_SIZE
+from .encoder import CarryState, EncodeSpec, EncPass, _auto_medians, \
+    _make_words_state, _stored_domain, encode_block, mkmeta
+
+
+def split_streams(num_channels: int) -> list[int]:
+    """Channel widths per stream: stereo pairs then a trailing mono."""
+    widths = [2] * (num_channels // 2)
+    if num_channels & 1:
+        widths.append(1)
+    return widths
+
+
+def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
+                        channel_mask: int | None = None) -> bytes:
+    """Encode (n, ch>2) PCM into segment-structured WavPack blocks."""
+    n, nch = pcm.shape
+    assert nch > 2
+    widths = split_streams(nch)
+    if channel_mask is None:
+        channel_mask = (1 << nch) - 1
+
+    # per-stream specs and carries
+    streams = []
+    off = 0
+    for w in widths:
+        sspec = replace(spec, mono=(w == 1), false_stereo=False)
+        sub = pcm[:, off:off + w]
+        stored = _stored_domain(sub, sspec)
+        medians = sspec.initial_medians or _auto_medians(stored)
+        carry = CarryState(
+            passes=[EncPass(t, d) for t, d in zip(sspec.terms, sspec.deltas)],
+            words=_make_words_state(sspec, medians))
+        streams.append((sspec, sub, stored, carry))
+        off += w
+
+    chan_info = bytes([nch]) + channel_mask.to_bytes(
+        max(1, (channel_mask.bit_length() + 7) // 8), "little")
+
+    out = bytearray()
+    bs = spec.block_samples
+    first_seg = True
+    for start in range(0, n, bs):
+        end = min(start + bs, n)
+        for si, (sspec, sub, stored, carry) in enumerate(streams):
+            blk = encode_block(stored[start:end], sub[start:end], sspec,
+                               carry, block_index=start, total_samples=n,
+                               is_first=(start == 0 and si == 0),
+                               is_last=(end >= n and si == len(streams) - 1))
+            blk = _set_segment_flags(blk, initial=(si == 0),
+                                     final=(si == len(streams) - 1))
+            if first_seg and si == 0:
+                blk = _inject_metadata(
+                    blk, mkmeta(consts.ID_CHANNEL_INFO, chan_info))
+            out += blk
+        first_seg = False
+    return bytes(out)
+
+
+def _set_segment_flags(block: bytes, initial: bool, final: bool) -> bytes:
+    blk = bytearray(block)
+    flags = int.from_bytes(blk[24:28], "little")
+    flags &= ~(consts.INITIAL_BLOCK | consts.FINAL_BLOCK)
+    if initial:
+        flags |= consts.INITIAL_BLOCK
+    if final:
+        flags |= consts.FINAL_BLOCK
+    blk[24:28] = flags.to_bytes(4, "little")
+    return bytes(blk)
+
+
+def _inject_metadata(block: bytes, meta: bytes) -> bytes:
+    """Insert a metadata sub-block right after the header, growing ckSize."""
+    blk = bytearray(block)
+    ck = int.from_bytes(blk[4:8], "little") + len(meta)
+    blk[4:8] = ck.to_bytes(4, "little")
+    return bytes(blk[:HEADER_SIZE]) + meta + bytes(blk[HEADER_SIZE:])
