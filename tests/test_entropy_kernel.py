@@ -39,7 +39,10 @@ def stage_and_run(states, mono, hybrid=False, hybrid_bitrate=False,
         words_np, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
-    return np.asarray(outs).T, np.asarray(broke), np.asarray(ndec)
+    # (T, L, C) -> per-lane interleaved word order (L, T*C)
+    o = np.asarray(outs)
+    res = o.transpose(1, 0, 2).reshape(o.shape[1], -1)
+    return res, np.asarray(broke), np.asarray(ndec)
 
 
 def check_states(states, mono, **kw):

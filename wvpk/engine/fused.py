@@ -31,14 +31,7 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
-    chans = 1 if mono else 2
-    T = nsteps // chans
-    L = words.shape[0]
-    if mono:
-        res = residuals.reshape(T, L, 1)
-    else:
-        res = residuals.reshape(T, chans, L).transpose(0, 2, 1)
-    dec = decorr_decode(res, terms, deltas16, wa, wb, hist_a, hist_b,
+    dec = decorr_decode(residuals, terms, deltas16, wa, wb, hist_a, hist_b,
                         num_terms, mono=mono)
     out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
                                     mono=mono)

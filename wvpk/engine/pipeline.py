@@ -40,14 +40,8 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
         hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
 
     L = b.words.shape[0]
-    chans = 1 if prof.mono else 2
-    T = prof.nsamples_cap
-    # (nsteps, L) -> (T, L, C): stereo words interleave channels
-    res = residuals.reshape(T, chans, L).transpose(0, 2, 1) if not prof.mono \
-        else residuals.reshape(T, L, 1)
-
     decorr_out = decorr_decode(
-        res, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
+        residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
         b.num_terms, mono=prof.mono)
 
     out, crc, mute = joint_mute_crc(

@@ -1,9 +1,11 @@
 """Lane-parallel entropy word decoder (hot loop 1 on device).
 
-A `lax.scan` over word slots: every step decodes one residual per lane
-(lane = one WavPack block), all control flow branchless via masks. The
-state machine mirrors the reference's get_words exactly
-(WordsUtils.cs:272-511): zero-run escapes, unary ones_count with
+A `lax.scan` over samples: every step decodes one residual per lane for
+mono buckets and a FULL stereo pair (channel A then B inline) for stereo
+buckets — halving scan length and making the entropy-channel index static,
+so per-channel state needs no dynamic indexing. All control flow is
+branchless via masks. The state machine mirrors the reference's get_words
+exactly (WordsUtils.cs:272-511): zero-run escapes, unary ones_count with
 holding_one/holding_zero carry, LIMIT_ONES escape, median intervals,
 lossless read_code / hybrid error-limit binary search, and the
 HYBRID_BITRATE slow_level recurrence.
@@ -33,47 +35,48 @@ def _slow_decay(slow):
     return slow - ((slow + SLO) >> SLS)
 
 
-def _update_error_limit(med, slow, acc, delta, errlim, mask, mono, hybrid_bitrate,
+def _update_error_limit(slow, acc, delta, errlim, mask, mono, hybrid_bitrate,
                         hybrid_balance):
-    """Vectorized update_error_limit (WordsUtils.cs:195-261); `mask` selects
-    lanes whose state actually advances."""
-    acc0 = acc[:, 0] + delta[:, 0]
-    bitrate_0 = wrap32(acc0 >> 16)
+    """Vectorized update_error_limit (WordsUtils.cs:195-261); slow/acc/
+    errlim are (slow_a, slow_b) style tuples; `mask` selects lanes whose
+    state advances."""
+    slow_a, slow_b = slow
+    acc_a, acc_b = acc
+    err_a, err_b = errlim
+    acc_a2 = acc_a + delta[:, 0]
+    bitrate_0 = wrap32(acc_a2 >> 16)
     if mono:
         if hybrid_bitrate:
-            slow_log_0 = (slow[:, 0] + SLO) >> SLS
+            slow_log_0 = (slow_a + SLO) >> SLS
             e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
                            exp2s_v(slow_log_0 - bitrate_0 + 0x100), 0)
         else:
             e0 = exp2s_v(bitrate_0)
-        new_acc = jnp.stack([acc0, acc[:, 1]], axis=1)
-        new_err = jnp.stack([e0, errlim[:, 1]], axis=1)
+        return ((jnp.where(mask, acc_a2, acc_a), acc_b),
+                (jnp.where(mask, e0, err_a), err_b))
+    acc_b2 = acc_b + delta[:, 1]
+    bitrate_1 = wrap32(acc_b2 >> 16)
+    if hybrid_bitrate:
+        slow_log_0 = (slow_a + SLO) >> SLS
+        slow_log_1 = (slow_b + SLO) >> SLS
+        if hybrid_balance:
+            balance = (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1
+            hi = balance > bitrate_0
+            lo = (-balance) > bitrate_0
+            b1 = jnp.where(hi, bitrate_0 * 2,
+                           jnp.where(lo, 0, bitrate_0 + balance))
+            b0 = jnp.where(hi, 0,
+                           jnp.where(lo, bitrate_0 * 2, bitrate_0 - balance))
+            bitrate_0, bitrate_1 = b0, b1
+        e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                       exp2s_v(slow_log_0 - bitrate_0 + 0x100), 0)
+        e1 = jnp.where(slow_log_1 - bitrate_1 > -0x100,
+                       exp2s_v(slow_log_1 - bitrate_1 + 0x100), 0)
     else:
-        acc1 = acc[:, 1] + delta[:, 1]
-        bitrate_1 = wrap32(acc1 >> 16)
-        if hybrid_bitrate:
-            slow_log_0 = (slow[:, 0] + SLO) >> SLS
-            slow_log_1 = (slow[:, 1] + SLO) >> SLS
-            if hybrid_balance:
-                balance = (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1
-                hi = balance > bitrate_0
-                lo = (-balance) > bitrate_0
-                b1 = jnp.where(hi, bitrate_0 * 2,
-                               jnp.where(lo, 0, bitrate_0 + balance))
-                b0 = jnp.where(hi, 0,
-                               jnp.where(lo, bitrate_0 * 2, bitrate_0 - balance))
-                bitrate_0, bitrate_1 = b0, b1
-            e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
-                           exp2s_v(slow_log_0 - bitrate_0 + 0x100), 0)
-            e1 = jnp.where(slow_log_1 - bitrate_1 > -0x100,
-                           exp2s_v(slow_log_1 - bitrate_1 + 0x100), 0)
-        else:
-            e0 = exp2s_v(bitrate_0)
-            e1 = exp2s_v(bitrate_1)
-        new_acc = jnp.stack([acc0, acc1], axis=1)
-        new_err = jnp.stack([e0, e1], axis=1)
-    m = mask[:, None]
-    return jnp.where(m, new_acc, acc), jnp.where(m, new_err, errlim)
+        e0 = exp2s_v(bitrate_0)
+        e1 = exp2s_v(bitrate_1)
+    return ((jnp.where(mask, acc_a2, acc_a), jnp.where(mask, acc_b2, acc_b)),
+            (jnp.where(mask, e0, err_a), jnp.where(mask, e1, err_b)))
 
 
 @partial(jax.jit, static_argnames=("mono", "hybrid", "hybrid_bitrate",
@@ -88,22 +91,25 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
     med0:        (L, 2, 3) int64 initial medians
     slow0/acc0/delta0: (L, 2) int64 hybrid state
     Returns (residuals (nsteps, L) int32, broke (L,) bool, ndec (L,) int32).
+    nsteps counts WORDS (the scan internally steps over samples).
     """
     windows = make_windows(words)
     L = words.shape[0]
+    delta = delta0.astype(I64)
+    nsamples_lane = nwords_lane if mono else (nwords_lane >> 1)
+    nscan = nsteps if mono else (nsteps // 2)
 
-    def step(carry, step_idx):
-        (bitpos, med, slow, acc, errlim, h1, h0, zacc, done, ndec) = carry
-        active = (~done) & (step_idx < nwords_lane)
-        entidx = jnp.int32(0) if mono else (step_idx & 1)
-        med_c = jax.lax.dynamic_index_in_dim(med, entidx, axis=1,
-                                             keepdims=False)  # (L, 3)
-        slow_c = jax.lax.dynamic_index_in_dim(slow, entidx, axis=1,
-                                              keepdims=False)  # (L,)
+    def decode_word(st, entidx: int, word_active):
+        """One get_words iteration for static channel `entidx`."""
+        (bitpos, med_a, med_b, slow_a, slow_b, acc, errlim,
+         h1, h0, zacc, done, ndec) = st
+        active = word_active & ~done
+        med_c = med_a if entidx == 0 else med_b
+        slow_c = slow_a if entidx == 0 else slow_b
 
         # ---- zero-run branch (WordsUtils.cs:304-352) ----
-        zcond = (active & ((med[:, 0, 0] & ~1) == 0)
-                 & ((med[:, 1, 0] & ~1) == 0) & ~h1 & ~h0)
+        zcond = (active & ((med_a[:, 0] & ~1) == 0)
+                 & ((med_b[:, 0] & ~1) == 0) & ~h1 & ~h0)
         in_run = zcond & (zacc > 0)
         zacc1 = jnp.where(in_run, zacc - 1, zacc)
         consumed_zero = in_run & (zacc1 > 0)
@@ -122,9 +128,11 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         run_started = do_gamma & (z > 0)
         zacc1 = jnp.where(run_started, z, zacc1)
         emit_zero = consumed_zero | run_started
-        # slow_level decay on zero-consumed samples
         slow_c = jnp.where(emit_zero, _slow_decay(slow_c), slow_c)
-        med = jnp.where(run_started[:, None, None], jnp.int64(0), med)
+        rs = run_started[:, None]
+        med_a = jnp.where(rs, jnp.int64(0), med_a)
+        med_b = jnp.where(rs, jnp.int64(0), med_b)
+        med_c = med_a if entidx == 0 else med_b
 
         normal = active & ~gbreak & ~emit_zero
 
@@ -133,7 +141,6 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         read = normal & ~h0
         win_u = peek(windows, bitpos)
         t_u = trailing_ones(win_u).astype(I64)
-        fast = t_u < consts.LIMIT_ONES
         esc = t_u == consts.LIMIT_ONES
         ubreak = read & (t_u >= consts.LIMIT_ONES + 1)
         win_e = peek(windows, bitpos + 17)
@@ -159,14 +166,18 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
 
         code_mask = normal & ~broke
 
-        # ---- hybrid error limit (WordsUtils.cs:430-431) ----
-        if hybrid:
-            do_upd = code_mask if mono else code_mask & ((step_idx & 1) == 0)
-            acc, errlim = _update_error_limit(
-                med, slow, acc, delta0, errlim, do_upd, mono,
-                hybrid_bitrate, hybrid_balance)
+        # ---- hybrid error limit (WordsUtils.cs:430-431): updated before
+        # channel-A words (and every word in mono) ----
+        acc_t = (acc[:, 0], acc[:, 1])
+        err_t = (errlim[:, 0], errlim[:, 1])
+        if hybrid and entidx == 0:
+            acc_t, err_t = _update_error_limit(
+                (slow_a if entidx != 0 else slow_c, slow_b), acc_t, delta,
+                err_t, code_mask, mono, hybrid_bitrate, hybrid_balance)
+            acc = jnp.stack(acc_t, axis=1)
+            errlim = jnp.stack(err_t, axis=1)
 
-        # ---- median interval (shared semantics with oracle) ----
+        # ---- median interval (WordsUtils.cs:433-475) ----
         m0, m1, m2 = med_c[:, 0], med_c[:, 1], med_c[:, 2]
         g0 = (m0 >> 4) + 1
         g1 = (m1 >> 4) + 1
@@ -188,16 +199,15 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         m2n = jnp.where(oc0 | oc1, m2,
                         wrap32(jnp.where(oc2, m2 - ((m2 + (consts.DIV2 - 2)) >> 5) * 2,
                                          m2 + ((m2 + consts.DIV2) >> 5) * 5)))
-        med_c_new = jnp.stack([m0n, m1n, m2n], axis=1)
-        upd = code_mask[:, None]
-        med_c_sel = jnp.where(upd, med_c_new, med_c)
-        med = jax.lax.dynamic_update_index_in_dim(
-            med, med_c_sel, entidx, axis=1)
+        med_new = jnp.stack([m0n, m1n, m2n], axis=1)
+        med_c = jnp.where(code_mask[:, None], med_new, med_c)
+        if entidx == 0:
+            med_a = med_c
+        else:
+            med_b = med_c
 
         # ---- value: read_code or hybrid binary search ----
-        err_c = (jax.lax.dynamic_index_in_dim(errlim, entidx, axis=1,
-                                              keepdims=False)
-                 if hybrid else jnp.zeros((L,), I64))
+        err_c = err_t[entidx] if hybrid else jnp.zeros((L,), I64)
         win_v = peek(windows, bitpos)
         maxcode = high - low
         bitcount = jnp.where(maxcode > 0, bit_length64(maxcode), 0)
@@ -205,8 +215,9 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         extras = wrap32(jnp.int64(1) << (bitcount & 31)) - maxcode - 1
         code0 = bits_of(win_v, bitcount - 1)
         need_extra = (bitcount > 0) & (code0 >= extras)
-        extra_bit = bits_of(win_v >> jnp.clip(bitcount - 1, 0, 62).astype(jnp.uint64),
-                            jnp.ones_like(bitcount))
+        extra_bit = bits_of(
+            win_v >> jnp.clip(bitcount - 1, 0, 62).astype(jnp.uint64),
+            jnp.ones_like(bitcount))
         code = jnp.where(need_extra, (code0 << 1) - extras + extra_bit, code0)
         consume_ll = jnp.where(bitcount == 0, 0,
                                bitcount - 1 + need_extra.astype(I64))
@@ -224,7 +235,7 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
                 return lo2, hi2, mid2, used + go.astype(I64)
 
             mid0 = (high + low + 1) >> 1
-            lo_f, hi_f, mid_hy, used_hy = jax.lax.fori_loop(
+            _, _, mid_hy, used_hy = jax.lax.fori_loop(
                 0, 32, search_body,
                 (low, high, mid0, jnp.zeros((L,), I64)))
             lossless = err_c == 0
@@ -243,17 +254,32 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         if hybrid_bitrate:
             slow_c = jnp.where(code_mask,
                                _slow_decay(slow_c) + mylog2_v(mid), slow_c)
-        slow = jax.lax.dynamic_update_index_in_dim(slow, slow_c, entidx, axis=1)
+        if entidx == 0:
+            slow_a = slow_c
+        else:
+            slow_b = slow_c
 
         out = jnp.where(code_mask, value, 0).astype(jnp.int32)
         done = done | broke
         ndec = ndec + (emit_zero | code_mask).astype(jnp.int32)
-        return (bitpos, med, slow, acc, errlim, h1, h0, zacc1, done, ndec), out
+        st = (bitpos, med_a, med_b, slow_a, slow_b, acc, errlim,
+              h1, h0, zacc1, done, ndec)
+        return st, out
+
+    def step(st, step_idx):
+        active = step_idx < nsamples_lane
+        st, out_a = decode_word(st, 0, active)
+        if mono:
+            return st, out_a[:, None]
+        st, out_b = decode_word(st, 1, active)
+        return st, jnp.stack([out_a, out_b], axis=1)
 
     carry0 = (
         jnp.zeros((L,), I64),                 # bitpos
-        med0.astype(I64),
-        slow0.astype(I64),
+        med0[:, 0, :].astype(I64),            # medians channel A
+        med0[:, 1, :].astype(I64),            # medians channel B
+        slow0[:, 0].astype(I64),
+        slow0[:, 1].astype(I64),
         acc0.astype(I64),
         jnp.zeros((L, 2), I64),               # errlim
         jnp.zeros((L,), bool),                # holding_one
@@ -263,6 +289,7 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         jnp.zeros((L,), jnp.int32),           # words decoded
     )
     carry, outs = jax.lax.scan(step, carry0,
-                               jnp.arange(nsteps, dtype=jnp.int32))
-    broke, ndec = carry[8], carry[9]
+                               jnp.arange(nscan, dtype=jnp.int32))
+    broke, ndec = carry[10], carry[11]
+    # outs: (nscan, L, C) residuals in (sample, lane, channel) layout
     return outs, broke, ndec
