@@ -21,10 +21,9 @@ import numpy as np
 
 from . import consts
 from .container import Block, parse_blocks
+from .config import get_options
 from .engine import DecodedBlock, decode_states
 from .io.pcm import format_samples
-
-DECODE_BATCH_BLOCKS = 256
 
 
 @dataclass
@@ -45,6 +44,7 @@ class WavpackContext:
     config: WavpackConfig = field(default_factory=WavpackConfig)
     total_samples: int = -1
     crc_errors: int = 0
+    mute_blocks: int = 0
     reduced_channels: int = 0
     lossy_blocks: bool = False
     error_message: str = ""
@@ -69,8 +69,9 @@ class WavpackContext:
         """Decode (and cache) the assembled samples of a segment; decodes a
         whole batch of upcoming segments lane-parallel."""
         if seg_idx not in self._decoded:
+            batch = get_options().batch_blocks
             todo_segs = [s for s in range(seg_idx,
-                                          min(seg_idx + DECODE_BATCH_BLOCKS,
+                                          min(seg_idx + batch,
                                               len(self._segments)))
                          if s not in self._decoded]
             flat: list[int] = []
@@ -81,6 +82,8 @@ class WavpackContext:
             for r in results:
                 if r.crc_error:
                     self.crc_errors += 1
+                if r.mute_error:
+                    self.mute_blocks += 1
             pos = 0
             for s in todo_segs:
                 nblk = (len(self._segments[s][2]) if self.all_channels else 1)

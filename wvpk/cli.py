@@ -13,11 +13,13 @@ import time
 
 import numpy as np
 
-from . import api, consts
+from . import api, consts, trace
 from .io.wav import write_wav
+from .report import build_report
 
 
-def decode_one(path: str, out_path: str | None, quiet: bool = False) -> int:
+def decode_one(path: str, out_path: str | None, quiet: bool = False,
+               show_trace: bool = False, report_json: bool = False) -> int:
     t_open = time.perf_counter()
     # unlike the reference demo (first two channels only), decode every
     # stream of multichannel files
@@ -55,13 +57,16 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False) -> int:
     total_unpacked = 0
     chunks = []
     buf = np.zeros(consts.SAMPLE_BUFFER_SIZE * num_channels, np.int32)
-    while True:
-        got = api.WavpackUnpackSamples(wpc, buf, consts.SAMPLE_BUFFER_SIZE)
-        if got <= 0:
-            break
-        total_unpacked += got
-        chunks.append(api.WavpackFormatSamples(
-            buf, got * num_channels, byteps, dsd=is_dsd))
+    with trace.collect() as stages:
+        while True:
+            got = api.WavpackUnpackSamples(wpc, buf,
+                                           consts.SAMPLE_BUFFER_SIZE)
+            if got <= 0:
+                break
+            total_unpacked += got
+            with trace.stage("format"):
+                chunks.append(api.WavpackFormatSamples(
+                    buf, got * num_channels, byteps, dsd=is_dsd))
     t1 = time.perf_counter()
     pcm = b"".join(chunks)
 
@@ -83,6 +88,13 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False) -> int:
               f"({rate:.2f} Msamples/s, {rt:.1f}x realtime; "
               f"open+index {1000 * (t0 - t_open):.1f} ms)")
 
+    if show_trace and not quiet:
+        print(trace.format_report(stages, total_unpacked))
+    if report_json:
+        print(build_report(wpc, file=path, decode_seconds=t1 - t0,
+                           samples_decoded=total_unpacked,
+                           stage_seconds=stages).to_json())
+
     num_samples = api.WavpackGetNumSamples(wpc)
     if num_samples != -1 and total_unpacked != num_samples:
         print("Incorrect number of samples", file=sys.stderr)
@@ -100,6 +112,10 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+", help=".wv input file(s)")
     p.add_argument("-o", "--output", help="output .wav path (single input)")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--trace", action="store_true",
+                   help="print per-stage timing breakdown")
+    p.add_argument("--report", action="store_true",
+                   help="print a JSON decode report per file")
     args = p.parse_args(argv)
 
     if len(args.inputs) == 1:
@@ -107,12 +123,14 @@ def main(argv=None) -> int:
         if out is None:
             base = args.inputs[0]
             out = (base[:-3] if base.endswith(".wv") else base) + ".wav"
-        return decode_one(args.inputs[0], out, args.quiet)
+        return decode_one(args.inputs[0], out, args.quiet,
+                          show_trace=args.trace, report_json=args.report)
 
     rc = 0
     for path in args.inputs:
         out = (path[:-3] if path.endswith(".wv") else path) + ".wav"
-        rc |= decode_one(path, out, args.quiet)
+        rc |= decode_one(path, out, args.quiet, show_trace=args.trace,
+                         report_json=args.report)
     return rc
 
 

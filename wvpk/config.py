@@ -1,0 +1,40 @@
+"""Decode options (SURVEY.md section 5.6, open-level layer).
+
+The WavPack format's other two config layers are decoded elsewhere: the
+32-bit header flags bitfield drives all decode branches (consts.py,
+container/blockstate.py) and CONFIG_* metadata feeds the informational
+mode mask (api.get_mode). This module is the open-level layer — the
+reference has only OPEN_2CH_MAX (Defines.cs:26); ours adds the batch /
+layout / debug knobs the batched engine needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    # how many upcoming segments one lazy API decode batches together
+    batch_blocks: int = 256
+    # lane capacity rounding floor (power-of-two bucketing of block sizes)
+    capacity_floor: int = 256
+    # synchronize the device after each pipeline stage so trace timings are
+    # per-stage honest (costs pipelining; tracing only)
+    sync_stages: bool = False
+    # cross-check every device-decoded block against the scalar oracle
+    # (slow; debugging)
+    oracle_check: bool = False
+
+
+_default = DecodeOptions()
+
+
+def get_options() -> DecodeOptions:
+    return _default
+
+
+def set_options(**kwargs) -> DecodeOptions:
+    global _default
+    _default = replace(_default, **kwargs)
+    return _default

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .blockstate import BlockState, ContextUpdates, decode_block_state
-from .header import BlockHeader, scan_headers
+from .header import HEADER_SIZE, BlockHeader, scan_headers
 from .metadata import MetadataItem, iter_metadata
 
 
@@ -23,10 +23,24 @@ class Block:
     updates: ContextUpdates
 
 
-def parse_blocks(data: bytes) -> list[Block]:
+def parse_blocks(data: bytes, strict: bool = False) -> list[Block]:
+    """Index every decodable block. Truncated or metadata-corrupt blocks
+    are skipped (their sample range gap-fills as zeros downstream) — the
+    reference stops decoding at the first such block
+    (WavPackUtils.cs:216-221); continuing past it is a recovery
+    improvement, `strict=True` restores raise-on-error."""
     blocks = []
     for hdr in scan_headers(data):
-        items = iter_metadata(data, hdr)
-        state, updates = decode_block_state(hdr, items)
+        if hdr.stream_position + hdr.ck_size + 8 > len(data):
+            if strict:
+                raise ValueError("truncated trailing block")
+            continue
+        try:
+            items = iter_metadata(data, hdr)
+            state, updates = decode_block_state(hdr, items)
+        except Exception:
+            if strict:
+                raise
+            continue
         blocks.append(Block(hdr, items, state, updates))
     return blocks

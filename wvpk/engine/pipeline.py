@@ -14,7 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .. import consts
+from .. import consts, trace
+from ..config import get_options
 from ..container.blockstate import BlockState
 from ..ops.decorr import decorr_decode
 from ..ops.entropy import entropy_decode
@@ -31,43 +32,58 @@ class DecodedBlock:
     crc_error: bool
 
 
+def _sync(x):
+    if get_options().sync_stages:
+        import jax
+        jax.block_until_ready(x)
+    return x
+
+
 def decode_bucket(b: Bucket) -> list[DecodedBlock]:
     prof = b.profile
-    residuals, broke, ndec = entropy_decode(
-        b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
-        mono=prof.mono, hybrid=prof.hybrid,
-        hybrid_bitrate=prof.hybrid_bitrate,
-        hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
+    with trace.stage("entropy"):
+        residuals, broke, ndec = entropy_decode(
+            b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
+            mono=prof.mono, hybrid=prof.hybrid,
+            hybrid_bitrate=prof.hybrid_bitrate,
+            hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
+        _sync(residuals)
 
     L = b.words.shape[0]
-    decorr_out = decorr_decode(
-        residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
-        b.num_terms, mono=prof.mono)
+    with trace.stage("decorr"):
+        decorr_out = _sync(decorr_decode(
+            residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
+            b.num_terms, mono=prof.mono))
 
-    out, crc, mute = joint_mute_crc(
-        decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
-        mono=prof.mono)
+    with trace.stage("post"):
+        out, crc, mute = joint_mute_crc(
+            decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
+            mono=prof.mono)
+        _sync(out)
 
     crc_x = np.full((L,), -1, np.int32)
     if prof.has_wvx:
-        out, crc_x_dev = wvx_inject(
-            out, b.nsamples, b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,
-            b.sent_bits, b.max_width,
-            np.stack([np.asarray([st.int32_zeros for st in b.states]),
-                      np.asarray([st.int32_ones for st in b.states]),
-                      np.asarray([st.int32_dups for st in b.states])],
-                     axis=1).astype(np.int32))
-        crc_x = np.asarray(crc_x_dev)
+        with trace.stage("wvx"):
+            out, crc_x_dev = wvx_inject(
+                out, b.nsamples, b.wvx_words, b.wvx_start_bit,
+                b.wvx_start_bc, b.sent_bits, b.max_width,
+                np.stack([np.asarray([st.int32_zeros for st in b.states]),
+                          np.asarray([st.int32_ones for st in b.states]),
+                          np.asarray([st.int32_dups for st in b.states])],
+                         axis=1).astype(np.int32))
+            crc_x = np.asarray(crc_x_dev)
 
-    out = fixup(out, b.shift, b.bytes_stored, b.float_shift_eff,
-                b.int32_zod,
-                is_float=prof.is_float,
-                int32_expand=prof.is_int32 and not prof.has_wvx,
-                hybrid=prof.hybrid)
+    with trace.stage("fixup"):
+        out = _sync(fixup(out, b.shift, b.bytes_stored, b.float_shift_eff,
+                          b.int32_zod,
+                          is_float=prof.is_float,
+                          int32_expand=prof.is_int32 and not prof.has_wvx,
+                          hybrid=prof.hybrid))
 
-    out_np = np.asarray(out)          # (T, L, C)
-    crc_np = np.asarray(crc)
-    mute_np = np.asarray(mute)
+    with trace.stage("transfer"):
+        out_np = np.asarray(out)          # (T, L, C)
+        crc_np = np.asarray(crc)
+        mute_np = np.asarray(mute)
 
     results = []
     for i, st in enumerate(b.states):
@@ -103,12 +119,22 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
             pcm_states.append(st)
             pcm_indices.append(i)
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
-    for bucket in group_blocks(pcm_states):
+    with trace.stage("staging"):
+        buckets = group_blocks(pcm_states)
+    for bucket in buckets:
         for st, res in zip(bucket.states, decode_bucket(bucket)):
             results[remap[id(st)]] = res
     if dsd_states:
-        for i, res in zip(dsd_indices, decode_dsd_states(dsd_states)):
-            results[i] = res
+        with trace.stage("dsd"):
+            for i, res in zip(dsd_indices, decode_dsd_states(dsd_states)):
+                results[i] = res
+    if get_options().oracle_check:
+        from ..ref import decode_block as oracle_decode
+        for st, res in zip(states, results):
+            want = oracle_decode(st)
+            if not np.array_equal(want.samples, res.samples):
+                raise AssertionError(
+                    f"oracle mismatch at block {st.header.block_index}")
     return results
 
 

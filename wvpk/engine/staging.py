@@ -13,13 +13,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from .. import consts
+from ..config import get_options
 from ..container.blockstate import BlockState
 from ..ops.bitio import pack_streams
 from ..tables import i32
 
 
-def _pow2_at_least(n: int, lo: int = 256) -> int:
-    v = lo
+def _pow2_at_least(n: int, lo: int | None = None) -> int:
+    v = lo if lo is not None else get_options().capacity_floor
     while v < n:
         v *= 2
     return v
