@@ -88,8 +88,20 @@ def scan_headers(data: bytes) -> list[BlockHeader]:
 
     Unlike the reference's iterative estimate-based seek
     (WavPackUtils.cs:504-594), we index every block at open; the scan is a
-    cheap host pass and makes any block a checkpoint.
+    cheap host pass and makes any block a checkpoint. Uses the native C
+    scanner (wvpk/native) when available.
     """
+    try:
+        from ..native import scan_headers_native
+        fields = scan_headers_native(data)
+    except Exception:
+        fields = None
+    if fields is not None:
+        return [BlockHeader(ck_size=int(f[0]), version=int(f[1]),
+                            total_samples=int(f[2]), block_index=int(f[3]),
+                            block_samples=int(f[4]), flags=int(f[5]),
+                            crc=int(f[6]), stream_position=int(f[7]))
+                for f in fields]
     out: list[BlockHeader] = []
     pos = 0
     while True:

@@ -1,0 +1,97 @@
+"""Native host runtime (C, loaded via ctypes).
+
+Lazily compiles csrc/wvpk_host.c into a cached shared object on first use;
+every entry point has a pure-Python fallback so the framework works
+compiler-less. The device compute path stays JAX/XLA — this tier covers
+the host side (container scan, bitstream staging memcpy fan-in).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "csrc", "wvpk_host.c")
+_lib = None
+_tried = False
+
+FIELDS_PER_HEADER = 8
+
+
+def _build() -> ctypes.CDLL | None:
+    src = open(_SRC, "rb").read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.environ.get("WVPK_NATIVE_CACHE",
+                           os.path.expanduser("~/.cache/wvpk-native"))
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"wvpk_host_{tag}.so")
+    if not os.path.exists(so_path):
+        cc = os.environ.get("CC", "cc")
+        tmp = so_path + f".tmp{os.getpid()}"
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True, capture_output=True)
+            os.replace(tmp, so_path)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.wvpk_scan_headers.restype = ctypes.c_long
+    lib.wvpk_scan_headers.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long]
+    lib.wvpk_pack_streams.restype = None
+    lib.wvpk_pack_streams.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        if os.environ.get("WVPK_NO_NATIVE"):
+            _lib = None
+        else:
+            _lib = _build()
+    return _lib
+
+
+def scan_headers_native(data: bytes) -> np.ndarray | None:
+    """(N, 8) int64 header fields, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_headers = max(len(data) // 40 + 4, 16)
+    out = np.empty((max_headers, FIELDS_PER_HEADER), np.int64)
+    n = lib.wvpk_scan_headers(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_headers)
+    return out[:n]
+
+
+def pack_streams_native(payloads: list[bytes], stride: int) -> np.ndarray | None:
+    """(L, stride) uint8 matrix, 0xff-filled, rows = payloads; or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = b"".join(payloads)
+    offs = np.zeros(len(payloads), np.int64)
+    lens = np.asarray([len(p) for p in payloads], np.int64)
+    np.cumsum(lens[:-1], out=offs[1:]) if len(payloads) > 1 else None
+    out = np.full((len(payloads), stride), 0xFF, np.uint8)
+    lib.wvpk_pack_streams(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(payloads), out.ctypes.data_as(ctypes.c_void_p), stride)
+    return out

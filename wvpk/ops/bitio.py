@@ -21,12 +21,19 @@ EXTRA_PAD_WORDS = 8  # room for bounded post-EOF overreads
 def pack_streams(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Pack per-lane byte payloads into a (L, W) uint32 array (LSB-first
     bit order within word) padded with the 0xff EOF fill. Returns (words,
-    nbits)."""
+    nbits). Uses the native C stager (wvpk/native) when available."""
     nbytes = max((len(p) for p in payloads), default=0)
     nwords = (nbytes + 3) // 4 + EXTRA_PAD_WORDS
-    out = np.full((len(payloads), nwords * 4), 0xFF, np.uint8)
-    for i, p in enumerate(payloads):
-        out[i, :len(p)] = np.frombuffer(p, np.uint8)
+    out = None
+    try:
+        from ..native import pack_streams_native
+        out = pack_streams_native(payloads, nwords * 4)
+    except Exception:
+        out = None
+    if out is None:
+        out = np.full((len(payloads), nwords * 4), 0xFF, np.uint8)
+        for i, p in enumerate(payloads):
+            out[i, :len(p)] = np.frombuffer(p, np.uint8)
     words = out.view("<u4")
     nbits = np.asarray([len(p) * 8 for p in payloads], np.int32)
     return np.ascontiguousarray(words), nbits

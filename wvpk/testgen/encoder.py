@@ -586,6 +586,10 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
 
     # --- metadata from (quantized) carried state ---
     terms_md, weights_md, samples_md = _quantize_decorr(passes, mono)
+    if spec.version == 0x402 and spec.hybrid:
+        # v4.02 hybrid prepends 2 bytes/channel that readers skip
+        # (UnpackUtils.cs:277-283)
+        samples_md = b"\x00\x00" * (1 if mono else 2) + samples_md
     entropy_md = _quantize_entropy(w, mono)
     hybrid_md = _quantize_hybrid(spec, w, mono) if spec.hybrid else None
 
