@@ -115,14 +115,25 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         consumed_zero = in_run & (zacc1 > 0)
         start = zcond & (zacc == 0)
 
-        win_g = peek(windows, bitpos)
-        cbits = jnp.minimum(trailing_ones(win_g), 33).astype(I64)
-        gbreak = start & (cbits >= 33)
-        win_g2 = peek(windows, bitpos + cbits + 1)
-        gdata = bits_of(win_g2, cbits - 1)
-        z = jnp.where(cbits < 2, cbits,
-                      gdata | (jnp.int64(1) << jnp.clip(cbits - 1, 0, 62)))
-        gconsume = jnp.where(cbits < 2, cbits + 1, cbits + 1 + cbits - 1)
+        # the gamma read only runs when some lane starts a run this step
+        # (rare outside silence) — lax.cond skips its two window gathers
+        def gamma_path(bitpos):
+            win_g = peek(windows, bitpos)
+            cbits = jnp.minimum(trailing_ones(win_g), 33).astype(I64)
+            win_g2 = peek(windows, bitpos + cbits + 1)
+            gdata = bits_of(win_g2, cbits - 1)
+            z = jnp.where(cbits < 2, cbits,
+                          gdata | (jnp.int64(1) << jnp.clip(cbits - 1, 0, 62)))
+            gconsume = jnp.where(cbits < 2, cbits + 1, cbits + 1 + cbits - 1)
+            return z, gconsume, cbits >= 33
+
+        def gamma_skip(bitpos):
+            zz = jnp.zeros((L,), I64)
+            return zz, zz, jnp.zeros((L,), bool)
+
+        z, gconsume, gb = jax.lax.cond(jnp.any(start), gamma_path,
+                                       gamma_skip, bitpos)
+        gbreak = start & gb
         do_gamma = start & ~gbreak
         bitpos = jnp.where(do_gamma, bitpos + gconsume, bitpos)
         run_started = do_gamma & (z > 0)
@@ -143,14 +154,25 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         t_u = trailing_ones(win_u).astype(I64)
         esc = t_u == consts.LIMIT_ONES
         ubreak = read & (t_u >= consts.LIMIT_ONES + 1)
-        win_e = peek(windows, bitpos + 17)
-        t_e = jnp.minimum(trailing_ones(win_e), 33).astype(I64)
-        ebreak = read & esc & (t_e >= 33)
-        win_e2 = peek(windows, bitpos + 17 + t_e + 1)
-        edata = bits_of(win_e2, t_e - 1)
-        ev = jnp.where(t_e < 2, t_e,
-                       edata | (jnp.int64(1) << jnp.clip(t_e - 1, 0, 62)))
-        econsume = jnp.where(t_e < 2, t_e + 1, t_e + 1 + t_e - 1)
+
+        # LIMIT_ONES escape is rare — cond away its two gathers
+        def esc_path(bitpos):
+            win_e = peek(windows, bitpos + 17)
+            t_e = jnp.minimum(trailing_ones(win_e), 33).astype(I64)
+            win_e2 = peek(windows, bitpos + 17 + t_e + 1)
+            edata = bits_of(win_e2, t_e - 1)
+            ev = jnp.where(t_e < 2, t_e,
+                           edata | (jnp.int64(1) << jnp.clip(t_e - 1, 0, 62)))
+            econsume = jnp.where(t_e < 2, t_e + 1, t_e + 1 + t_e - 1)
+            return ev, econsume, t_e >= 33
+
+        def esc_skip(bitpos):
+            zz = jnp.zeros((L,), I64)
+            return zz, zz, jnp.zeros((L,), bool)
+
+        ev, econsume, eb = jax.lax.cond(jnp.any(esc & read), esc_path,
+                                        esc_skip, bitpos)
+        ebreak = read & esc & eb
         raw = jnp.where(esc, ev + consts.LIMIT_ONES, t_u)
         consume_u = jnp.where(esc, 17 + econsume, t_u + 1)
         broke = gbreak | ubreak | ebreak
@@ -245,10 +267,11 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
             mid = mid_ll
             consume_v = consume_ll
 
-        bitpos = jnp.where(code_mask, bitpos + consume_v, bitpos)
-        win_s = peek(windows, bitpos)
-        sign = (win_s & jnp.uint64(1)) > 0
-        bitpos = jnp.where(code_mask, bitpos + 1, bitpos)
+        # sign bit comes from win_v: value consumption is <= 32 bits and the
+        # window holds >= 33, so no extra gather is needed
+        sign = bits_of(win_v >> jnp.clip(consume_v, 0, 62).astype(jnp.uint64),
+                       jnp.ones_like(consume_v)) > 0
+        bitpos = jnp.where(code_mask, bitpos + consume_v + 1, bitpos)
         value = wrap32(jnp.where(sign, ~mid, mid))
 
         if hybrid_bitrate:
