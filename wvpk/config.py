@@ -25,6 +25,10 @@ class DecodeOptions:
     # cross-check every device-decoded block against the scalar oracle
     # (slow; debugging)
     oracle_check: bool = False
+    # entropy kernel selection: "auto" uses the Pallas VMEM kernel on TPU
+    # for lossless buckets, "xla" always uses the lax.scan kernel,
+    # "pallas" forces Pallas (interpret mode off-TPU; for tests)
+    entropy_kernel: str = "auto"
 
 
 _default = DecodeOptions()

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.decorr import decorr_decode
-from ..ops.entropy import entropy_decode
+from ..ops.entropy_select import entropy_decode_any
 from ..ops.post import fixup, joint_mute_crc
 
 
@@ -27,7 +27,7 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
                  mono: bool, hybrid: bool, hybrid_bitrate: bool,
                  hybrid_balance: bool, is_float: bool, int32_expand: bool,
                  nsteps: int):
-    residuals, broke, _ndec = entropy_decode(
+    residuals, broke, _ndec = entropy_decode_any(
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)

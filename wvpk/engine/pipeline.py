@@ -18,7 +18,7 @@ from .. import consts, trace
 from ..config import get_options
 from ..container.blockstate import BlockState
 from ..ops.decorr import decorr_decode
-from ..ops.entropy import entropy_decode
+from ..ops.entropy_select import entropy_decode_any
 from ..ops.post import fixup, joint_mute_crc, wvx_inject
 from .staging import Bucket, group_blocks
 
@@ -42,7 +42,7 @@ def _sync(x):
 def decode_bucket(b: Bucket) -> list[DecodedBlock]:
     prof = b.profile
     with trace.stage("entropy"):
-        residuals, broke, ndec = entropy_decode(
+        residuals, broke, ndec = entropy_decode_any(
             b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
             mono=prof.mono, hybrid=prof.hybrid,
             hybrid_bitrate=prof.hybrid_bitrate,

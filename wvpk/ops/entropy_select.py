@@ -1,0 +1,40 @@
+"""Entropy kernel dispatch: Pallas VMEM kernel vs XLA scan kernel.
+
+The Pallas kernel (entropy_pallas.py) covers lossless profiles on TPU and
+is ~2.5x faster at scale; hybrid buckets and non-TPU backends use the XLA
+kernel (entropy.py). The selection is per bucket profile.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..config import get_options
+from .entropy import entropy_decode
+from .entropy_pallas import entropy_decode_pallas
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def entropy_decode_any(words, nwords_lane, med, slow, acc, delta, *,
+                       mono: bool, hybrid: bool, hybrid_bitrate: bool,
+                       hybrid_balance: bool, nsteps: int):
+    """Returns (residuals (T, L, C) int32, broke (L,) bool, ndec (L,))."""
+    mode = get_options().entropy_kernel
+    use_pallas = (not hybrid) and (
+        mode == "pallas" or (mode == "auto" and _on_tpu()))
+    if use_pallas:
+        import jax.numpy as jnp
+
+        return entropy_decode_pallas(
+            jnp.asarray(words).astype(jnp.uint32), nwords_lane, med,
+            mono=mono, nsteps=nsteps, interpret=not _on_tpu())
+    return entropy_decode(words, nwords_lane, med, slow, acc, delta,
+                          mono=mono, hybrid=hybrid,
+                          hybrid_bitrate=hybrid_bitrate,
+                          hybrid_balance=hybrid_balance, nsteps=nsteps)
