@@ -24,6 +24,30 @@ import numpy as np
 
 def make_corpus(n_files: int, seconds: float, block_samples: int,
                 seed: int = 0):
+    """Synthesize the bench corpus (disk-cached: generation uses the pure-
+    Python encoder and costs minutes; the cache key pins all parameters)."""
+    import hashlib
+    import pickle
+
+    cache_dir = os.environ.get("WVPK_BENCH_CACHE",
+                               os.path.expanduser("~/.cache/wvpk-bench"))
+    key = hashlib.sha256(
+        f"v1:{n_files}:{seconds}:{block_samples}:{seed}".encode()).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"corpus_{key}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    files, n = _generate_corpus(n_files, seconds, block_samples, seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump((files, n), f)
+    os.replace(tmp, path)
+    return files, n
+
+
+def _generate_corpus(n_files: int, seconds: float, block_samples: int,
+                     seed: int):
     from wvpk.testgen import EncodeSpec, encode_file
 
     rng = np.random.default_rng(seed)

@@ -49,26 +49,36 @@ def shard_bucket_arrays(b: Bucket, mesh: Mesh) -> tuple[dict, int]:
 def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     """Decode one bucket with the lane axis sharded across the mesh.
 
-    The fused kernel is lanewise, so XLA partitions it with zero
-    collectives; only the crc-error count all-reduces (metrics).
+    shard_map runs the fused kernel per device on its lane shard — each
+    device gets its own Pallas/XLA program (a Pallas custom call is opaque
+    to the SPMD partitioner, so shard_map is the correct structure, not
+    sharding propagation). Zero collectives on the hot path.
     Returns (out (T, L, C) int32, crc (L,), mute (L,)) unpadded.
     """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
     arrs, L = shard_bucket_arrays(b, mesh)
     prof = b.profile
-    with mesh:
-        out, crc, mute = fused_decode(
-            arrs["words"], arrs["nwords_lane"], arrs["nsamples"],
-            arrs["med"], arrs["slow"], arrs["acc"], arrs["delta"],
-            arrs["terms"], arrs["deltas16"], arrs["wa"], arrs["wb"],
-            arrs["hist_a"], arrs["hist_b"], arrs["num_terms"],
-            arrs["joint"], arrs["mute_limit"], arrs["shift"],
-            arrs["bytes_stored"], arrs["float_shift_eff"],
-            arrs["int32_zod"],
-            mono=prof.mono, hybrid=prof.hybrid,
-            hybrid_bitrate=prof.hybrid_bitrate,
-            hybrid_balance=prof.hybrid_balance,
-            is_float=prof.is_float,
-            int32_expand=prof.is_int32 and not prof.has_wvx,
-            nsteps=prof.nsteps)
+    names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
+             "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
+             "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
+             "float_shift_eff", "int32_zod"]
+    args = [arrs[n] for n in names]
+    lane = P(LANE_AXIS)
+    in_specs = tuple(P(LANE_AXIS, *([None] * (a.ndim - 1))) for a in args)
+    out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS))
+
+    fn = partial(fused_decode,
+                 mono=prof.mono, hybrid=prof.hybrid,
+                 hybrid_bitrate=prof.hybrid_bitrate,
+                 hybrid_balance=prof.hybrid_balance,
+                 is_float=prof.is_float,
+                 int32_expand=prof.is_int32 and not prof.has_wvx,
+                 nsteps=prof.nsteps)
+    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_rep=False)
+    out, crc, mute = jax.jit(sharded)(*args)
     return (np.asarray(out)[:, :L, :], np.asarray(crc)[:L],
             np.asarray(mute)[:L])
