@@ -461,8 +461,12 @@ class CarryState:
 
 
 def _make_words_state(spec: EncodeSpec, medians) -> WordsState:
+    # mono entropy metadata stores channel 0 only; the decoder's channel-1
+    # medians stay 0 and feed the zero-run condition
+    # (WordsUtils.cs:304) — mirror that exactly
+    med1 = [0, 0, 0] if spec.nch_data == 1 else list(medians[1])
     w = WordsState(c=[EntropyChannel(median=list(medians[0])),
-                      EntropyChannel(median=list(medians[1]))])
+                      EntropyChannel(median=med1)])
     if spec.hybrid:
         w.bitrate_acc = [spec.bitrate << 16, spec.bitrate << 16]
         w.bitrate_delta = [spec.bitrate_delta, spec.bitrate_delta]
