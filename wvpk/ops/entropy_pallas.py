@@ -2,22 +2,25 @@
 
 The XLA scan version (entropy.py) is bound by per-peek HBM gathers. This
 kernel keeps each lane tile's bitstreams RESIDENT IN VMEM, laid out
-transposed as (word, lane), and replaces the gather with an iota-compare
-select-reduce sweep over the word axis — pure VPU work against VMEM.
+transposed as (word, lane), and reads them through a carried 64-bit bit
+window per lane: the common path costs ONE one-word select-reduce sweep per
+refill point (two per word) instead of multi-word window gathers; the rare
+zero-run / LIMIT_ONES escape paths and second refills run under pl.when.
 
-All arithmetic is 32-bit (TPU-native): the bit window is an explicit
-(lo: uint32, bit32) pair, the interval math uses the unsigned-32 identities
-mid = low + ((high-low+1)>>1) etc. This covers the full sane value range
-of conforming streams (medians < 2^31 => code widths <= 28 bits); the
-reference's own degenerate median-wrap regime (readme.txt "limited in
-resolution") falls back to the XLA/int64 kernel at bucket granularity.
-
-Hybrid buckets also use the XLA path (the error-limit accumulators are
-64-bit); this kernel handles MONO_DATA and stereo lossless — the bandwidth
-configs that matter (BASELINE configs 1-3).
+All arithmetic is 32-bit (TPU-native): the window is an explicit
+(lo, hi) uint32 pair and the interval math uses unsigned-32 identities.
+This covers the full sane value range of conforming streams (medians
+< 2^31 => code widths <= 28 bits); the reference's own degenerate
+median-wrap regime (readme.txt "limited in resolution") falls back to the
+XLA/int64 kernel at bucket granularity, as do hybrid buckets (64-bit
+bitrate accumulators).
 
 Grid: (lane_tiles, sample_chunks); the decode state persists across sample
 chunks in a VMEM scratch (TPU grids run sequentially, innermost last).
+Mosaic portability notes: bitcasts instead of int<->uint converts, signed
+clips (no unsigned min/max), int32 select-reduce sums (no unsigned
+reductions), i32 fori bounds, pl.when + scratch instead of value-returning
+conds.
 """
 
 from __future__ import annotations
@@ -33,12 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import consts
 
 LANE_TILE = 256
+UNROLL = 1
 U32 = jnp.uint32
 I32 = jnp.int32
 
 # state rows in the persistent scratch
-(R_BITPOS, R_M0A, R_M1A, R_M2A, R_M0B, R_M1B, R_M2B,
- R_H1, R_H0, R_ZACC, R_DONE, R_NDEC, NSTATE) = range(13)
+(R_WLO, R_WHI, R_WCNT, R_WIDX,
+ R_M0A, R_M1A, R_M2A, R_M0B, R_M1B, R_M2B,
+ R_H1, R_H0, R_ZACC, R_DONE, R_NDEC, NSTATE) = range(16)
 
 
 def _bc_i32(x):
@@ -55,20 +60,15 @@ def _to32(y):
     return _bc_i32(jax.lax.population_count(lsb - U32(1)))
 
 
-def _trailing_ones(lo):
-    return _to32(~lo)
-
-
 def _mask_u32(n):
     """(1 << n) - 1 for n in [0, 32]."""
     full = n >= 32
-    nn = pltpu.bitcast(jnp.clip(n, 0, 31), jnp.uint32)
+    nn = _bc_u32(jnp.clip(n, 0, 31))
     return jnp.where(full, U32(0xFFFFFFFF), (U32(1) << nn) - U32(1))
 
 
 def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
-                    st, tmp, *, mono: bool, chunk: int, nsamples_total: int,
-                    w_total: int):
+                    st, tmp, *, mono: bool, chunk: int, w_total: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -76,86 +76,135 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
         st[...] = state0_ref[...]
 
     L = LANE_TILE
-    # keep the stream words as int32 (Mosaic lacks unsigned reductions);
-    # with exactly one selected term per lane the int32 sum is the exact
-    # bit pattern
+    # stream words as int32 (Mosaic lacks unsigned reductions); exactly one
+    # selected term per lane makes the int32 sum the exact bit pattern
     words = _bc_i32(words_ref[...])  # (W, L), resident in VMEM
     iota_w = jax.lax.broadcasted_iota(I32, (w_total, L), 0)
-    max_word = I32(w_total - 2)
+    max_word = I32(w_total - 1)
 
-    def fetch(bitpos):
-        """33-bit window at bitpos: (lo uint32, b32 in {0,1} uint32)."""
-        idx = jnp.minimum(bitpos >> 5, max_word)
-        off = _bc_u32(bitpos & 31)
-        m0 = iota_w == idx
-        m1 = iota_w == (idx + 1)
-        w0 = _bc_u32(jnp.sum(jnp.where(m0, words, I32(0)), axis=0,
-                             keepdims=True, dtype=I32))
-        w1 = _bc_u32(jnp.sum(jnp.where(m1, words, I32(0)), axis=0,
-                             keepdims=True, dtype=I32))
-        # signed clip: Mosaic lacks unsigned min/max
-        sh = _bc_u32(jnp.clip(32 - _bc_i32(off), 1, 31))
-        lo = jnp.where(off == 0, w0, (w0 >> off) | (w1 << sh))
-        b32 = jnp.where(off == 0, w1 & 1, (w1 >> off) & 1)
-        return lo, b32
+    def fetch_word(widx):
+        """One select-reduce sweep: words[widx] per lane (uint32)."""
+        idx = jnp.minimum(widx, max_word)
+        m = iota_w == idx
+        return _bc_u32(jnp.sum(jnp.where(m, words, I32(0)), axis=0,
+                               keepdims=True, dtype=I32))
 
-    def gamma(bitpos, lo, b32):
-        """Elias-style escape code from a prefetched window:
-        (value u32, consumed i32, break33). One extra fetch for the data
-        bits (Mosaic cannot legalize lax.cond with vector results, so the
-        rare paths execute unconditionally; fetches are cheap VMEM
-        sweeps)."""
-        t_lo = _trailing_ones(lo)
-        cbits = jnp.where(t_lo >= 32, 32 + _bc_i32(b32), t_lo)
-        cbits = jnp.minimum(cbits, 33)
+    def refill_once(win, need):
+        """Insert one stream word at offset wcnt for lanes with `need` and
+        room (wcnt <= 32). One sweep."""
+        wlo, whi, wcnt, widx = win
+        w = fetch_word(widx)
+        do = need & (wcnt <= 32)
+        sh_lo = _bc_u32(wcnt & 31)
+        lo_ins = jnp.where(wcnt < 32, wlo | (w << sh_lo), wlo)
+        sh_hi = _bc_u32((32 - wcnt) & 31)
+        hi_ins = jnp.where(wcnt == 0, whi,
+                           jnp.where(wcnt < 32, whi | (w >> sh_hi),
+                                     whi | w))
+        wlo = jnp.where(do, lo_ins, wlo)
+        whi = jnp.where(do, hi_ins, whi)
+        widx = jnp.where(do, widx + 1, widx)
+        wcnt = jnp.where(do, wcnt + 32, wcnt)
+        return (wlo, whi, wcnt, widx)
+
+    def ensure33(win):
+        """Refill to >= 33 held bits: one unconditional sweep, a second
+        under pl.when (only lanes that were near-empty need it)."""
+        win = refill_once(win, win[2] < 33)
+        need2 = win[2] < 33
+        any2 = jnp.max(jnp.where(need2, I32(1), I32(0)))
+
+        @pl.when(any2 > 0)
+        def _second():
+            w2 = refill_once(win, need2)
+            tmp[0:1, :] = _bc_i32(w2[0])
+            tmp[1:2, :] = _bc_i32(w2[1])
+            tmp[2:3, :] = w2[2]
+            tmp[3:4, :] = w2[3]
+
+        wlo = jnp.where(need2, _bc_u32(tmp[0:1, :]), win[0])
+        whi = jnp.where(need2, _bc_u32(tmp[1:2, :]), win[1])
+        wcnt = jnp.where(need2, tmp[2:3, :], win[2])
+        widx = jnp.where(need2, tmp[3:4, :], win[3])
+        return (wlo, whi, wcnt, widx)
+
+    def consume(win, k, mask):
+        """Drop k (<= 33, per-lane) bits for masked lanes."""
+        wlo, whi, wcnt, widx = win
+        kk = jnp.where(mask, k, 0)
+        ksm = _bc_u32(kk & 31)
+        inv = _bc_u32((32 - kk) & 31)
+        lo_small = (wlo >> ksm) | jnp.where(kk == 0, U32(0), whi << inv)
+        lo_big = whi >> _bc_u32((kk - 32) & 31)       # kk in [32, 33]
+        wlo = jnp.where(kk < 32, lo_small, lo_big)
+        whi = jnp.where(kk < 32, whi >> ksm, U32(0))
+        wcnt = wcnt - kk
+        return (wlo, whi, wcnt, widx)
+
+    def trailing_ones33(win):
+        t_lo = _to32(~win[0])
+        b32 = _bc_i32(win[1] & 1)
+        return jnp.minimum(jnp.where(t_lo >= 32, 32 + b32, t_lo), 33)
+
+    def gamma(win):
+        """Elias-style escape code (WordsUtils.cs:321-335) from the carried
+        window. Returns (value u32, brk, win'); consumes its bits."""
+        win = ensure33(win)
+        cbits = trailing_ones33(win)
         brk = cbits >= 33
-        lo2, _ = fetch(bitpos + cbits + 1)
-        data = lo2 & _mask_u32(cbits - 1)
+        win = consume(win, cbits + 1, ~brk)
+        win = ensure33(win)
+        data = win[0] & _mask_u32(cbits - 1)
         top = jnp.where(cbits >= 2,
                         U32(1) << _bc_u32(jnp.clip(cbits - 1, 0, 31)),
                         U32(0))
-        # cbits == 33 lanes break; cbits == 32 would need bit 2^31 set: top
-        # shift of 31 handles it (cbits-1 == 31 <= 31)
         v = jnp.where(cbits < 2, _bc_u32(cbits), data | top)
-        consumed = jnp.where(cbits < 2, cbits + 1, cbits + 1 + cbits - 1)
-        return v, consumed, brk
+        win = consume(win, jnp.maximum(cbits - 1, 0), ~brk & (cbits >= 2))
+        return v, brk, win
+
+    def win_write_tmp(v, brk, win, base):
+        tmp[base:base + 1, :] = _bc_i32(v)
+        tmp[base + 1:base + 2, :] = jnp.where(brk, I32(1), I32(0))
+        tmp[base + 2:base + 3, :] = _bc_i32(win[0])
+        tmp[base + 3:base + 4, :] = _bc_i32(win[1])
+        tmp[base + 4:base + 5, :] = win[2]
+        tmp[base + 5:base + 6, :] = win[3]
+
+    def win_merge_tmp(win, mask, base):
+        v = _bc_u32(tmp[base:base + 1, :])
+        brk = tmp[base + 1:base + 2, :] != 0
+        wlo = jnp.where(mask, _bc_u32(tmp[base + 2:base + 3, :]), win[0])
+        whi = jnp.where(mask, _bc_u32(tmp[base + 3:base + 4, :]), win[1])
+        wcnt = jnp.where(mask, tmp[base + 4:base + 5, :], win[2])
+        widx = jnp.where(mask, tmp[base + 5:base + 6, :], win[3])
+        return v, brk, (wlo, whi, wcnt, widx)
 
     def decode_word(state, entidx: int, active):
-        (bitpos, m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc, done, ndec) = state
+        (wlo, whi, wcnt, widx, m0a, m1a, m2a, m0b, m1b, m2b,
+         h1, h0, zacc, done, ndec) = state
+        win = (wlo, whi, wcnt, widx)
         act = active & (done == 0)
         med_c = (m0a, m1a, m2a) if entidx == 0 else (m0b, m1b, m2b)
 
-        # ---- zero-run branch ----
+        # ---- zero-run branch (WordsUtils.cs:304-352) ----
         zcond = (act & ((m0a & ~1) == 0) & ((m0b & ~1) == 0)
                  & (h1 == 0) & (h0 == 0))
         in_run = zcond & (zacc > 0)
         zacc1 = jnp.where(in_run, zacc - 1, zacc)
         consumed_zero = in_run & (zacc1 > 0)
         start = zcond & (zacc == 0)
-
-        # the zero-run gamma only runs when some lane starts a run this
-        # step; pl.when + scratch rows keeps it off the common path
-        # (Mosaic cannot legalize value-returning conds). Stale scratch on
-        # skipped steps is harmless: `start` is all-false then.
         any_start = jnp.max(jnp.where(start, I32(1), I32(0)))
 
         @pl.when(any_start > 0)
         def _zero_run_gamma():
-            lo0, b32_0 = fetch(bitpos)
-            zv_, gcons_, gb_ = gamma(bitpos, lo0, b32_0)
-            tmp[0:1, :] = _bc_i32(zv_)
-            tmp[1:2, :] = gcons_
-            tmp[2:3, :] = jnp.where(gb_, I32(1), I32(0))
+            zv_, gb_, win_ = gamma(win)
+            win_write_tmp(zv_, gb_, win_, 4)
 
-        zv = _bc_u32(tmp[0:1, :])
-        gcons = tmp[1:2, :]
-        gb = tmp[2:3, :] != 0
+        zv, gb, win = win_merge_tmp(win, start, 4)
         gbreak = start & gb
         do_gamma = start & ~gbreak
-        bitpos = jnp.where(do_gamma, bitpos + gcons, bitpos)
         # saturate run lengths at 2^30 (only reachable on corrupt streams;
-        # a run can never exceed the block's samples on valid ones);
-        # signed ops only: negative-as-i32 means >= 2^31 unsigned
+        # a run can never exceed the block's samples on valid ones)
         zrun_raw = _bc_i32(zv)
         zrun = jnp.where((zrun_raw < 0) | (zrun_raw > (1 << 30)),
                          I32(1 << 30), zrun_raw)
@@ -172,38 +221,29 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
 
         normal = act & ~gbreak & ~emit_zero
 
-        # ---- unary / holding ----
+        # ---- unary ones_count with holding carry (WordsUtils.cs:354-428) --
         use_h0 = normal & (h0 != 0)
         read = normal & (h0 == 0)
-        # fetch at the (possibly gamma-advanced) bitpos: correct for
-        # fall-through lanes, and run-consumed lanes exit via emit_zero
-        # without using the unary result
-        lo_u, b32_u = fetch(bitpos)
-        t_u = _trailing_ones(lo_u)  # cap 17 below; 32-bit lo suffices
+        win = ensure33(win)
+        t_u = _to32(~win[0])  # trailing ones; values > 17 break below
         esc = t_u == consts.LIMIT_ONES
         ubreak = read & (t_u >= consts.LIMIT_ONES + 1)
-
         any_esc = jnp.max(jnp.where(esc & read, I32(1), I32(0)))
 
         @pl.when(any_esc > 0)
         def _escape_gamma():
-            lo_e, b32_e = fetch(bitpos + 17)
-            ev_, econs_, eb_ = gamma(bitpos + 17, lo_e, b32_e)
-            tmp[0:1, :] = _bc_i32(ev_)
-            tmp[1:2, :] = econs_
-            tmp[2:3, :] = jnp.where(eb_, I32(1), I32(0))
+            win_ = consume(win, I32(17), esc & read)
+            ev_, eb_, win_ = gamma(win_)
+            win_write_tmp(ev_, eb_, win_, 4)
 
-        ev = _bc_u32(tmp[0:1, :])
-        econs = tmp[1:2, :]
-        eb = tmp[2:3, :] != 0
-        ebreak = read & esc & eb
-        # ones_count as u32 (escape values can be huge on corrupt streams)
-        rawu = jnp.where(esc, ev + U32(consts.LIMIT_ONES),
-                         _bc_u32(t_u))
-        consume_u = jnp.where(esc, 17 + econs, t_u + 1)
+        esc_lanes = esc & read
+        ev, eb, win_esc = win_merge_tmp(win, esc_lanes, 4)
+        ebreak = esc_lanes & eb
+        rawu = jnp.where(esc, ev + U32(consts.LIMIT_ONES), _bc_u32(t_u))
         broke = gbreak | ubreak | ebreak
         ok_read = read & ~broke
-        bitpos = jnp.where(ok_read, bitpos + consume_u, bitpos)
+        # fast-path consumption; escape lanes already consumed via scratch
+        win = consume(win_esc, t_u + 1, ok_read & ~esc)
 
         oc = jnp.where(h1 != 0, (rawu >> 1) + U32(1), rawu >> 1)
         h1_new = _bc_i32(rawu & 1)
@@ -243,17 +283,18 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
         else:
             m0b, m1b, m2b = m0c, m1c, m2c
 
-        # ---- value: read_code (lossless) ----
-        lo_v, b32_v = fetch(bitpos)
+        # ---- value: read_code (WordsUtils.cs:546-570) + sign ----
+        win = ensure33(win)
+        lo_v = win[0]
+        b32_v = win[1] & 1
         maxcode = high - low
-        # bit_length of u32 via clz
         bitcount = jnp.where(maxcode != 0,
                              32 - _bc_i32(jax.lax.clz(maxcode)), 0)
         # C# 1 << bitcount is a mod-32 int shift
         extras_u = (U32(1) << _bc_u32(bitcount & 31)) - maxcode - 1
         code0 = lo_v & _mask_u32(bitcount - 1)
-        # signed comparison code0 >= extras (both fit i32 in the sane
-        # regime; extras negative (as i32) => always true, matching C#)
+        # signed comparison (both fit i32 in the sane regime; extras
+        # negative as i32 => always true, matching C#)
         need_extra = (bitcount > 0) & (_bc_i32(code0) >= _bc_i32(extras_u))
         extra_pos = _bc_u32(jnp.clip(bitcount - 1, 0, 31))
         extra_bit = (lo_v >> extra_pos) & 1
@@ -263,39 +304,50 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
                               bitcount - 1 + jnp.where(need_extra, 1, 0))
         mid = low + code
 
-        sign_pos = consume_v
-        sign = jnp.where(sign_pos >= 32, b32_v,
-                         (lo_v >> _bc_u32(jnp.clip(sign_pos, 0, 31))) & 1)
-        bitpos = jnp.where(code_mask, bitpos + consume_v + 1, bitpos)
+        sign = jnp.where(consume_v >= 32, b32_v,
+                         (lo_v >> _bc_u32(jnp.clip(consume_v, 0, 31))) & 1)
+        win = consume(win, consume_v + 1, code_mask)
         value = _bc_i32(jnp.where(sign != 0, ~mid, mid))
 
         out = jnp.where(code_mask, value, 0)
         done = jnp.where(broke, 1, done)
         ndec = ndec + jnp.where(emit_zero | code_mask, 1, 0)
-        return ((bitpos, m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
+        return ((win[0], win[1], win[2], win[3],
+                 m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
                  done, ndec), out)
 
-    carry0 = tuple(st[k:k + 1, :] for k in range(NSTATE))
+    def load_state():
+        out = []
+        for k in range(NSTATE):
+            row = st[k:k + 1, :]
+            out.append(_bc_u32(row) if k in (R_WLO, R_WHI) else row)
+        return tuple(out)
 
-    # nwords per lane rides in state0 row NSTATE-1? (passed via state0)
-    def body(t, carry):
+    carry0 = load_state()
+
+    def body(t0, carry):
+        # manual UNROLL: amortize the ~6us/iteration fori overhead
+        # (Mosaic only supports full loop unrolls)
         state = carry
-        sample_idx = j * chunk + t
         limit = state0_ref[NSTATE:NSTATE + 1, :]  # samples per lane
-        active = sample_idx < limit
-        state, out_a = decode_word(state, 0, active)
-        out_a_ref[pl.ds(t, 1), :] = out_a
-        if not mono:
-            state, out_b = decode_word(state, 1, active)
-            out_b_ref[pl.ds(t, 1), :] = out_b
+        for u in range(UNROLL):
+            t = t0 * UNROLL + u
+            active = (j * chunk + t) < limit
+            state, out_a = decode_word(state, 0, active)
+            out_a_ref[pl.ds(t, 1), :] = out_a
+            if not mono:
+                state, out_b = decode_word(state, 1, active)
+                out_b_ref[pl.ds(t, 1), :] = out_b
         return state
 
-    # i32 bounds: under jax_enable_x64 a Python-int bound makes the
-    # induction variable int64, which Mosaic cannot convert
-    final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk), body, carry0)
+    # static Python-int bounds; tracing runs under enable_x64(False), so
+    # the induction variable stays int32 for Mosaic
+    assert chunk % UNROLL == 0
+    final = jax.lax.fori_loop(0, chunk // UNROLL, body, carry0)
 
     for k in range(NSTATE):
-        st[k:k + 1, :] = final[k]
+        row = final[k]
+        st[k:k + 1, :] = _bc_i32(row) if k in (R_WLO, R_WHI) else row
     st[NSTATE:NSTATE + 1, :] = state0_ref[NSTATE:NSTATE + 1, :]
     stfin_ref[...] = st[...]
 
@@ -328,8 +380,7 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
     state0 = state0.at[NSTATE, :L].set(nsamp)
 
     grid = (Lp // LANE_TILE, T // chunk)
-    kernel = partial(_entropy_kernel, mono=mono, chunk=chunk,
-                     nsamples_total=T, w_total=W)
+    kernel = partial(_entropy_kernel, mono=mono, chunk=chunk, w_total=W)
     out_shape = [
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_a
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_b
@@ -354,7 +405,7 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((NSTATE + 1, LANE_TILE), jnp.int32),
-                        pltpu.VMEM((4, LANE_TILE), jnp.int32)],
+                            pltpu.VMEM((10, LANE_TILE), jnp.int32)],
             out_shape=out_shape,
             interpret=interpret,
         )(state0, words_t)
