@@ -70,7 +70,7 @@ def _generate_corpus(n_files: int, seconds: float, block_samples: int,
 
 
 def main():
-    n_files = int(os.environ.get("WVPK_BENCH_FILES", "24"))
+    n_files = int(os.environ.get("WVPK_BENCH_FILES", "48"))
     seconds = float(os.environ.get("WVPK_BENCH_SECONDS", "4.0"))
     block_samples = int(os.environ.get("WVPK_BENCH_BLOCK", "4096"))
     repeats = int(os.environ.get("WVPK_BENCH_REPEATS", "3"))
@@ -134,6 +134,11 @@ def main():
     host_s = time.perf_counter() - t0
     assert not any(r.crc_error for r in results)
 
+    # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3) and
+    # hybrid lossy (config 5 PCM half), decoded through the same engine
+    mc51 = _bench_secondary(_make_mc51, "mc51_v2")
+    hyb = _bench_secondary(_make_hybrid, "hybrid_v2")
+
     msamples = total_samples / best / 1e6
     realtime = (total_samples / 44100) / best
     print(json.dumps({
@@ -143,11 +148,75 @@ def main():
         "vs_baseline": round(msamples / 4.41, 3),
         "realtime_factor": round(realtime, 1),
         "host_delivery_msamples": round(total_samples / host_s / 1e6, 3),
+        "mc51_24bit_msamples": mc51,
+        "hybrid_msamples": hyb,
         "corpus_samples": total_samples,
         "blocks": len(states),
         "gen_seconds": round(gen_s, 1),
     }))
     return 0
+
+
+def _cache_blob(tag: str, builder):
+    import pickle
+    cache_dir = os.environ.get("WVPK_BENCH_CACHE",
+                               os.path.expanduser("~/.cache/wvpk-bench"))
+    path = os.path.join(cache_dir, f"{tag}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    data = builder()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(data, f)
+    os.replace(tmp, path)
+    return data
+
+
+def _make_mc51():
+    from wvpk.testgen import EncodeSpec, encode_multichannel
+    rng = np.random.default_rng(7)
+    n = 44100 * 2
+    t = np.arange(n)[:, None]
+    base = 150000 * np.sin(2 * np.pi * 330 * t / 44100)
+    pcm = np.round(base * rng.uniform(0.3, 1.0, (1, 6))
+                   + rng.normal(0, 9000, (n, 6))).astype(np.int64)
+    np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
+    spec = EncodeSpec(block_samples=4096, joint=True, bytes_stored=3,
+                      terms=(18, 18, 18, 18, 18, 2, 2, 17, 17, 3),
+                      deltas=(2,) * 10)
+    return [encode_multichannel(pcm, spec) for _ in range(6)], n
+
+
+def _make_hybrid():
+    from wvpk.testgen import EncodeSpec, encode_file
+    rng = np.random.default_rng(8)
+    n = 44100 * 2
+    t = np.arange(n)
+    sig = 7000 * np.sin(2 * np.pi * 440 * t / 44100) + rng.normal(0, 500, n)
+    pcm = np.stack([np.round(sig), np.round(sig * 0.7)], 1).astype(np.int64)
+    np.clip(pcm, -32768, 32767, out=pcm)
+    spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
+                      hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
+    return [encode_file(pcm, spec) for _ in range(16)], n
+
+
+def _bench_secondary(builder, tag: str) -> float:
+    from wvpk.container import parse_blocks
+    from wvpk.engine import decode_states
+
+    files, _n = _cache_blob(tag, builder)
+    states = []
+    for data in files:
+        states += [b.state for b in parse_blocks(data)]
+    total = sum(st.header.block_samples for st in states)
+    decode_states(states)  # warm/compile
+    t0 = time.perf_counter()
+    res = decode_states(states)
+    dt = time.perf_counter() - t0
+    assert not any(r.crc_error for r in res), f"{tag} corpus must be clean"
+    return round(total / dt / 1e6, 3)
 
 
 if __name__ == "__main__":

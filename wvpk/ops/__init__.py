@@ -18,14 +18,15 @@ if _platform:
     jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: bucket profiles recompile once per machine,
-# not once per process. Keyed per platform list so CPU AOT artifacts never
-# mix with TPU (or differently-configured CPU) builds.
+# not once per process. TPU only — XLA:CPU AOT entries embed machine
+# features and cross-process reloads warn about (and may SIGILL on)
+# mismatches; CPU compiles are fast since the kernels scan rather than
+# unroll their inner slots.
+_plat = (_platform or os.environ.get("JAX_PLATFORMS") or "").lower()
 _cache_dir = os.environ.get(
     "WVPK_COMPILE_CACHE", os.path.expanduser("~/.cache/wvpk-xla"))
-if _cache_dir:
-    _plat = (_platform or os.environ.get("JAX_PLATFORMS") or "default"
-             ).replace(",", "-")
-    _cache_dir = os.path.join(_cache_dir, _plat)
+if _cache_dir and "cpu" not in _plat:
+    _cache_dir = os.path.join(_cache_dir, _plat.replace(",", "-") or "default")
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
