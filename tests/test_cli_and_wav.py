@@ -41,6 +41,22 @@ def test_cli_main_multiple(tmp_path):
     assert main(paths + ["-q"]) == 0
 
 
+def test_cli_batch_mode(tmp_path):
+    rng = np.random.default_rng(3)
+    paths, pcms = [], []
+    for i in range(3):
+        pcm = np.round(rng.normal(0, 1500, (400, 2))).astype(np.int64)
+        pcms.append(pcm)
+        paths.append(str(_mk(tmp_path, pcm,
+                             EncodeSpec(block_samples=200, joint=True),
+                             f"b{i}.wv")))
+    assert main(paths + ["--batch", "-q"]) == 0
+    for path, pcm in zip(paths, pcms):
+        blob = open(path[:-3] + ".wav", "rb").read()
+        got = np.frombuffer(blob[44:], "<i2").reshape(-1, 2)
+        np.testing.assert_array_equal(got, pcm)
+
+
 def test_cli_reports_crc_errors(tmp_path):
     rng = np.random.default_rng(2)
     pcm = np.round(rng.normal(0, 3000, (600, 2))).astype(np.int64)

@@ -14,6 +14,7 @@ import time
 import numpy as np
 
 from . import api, consts, trace
+from .io.pcm import format_samples
 from .io.wav import write_wav
 from .report import build_report
 
@@ -106,6 +107,63 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
     return 0
 
 
+def decode_batch(paths: list[str], quiet: bool = False) -> int:
+    """Decode many files lane-parallel in ONE device batch: every block of
+    every file becomes a lane (the batch analog of WvDemo's serial loop,
+    SURVEY.md section 2.3 row P4)."""
+    from .container import parse_blocks
+    from .engine import decode_states
+
+    t0 = time.perf_counter()
+    parsed = []
+    all_states = []
+    for path in paths:
+        with open(path, "rb") as f:
+            blocks = parse_blocks(f.read())
+        parsed.append((path, blocks))
+        all_states += [b.state for b in blocks]
+    t1 = time.perf_counter()
+    results = decode_states(all_states)
+    t2 = time.perf_counter()
+
+    rc = 0
+    pos = 0
+    total_samples = 0
+    for path, blocks in parsed:
+        chunks = []
+        crc_errors = 0
+        nch = 1
+        for b in blocks:
+            r = results[pos]
+            pos += 1
+            nch = max(nch, r.samples.shape[1])
+            crc_errors += int(r.crc_error)
+            total_samples += b.header.block_samples
+            chunks.append(format_samples(
+                r.samples, (b.header.flags & consts.BYTES_STORED) + 1,
+                dsd=bool(b.header.flags & consts.DSD_FLAG)))
+        hdr0 = blocks[0].header
+        bps = (hdr0.flags & consts.BYTES_STORED) + 1
+        n = sum(b.header.block_samples for b in blocks)
+        out_path = (path[:-3] if path.endswith(".wv") else path) + ".wav"
+        srate_idx = (hdr0.flags & consts.SRATE_MASK) >> consts.SRATE_LSB
+        rate = consts.SAMPLE_RATES[srate_idx] if srate_idx < 15 else 44100
+        write_wav(out_path, b"".join(chunks), total_samples=n,
+                  num_channels=nch, sample_rate=rate,
+                  bits_per_sample=bps * 8, bytes_per_sample=bps)
+        if crc_errors:
+            print(f"{path}: {crc_errors} CRC errors detected",
+                  file=sys.stderr)
+            rc = 1
+    if not quiet:
+        dt = t2 - t1
+        print(f"batch: {len(paths)} files, {total_samples} samples in "
+              f"{dt * 1000:.1f} ms decode "
+              f"({total_samples / max(dt, 1e-9) / 1e6:.2f} Msamples/s; "
+              f"parse {1000 * (t1 - t0):.1f} ms)")
+    return rc
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="wvpk", description="TPU-native WavPack decoder")
@@ -116,7 +174,12 @@ def main(argv=None) -> int:
                    help="print per-stage timing breakdown")
     p.add_argument("--report", action="store_true",
                    help="print a JSON decode report per file")
+    p.add_argument("--batch", action="store_true",
+                   help="decode all inputs in one lane-parallel device batch")
     args = p.parse_args(argv)
+
+    if args.batch:
+        return decode_batch(args.inputs, args.quiet)
 
     if len(args.inputs) == 1:
         out = args.output

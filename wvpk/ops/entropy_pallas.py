@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import consts
 
-LANE_TILE = 256
 UNROLL = 1
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -67,19 +66,40 @@ def _mask_u32(n):
     return jnp.where(full, U32(0xFFFFFFFF), (U32(1) << nn) - U32(1))
 
 
+def _lane_tile(w_words: int) -> int:
+    """Largest lane tile whose VMEM footprint fits: the words scratch plus
+    the (W, tile) select-reduce temporary are the big consumers (~8 bytes
+    per word-lane), outs/state take ~3 MB of the 16 MB budget."""
+    for tile in (512, 256, 128):
+        if w_words * tile * 8 <= 12 * 1024 * 1024:
+            return tile
+    return 128
+
+
 def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
-                    st, tmp, *, mono: bool, chunk: int, w_total: int):
+                    st, tmp, wvmem, dma_sem, *, mono: bool, chunk: int,
+                    w_total: int, lane_tile: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         st[...] = state0_ref[...]
+        # one-shot DMA of this lane tile's words HBM -> VMEM scratch; a
+        # VMEM-blocked input would be double-buffered by the pipeline and
+        # blow the 16 MB budget at larger tiles
+        cp = pltpu.make_async_copy(
+            words_ref.at[:, pl.ds(i * lane_tile, lane_tile)], wvmem, dma_sem)
+        cp.start()
+        cp.wait()
 
-    L = LANE_TILE
+    L = lane_tile
     # stream words as int32 (Mosaic lacks unsigned reductions); exactly one
     # selected term per lane makes the int32 sum the exact bit pattern
-    words = _bc_i32(words_ref[...])  # (W, L), resident in VMEM
-    iota_w = jax.lax.broadcasted_iota(I32, (w_total, L), 0)
+    words = _bc_i32(wvmem[...])  # (W, L), resident in VMEM
+    # (W, 1) iota broadcasts in the compare without materializing
+    # a (W, L) constant in VMEM
+    iota_w = jax.lax.broadcasted_iota(I32, (w_total, 1), 0)
     max_word = I32(w_total - 1)
 
     def fetch_word(widx):
@@ -361,11 +381,14 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
     L, W = words.shape
     C = 1 if mono else 2
     T = nsteps // C
-    Lp = ((L + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
+    lane_tile = _lane_tile(((W + 7) // 8) * 8)
+    Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
     chunk = min(T, 256)
     assert T % chunk == 0
 
-    wpad = jnp.pad(words, ((0, Lp - L), (0, 0)),
+    # W padded to the sublane tile (8) for the HBM->VMEM DMA slice
+    W = ((W + 7) // 8) * 8
+    wpad = jnp.pad(words, ((0, Lp - L), (0, W - words.shape[1])),
                    constant_values=np.uint32(0xFFFFFFFF))
     words_t = wpad.T  # (W, Lp)
 
@@ -379,8 +402,9 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
     nsamp = (nwords_lane // C).astype(jnp.int32)
     state0 = state0.at[NSTATE, :L].set(nsamp)
 
-    grid = (Lp // LANE_TILE, T // chunk)
-    kernel = partial(_entropy_kernel, mono=mono, chunk=chunk, w_total=W)
+    grid = (Lp // lane_tile, T // chunk)
+    kernel = partial(_entropy_kernel, mono=mono, chunk=chunk, w_total=W,
+                     lane_tile=lane_tile)
     out_shape = [
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_a
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_b
@@ -391,21 +415,22 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((NSTATE + 1, LANE_TILE), lambda i, j: (0, i),
+                pl.BlockSpec((NSTATE + 1, lane_tile), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((W, LANE_TILE), lambda i, j: (0, i),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((chunk, LANE_TILE), lambda i, j: (j, i),
+                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, LANE_TILE), lambda i, j: (j, i),
+                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NSTATE + 1, LANE_TILE), lambda i, j: (0, i),
+                pl.BlockSpec((NSTATE + 1, lane_tile), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((NSTATE + 1, LANE_TILE), jnp.int32),
-                            pltpu.VMEM((10, LANE_TILE), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((NSTATE + 1, lane_tile), jnp.int32),
+                            pltpu.VMEM((10, lane_tile), jnp.int32),
+                            pltpu.VMEM((W, lane_tile), jnp.uint32),
+                            pltpu.SemaphoreType.DMA(())],
             out_shape=out_shape,
             interpret=interpret,
         )(state0, words_t)
