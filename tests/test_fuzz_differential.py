@@ -107,6 +107,39 @@ def test_fuzz_case(seed):
             np.testing.assert_array_equal(d.samples[:hi - lo], src)
 
 
+@pytest.mark.parametrize("seed", range(min(N_CASES, 12)))
+def test_fuzz_case_dsd(seed):
+    from wvpk.testgen import encode_dsd_file
+    rng = np.random.default_rng(9000 + seed)
+    mode = int(rng.choice([0, 1, 1, 3]))
+    mono = bool(rng.random() < 0.3)
+    ch = 1 if mono else 2
+    n = int(rng.integers(100, 1500))
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        d = rng.integers(0, 256, (n, ch))
+    elif kind == 1:  # strongly patterned (silence-ish DSD)
+        d = np.full((n, ch), 0x55)
+        hits = rng.random((n, ch)) < 0.1
+        d = np.where(hits, rng.integers(0, 256, (n, ch)), d)
+    else:
+        d = np.cumsum(rng.integers(-2, 3, (n, ch)), axis=0) % 256
+    data = encode_dsd_file(d.astype(np.int64), mode, mono=mono,
+                           history_bits=int(rng.integers(0, 4)),
+                           block_samples=int(rng.choice([n, 256])))
+    if rng.random() < 0.3:
+        data = bytearray(data)
+        data[int(rng.integers(40, len(data)))] ^= int(rng.integers(1, 256))
+        data = bytes(data)
+    blocks = parse_blocks(data)
+    dev = decode_states([b.state for b in blocks])
+    for blk, d_res in zip(blocks, dev):
+        want = decode_block(blk.state)
+        np.testing.assert_array_equal(d_res.samples, want.samples,
+                                      err_msg=f"dsd seed {seed} mode {mode}")
+        assert d_res.mute_error == want.mute_error
+
+
 @pytest.mark.parametrize("seed", range(min(N_CASES, 8)))
 def test_fuzz_case_pallas(seed):
     """Same differential check with the Pallas kernel forced (interpret)."""

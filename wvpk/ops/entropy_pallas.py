@@ -39,10 +39,18 @@ UNROLL = 1
 U32 = jnp.uint32
 I32 = jnp.int32
 
-# state rows in the persistent scratch
+# state rows in the persistent scratch (hybrid rows unused for lossless
+# profiles; the bitrate accumulator is a C# int64 held as split limbs:
+# Q = acc >> 16 wrapped to i32 — exactly the consumed bitrate value — and
+# R = acc & 0xffff, updated with an add-with-carry)
 (R_WLO, R_WHI, R_WCNT, R_WIDX,
  R_M0A, R_M1A, R_M2A, R_M0B, R_M1B, R_M2B,
- R_H1, R_H0, R_ZACC, R_DONE, R_NDEC, NSTATE) = range(16)
+ R_H1, R_H0, R_ZACC, R_DONE, R_NDEC,
+ R_SLOWA, R_SLOWB, R_ACCQA, R_ACCRA, R_ACCQB, R_ACCRB,
+ R_ERRA, R_ERRB, NSTATE) = range(24)
+# read-only rows appended after the state: samples/lane, delta_a, delta_b
+N_EXTRA = 3
+SLO, SLS = consts.SLO, consts.SLS
 
 
 def _bc_i32(x):
@@ -76,9 +84,10 @@ def _lane_tile(w_words: int) -> int:
     return 128
 
 
-def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
-                    st, tmp, wvmem, dma_sem, *, mono: bool, chunk: int,
-                    w_total: int, lane_tile: int):
+def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
+                    stfin_ref, st, tmp, wvmem, dma_sem, *, mono: bool,
+                    hybrid: bool, hybrid_bitrate: bool, hybrid_balance: bool,
+                    chunk: int, w_total: int, lane_tile: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -108,6 +117,77 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
         m = iota_w == idx
         return _bc_u32(jnp.sum(jnp.where(m, words, I32(0)), axis=0,
                                keepdims=True, dtype=I32))
+
+    def table_lookup(base_row: int, idx):
+        """tables_ref rows [base_row, base_row+256) indexed per lane via a
+        256-row select-reduce (hybrid only)."""
+        tab = tables_ref[base_row:base_row + 256, :]
+        iota = jax.lax.broadcasted_iota(I32, (256, 1), 0)
+        m = iota == idx
+        return jnp.sum(jnp.where(m, tab, I32(0)), axis=0, keepdims=True,
+                       dtype=I32)
+
+    def exp2s_k(log):
+        """exp2s in i32 (WordsUtils.cs:633-646), sane input range."""
+        neg = log < 0
+        a = jnp.where(neg, -log, log)
+        v = table_lookup(0, a & 0xFF) | 0x100
+        sh = a >> 8
+        r = jnp.where(sh <= 9, v >> jnp.clip(9 - sh, 0, 31),
+                      v << jnp.clip(sh - 9, 0, 31))
+        return jnp.where(neg, -r, r)
+
+    def mylog2_k(av):
+        """mylog2 in i32 (WordsUtils.cs:588-608), sane input range."""
+        av = av + (av >> 9)
+        dbits = jnp.where(av > 0,
+                          32 - _bc_i32(jax.lax.clz(_bc_u32(av))), 0)
+        sh = dbits - 9
+        idx = jnp.where(sh >= 0, av >> jnp.clip(sh, 0, 31),
+                        av << jnp.clip(-sh, 0, 31)) & 0xFF
+        return (dbits << 8) + table_lookup(256, idx)
+
+    def update_error_limit(hyb):
+        """WordsUtils.cs:195-261 on split accumulators; `hyb` is the
+        (slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db) tuple."""
+        slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db = hyb
+        s0 = ra + da
+        qa2 = qa + (s0 >> 16)
+        ra2 = s0 & 0xFFFF
+        bitrate_0 = qa2
+        if mono:
+            if hybrid_bitrate:
+                slow_log_0 = (slow_a + SLO) >> SLS
+                e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                               exp2s_k(slow_log_0 - bitrate_0 + 0x100), 0)
+            else:
+                e0 = exp2s_k(bitrate_0)
+            return (slow_a, slow_b, qa2, ra2, qb, rb, e0, errb, da, db)
+        s1 = rb + db
+        qb2 = qb + (s1 >> 16)
+        rb2 = s1 & 0xFFFF
+        bitrate_1 = qb2
+        if hybrid_bitrate:
+            slow_log_0 = (slow_a + SLO) >> SLS
+            slow_log_1 = (slow_b + SLO) >> SLS
+            if hybrid_balance:
+                balance = (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1
+                hi = balance > bitrate_0
+                lo = (-balance) > bitrate_0
+                b1 = jnp.where(hi, bitrate_0 * 2,
+                               jnp.where(lo, 0, bitrate_0 + balance))
+                b0 = jnp.where(hi, 0,
+                               jnp.where(lo, bitrate_0 * 2,
+                                         bitrate_0 - balance))
+                bitrate_0, bitrate_1 = b0, b1
+            e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                           exp2s_k(slow_log_0 - bitrate_0 + 0x100), 0)
+            e1 = jnp.where(slow_log_1 - bitrate_1 > -0x100,
+                           exp2s_k(slow_log_1 - bitrate_1 + 0x100), 0)
+        else:
+            e0 = exp2s_k(bitrate_0)
+            e1 = exp2s_k(bitrate_1)
+        return (slow_a, slow_b, qa2, ra2, qb2, rb2, e0, e1, da, db)
 
     def refill_once(win, need):
         """Insert one stream word at offset wcnt for lanes with `need` and
@@ -201,7 +281,8 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
 
     def decode_word(state, entidx: int, active):
         (wlo, whi, wcnt, widx, m0a, m1a, m2a, m0b, m1b, m2b,
-         h1, h0, zacc, done, ndec) = state
+         h1, h0, zacc, done, ndec,
+         slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db) = state
         win = (wlo, whi, wcnt, widx)
         act = active & (done == 0)
         med_c = (m0a, m1a, m2a) if entidx == 0 else (m0b, m1b, m2b)
@@ -231,6 +312,15 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
         run_started = do_gamma & (zrun > 0)
         zacc1 = jnp.where(run_started, zrun, zacc1)
         emit_zero = consumed_zero | run_started
+        if hybrid_bitrate:
+            # slow_level decays on run-consumed zeros (WordsUtils.cs:313)
+            slow_c0 = slow_a if entidx == 0 else slow_b
+            slow_c0 = jnp.where(
+                emit_zero, slow_c0 - ((slow_c0 + SLO) >> SLS), slow_c0)
+            if entidx == 0:
+                slow_a = slow_c0
+            else:
+                slow_b = slow_c0
         m0a = jnp.where(run_started, 0, m0a)
         m1a = jnp.where(run_started, 0, m1a)
         m2a = jnp.where(run_started, 0, m2a)
@@ -272,6 +362,19 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
         h0 = jnp.where(ok_read, 1 - h1_new, jnp.where(use_h0, 0, h0))
 
         code_mask = normal & ~broke
+
+        # ---- hybrid error limit (WordsUtils.cs:430-431): before channel-A
+        # words (and every word in mono) ----
+        if hybrid and entidx == 0:
+            hyb2 = update_error_limit((slow_a, slow_b, qa, ra, qb, rb,
+                                       erra, errb, da, db))
+            (_, _, qa2, ra2, qb2, rb2, e0, e1, _, _) = hyb2
+            qa = jnp.where(code_mask, qa2, qa)
+            ra = jnp.where(code_mask, ra2, ra)
+            qb = jnp.where(code_mask, qb2, qb)
+            rb = jnp.where(code_mask, rb2, rb)
+            erra = jnp.where(code_mask, e0, erra)
+            errb = jnp.where(code_mask, e1, errb)
 
         # ---- median interval (u32 widths; C# int32-wrap updates) ----
         m0, m1, m2 = med_c
@@ -324,23 +427,57 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
                               bitcount - 1 + jnp.where(need_extra, 1, 0))
         mid = low + code
 
+        if hybrid:
+            # error-limited binary search (WordsUtils.cs:486-492);
+            # statically unrolled 32 single-bit steps read from the window
+            err_c = (erra if entidx == 0 else errb)
+            err_u = _bc_u32(err_c)
+            s_lo, s_hi = low, high
+            s_mid = (s_hi + s_lo + 1) >> U32(1)
+            used = jnp.zeros_like(consume_v)
+            for _k in range(32):
+                go = (s_hi - s_lo) > err_u
+                bit = (lo_v >> _bc_u32(jnp.clip(used, 0, 31))) & 1
+                s_lo = jnp.where(go & (bit != 0), s_mid, s_lo)
+                s_hi = jnp.where(go & (bit == 0), s_mid - 1, s_hi)
+                s_mid = jnp.where(go, (s_hi + s_lo + 1) >> U32(1), s_mid)
+                used = used + jnp.where(go, 1, 0)
+            lossless_lane = err_c == 0
+            mid = jnp.where(lossless_lane, mid, s_mid)
+            consume_v = jnp.where(lossless_lane, consume_v, used)
+
         sign = jnp.where(consume_v >= 32, b32_v,
                          (lo_v >> _bc_u32(jnp.clip(consume_v, 0, 31))) & 1)
         win = consume(win, consume_v + 1, code_mask)
         value = _bc_i32(jnp.where(sign != 0, ~mid, mid))
+
+        if hybrid_bitrate:
+            # slow_level tracks decoded magnitudes (WordsUtils.cs:501-502)
+            slow_c0 = slow_a if entidx == 0 else slow_b
+            slow_new = (slow_c0 - ((slow_c0 + SLO) >> SLS)
+                        + mylog2_k(_bc_i32(mid)))
+            slow_c0 = jnp.where(code_mask, slow_new, slow_c0)
+            if entidx == 0:
+                slow_a = slow_c0
+            else:
+                slow_b = slow_c0
 
         out = jnp.where(code_mask, value, 0)
         done = jnp.where(broke, 1, done)
         ndec = ndec + jnp.where(emit_zero | code_mask, 1, 0)
         return ((win[0], win[1], win[2], win[3],
                  m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
-                 done, ndec), out)
+                 done, ndec,
+                 slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db), out)
 
     def load_state():
         out = []
         for k in range(NSTATE):
             row = st[k:k + 1, :]
             out.append(_bc_u32(row) if k in (R_WLO, R_WHI) else row)
+        # read-only delta rows ride along in the carry
+        out.append(state0_ref[NSTATE + 1:NSTATE + 2, :])
+        out.append(state0_ref[NSTATE + 2:NSTATE + 3, :])
         return tuple(out)
 
     carry0 = load_state()
@@ -368,16 +505,20 @@ def _entropy_kernel(state0_ref, words_ref, out_a_ref, out_b_ref, stfin_ref,
     for k in range(NSTATE):
         row = final[k]
         st[k:k + 1, :] = _bc_i32(row) if k in (R_WLO, R_WHI) else row
-    st[NSTATE:NSTATE + 1, :] = state0_ref[NSTATE:NSTATE + 1, :]
+    st[NSTATE:NSTATE + N_EXTRA, :] = state0_ref[NSTATE:NSTATE + N_EXTRA, :]
     stfin_ref[...] = st[...]
 
 
-@partial(jax.jit, static_argnames=("mono", "nsteps", "interpret"))
-def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
+@partial(jax.jit, static_argnames=("mono", "hybrid", "hybrid_bitrate",
+                                   "hybrid_balance", "nsteps", "interpret"))
+def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
+                          delta0=None, *, mono: bool, hybrid: bool = False,
+                          hybrid_bitrate: bool = False,
+                          hybrid_balance: bool = False,
                           nsteps: int, interpret: bool = False):
-    """Pallas lossless entropy decode; same contract as entropy_decode
-    (minus the hybrid state). words (L, W) uint32; returns
-    (residuals (T, L, C) int32, broke (L,) bool, ndec (L,) int32)."""
+    """Pallas entropy decode; same contract as entropy_decode. words
+    (L, W) uint32; returns (residuals (T, L, C) int32, broke (L,) bool,
+    ndec (L,) int32)."""
     L, W = words.shape
     C = 1 if mono else 2
     T = nsteps // C
@@ -392,48 +533,72 @@ def entropy_decode_pallas(words, nwords_lane, med0, *, mono: bool,
                    constant_values=np.uint32(0xFFFFFFFF))
     words_t = wpad.T  # (W, Lp)
 
-    state0 = jnp.zeros((NSTATE + 1, Lp), jnp.int32)
+    state0 = jnp.zeros((NSTATE + N_EXTRA, Lp), jnp.int32)
     state0 = state0.at[R_M0A, :L].set(med0[:, 0, 0].astype(jnp.int32))
     state0 = state0.at[R_M1A, :L].set(med0[:, 0, 1].astype(jnp.int32))
     state0 = state0.at[R_M2A, :L].set(med0[:, 0, 2].astype(jnp.int32))
     state0 = state0.at[R_M0B, :L].set(med0[:, 1, 0].astype(jnp.int32))
     state0 = state0.at[R_M1B, :L].set(med0[:, 1, 1].astype(jnp.int32))
     state0 = state0.at[R_M2B, :L].set(med0[:, 1, 2].astype(jnp.int32))
+    if hybrid:
+        state0 = state0.at[R_SLOWA, :L].set(slow0[:, 0].astype(jnp.int32))
+        state0 = state0.at[R_SLOWB, :L].set(slow0[:, 1].astype(jnp.int32))
+        # acc arrives as a multiple of 2^16 (metadata << 16): Q = acc >> 16
+        state0 = state0.at[R_ACCQA, :L].set(
+            (acc0[:, 0] >> 16).astype(jnp.int32))
+        state0 = state0.at[R_ACCQB, :L].set(
+            (acc0[:, 1] >> 16).astype(jnp.int32))
+        state0 = state0.at[NSTATE + 1, :L].set(delta0[:, 0].astype(jnp.int32))
+        state0 = state0.at[NSTATE + 2, :L].set(delta0[:, 1].astype(jnp.int32))
     nsamp = (nwords_lane // C).astype(jnp.int32)
     state0 = state0.at[NSTATE, :L].set(nsamp)
 
+    if hybrid:
+        from ..tables import EXP2_NP, LOG2_NP
+        tabs = np.concatenate([EXP2_NP, LOG2_NP]).astype(np.int32)
+        tables = jnp.broadcast_to(jnp.asarray(tabs)[:, None], (512, Lp))
+        tab_rows = 512
+    else:
+        tables = jnp.zeros((8, Lp), jnp.int32)
+        tab_rows = 8
+
     grid = (Lp // lane_tile, T // chunk)
-    kernel = partial(_entropy_kernel, mono=mono, chunk=chunk, w_total=W,
+    kernel = partial(_entropy_kernel, mono=mono, hybrid=hybrid,
+                     hybrid_bitrate=hybrid_bitrate,
+                     hybrid_balance=hybrid_balance, chunk=chunk, w_total=W,
                      lane_tile=lane_tile)
     out_shape = [
-        jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_a
-        jax.ShapeDtypeStruct((T, Lp), jnp.int32),           # out_b
-        jax.ShapeDtypeStruct((NSTATE + 1, Lp), jnp.int32),  # final state
+        jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_a
+        jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_b
+        jax.ShapeDtypeStruct((NSTATE + N_EXTRA, Lp), jnp.int32),  # state
     ]
     with jax.enable_x64(False):
         out_a, out_b, stfin = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((NSTATE + 1, lane_tile), lambda i, j: (0, i),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NSTATE + N_EXTRA, lane_tile),
+                             lambda i, j: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((tab_rows, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NSTATE + 1, lane_tile), lambda i, j: (0, i),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NSTATE + N_EXTRA, lane_tile),
+                             lambda i, j: (0, i), memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((NSTATE + 1, lane_tile), jnp.int32),
-                            pltpu.VMEM((10, lane_tile), jnp.int32),
-                            pltpu.VMEM((W, lane_tile), jnp.uint32),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=[
+                pltpu.VMEM((NSTATE + N_EXTRA, lane_tile), jnp.int32),
+                pltpu.VMEM((10, lane_tile), jnp.int32),
+                pltpu.VMEM((W, lane_tile), jnp.uint32),
+                pltpu.SemaphoreType.DMA(())],
             out_shape=out_shape,
             interpret=interpret,
-        )(state0, words_t)
+        )(state0, words_t, tables)
 
     broke = stfin[R_DONE, :L] != 0
     ndec = stfin[R_NDEC, :L]  # counts words (both channels)

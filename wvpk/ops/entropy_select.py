@@ -26,14 +26,15 @@ def entropy_decode_any(words, nwords_lane, med, slow, acc, delta, *,
                        hybrid_balance: bool, nsteps: int):
     """Returns (residuals (T, L, C) int32, broke (L,) bool, ndec (L,))."""
     mode = get_options().entropy_kernel
-    use_pallas = (not hybrid) and (
-        mode == "pallas" or (mode == "auto" and _on_tpu()))
+    use_pallas = mode == "pallas" or (mode == "auto" and _on_tpu())
     if use_pallas:
         import jax.numpy as jnp
 
         return entropy_decode_pallas(
             jnp.asarray(words).astype(jnp.uint32), nwords_lane, med,
-            mono=mono, nsteps=nsteps, interpret=not _on_tpu())
+            slow, acc, delta, mono=mono, hybrid=hybrid,
+            hybrid_bitrate=hybrid_bitrate, hybrid_balance=hybrid_balance,
+            nsteps=nsteps, interpret=not _on_tpu())
     return entropy_decode(words, nwords_lane, med, slow, acc, delta,
                           mono=mono, hybrid=hybrid,
                           hybrid_bitrate=hybrid_bitrate,
