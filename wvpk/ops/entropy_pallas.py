@@ -11,9 +11,13 @@ All arithmetic is 32-bit (TPU-native): the window is an explicit
 (lo, hi) uint32 pair and the interval math uses unsigned-32 identities.
 This covers the full sane value range of conforming streams (medians
 < 2^31 => code widths <= 28 bits); the reference's own degenerate
-median-wrap regime (readme.txt "limited in resolution") falls back to the
-XLA/int64 kernel at bucket granularity, as do hybrid buckets (64-bit
-bitrate accumulators).
+median-wrap regime (readme.txt "limited in resolution", unreachable for
+conforming encoders) deviates — corrupt streams land in mute/CRC
+concealment either way, and DecodeOptions.entropy_kernel="xla" forces the
+int64-exact scan kernel. Hybrid profiles are supported natively: the
+64-bit bitrate accumulators split into (Q = acc>>16 wrapped i32, R = low
+16 bits) limbs with add-with-carry, exp2s/mylog2 use in-kernel 256-row
+table lookups, and the error-limit binary search is statically unrolled.
 
 Grid: (lane_tiles, sample_chunks); the decode state persists across sample
 chunks in a VMEM scratch (TPU grids run sequentially, innermost last).
