@@ -1,0 +1,103 @@
+"""Pallas decorrelation kernel (interpret mode on CPU) vs the XLA kernel.
+
+The XLA scan kernel (ops/decorr.py) is the int64-exact reference already
+validated against the scalar oracle; the Pallas kernel must match it
+bit-for-bit, including int32 wraparound in the emulated 64-bit predictor.
+"""
+
+import numpy as np
+import pytest
+
+from wvpk.ops.decorr import decorr_decode
+from wvpk.ops.decorr_pallas import decorr_decode_pallas
+
+ALL_TERMS = [1, 2, 3, 4, 5, 6, 7, 8, 17, 18, -1, -2, -3]
+MONO_TERMS = [1, 2, 3, 4, 5, 6, 7, 8, 17, 18]
+
+
+def rand_state(rng, L, mono, max_terms=16, big=False):
+    terms = np.zeros((L, 16), np.int32)
+    deltas = np.zeros((L, 16), np.int32)
+    num_terms = rng.integers(0, max_terms + 1, L).astype(np.int32)
+    pool = MONO_TERMS if mono else ALL_TERMS
+    for i in range(L):
+        terms[i, :num_terms[i]] = rng.choice(pool, num_terms[i])
+        deltas[i, :num_terms[i]] = rng.integers(0, 8, num_terms[i])
+    scale = 2**28 if big else 2**10
+    wa = rng.integers(-scale, scale, (L, 16)).astype(np.int32)
+    wb = rng.integers(-scale, scale, (L, 16)).astype(np.int32)
+    hscale = 2**30 if big else 2**15
+    ha = rng.integers(-hscale, hscale, (L, 16, 8)).astype(np.int64)
+    hb = rng.integers(-hscale, hscale, (L, 16, 8)).astype(np.int64)
+    return terms, deltas, wa, wb, ha, hb, num_terms
+
+
+def check(T, L, mono, seed, big=False, max_terms=16):
+    rng = np.random.default_rng(seed)
+    C = 1 if mono else 2
+    rscale = 2**29 if big else 2**14
+    res = rng.integers(-rscale, rscale, (T, L, C)).astype(np.int32)
+    terms, deltas, wa, wb, ha, hb, num_terms = rand_state(
+        rng, L, mono, max_terms=max_terms, big=big)
+    want = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb,
+                                    num_terms, mono=mono))
+    got = np.asarray(decorr_decode_pallas(
+        res, terms, deltas, wa, wb, ha, hb, num_terms, mono=mono,
+        num_terms_max=int(num_terms.max()), interpret=True))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_stereo_all_terms():
+    check(T=96, L=9, mono=False, seed=1)
+
+
+def test_mono_all_terms():
+    check(T=96, L=7, mono=True, seed=2)
+
+
+def test_stereo_wraparound():
+    # int32 overflow in predictor products and outputs must match C# wrap
+    check(T=64, L=8, mono=False, seed=3, big=True)
+
+
+def test_chunk_boundary_state_carry():
+    # T crosses the kernel's sample-chunk boundary (state persists in VMEM)
+    check(T=1030, L=3, mono=False, seed=4)
+
+
+def test_few_terms_bucket():
+    # num_terms_max <= 2 exercises the smallest unrolled variant
+    check(T=80, L=6, mono=False, seed=5, max_terms=2)
+
+
+def test_zero_terms_lane():
+    rng = np.random.default_rng(6)
+    res = rng.integers(-100, 100, (32, 2, 2)).astype(np.int32)
+    z16 = np.zeros((2, 16), np.int32)
+    z168 = np.zeros((2, 16, 8), np.int64)
+    nt = np.zeros(2, np.int32)
+    got = np.asarray(decorr_decode_pallas(
+        res, z16, z16, z16, z16, z168, z168, nt, mono=False,
+        num_terms_max=0, interpret=True))
+    np.testing.assert_array_equal(res, got)
+
+
+@pytest.mark.parametrize("term", ALL_TERMS)
+def test_single_term_stereo(term):
+    rng = np.random.default_rng(100 + term)
+    L, T = 4, 48
+    res = rng.integers(-2**14, 2**14, (T, L, 2)).astype(np.int32)
+    terms = np.full((L, 16), 0, np.int32)
+    terms[:, 0] = term
+    deltas = np.full((L, 16), 2, np.int32)
+    wa = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    wb = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    ha = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    hb = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    nt = np.ones(L, np.int32)
+    want = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb, nt,
+                                    mono=False))
+    got = np.asarray(decorr_decode_pallas(
+        res, terms, deltas, wa, wb, ha, hb, nt, mono=False,
+        num_terms_max=1, interpret=True))
+    np.testing.assert_array_equal(want, got)

@@ -29,6 +29,8 @@ class DecodeOptions:
     # for lossless buckets, "xla" always uses the lax.scan kernel,
     # "pallas" forces Pallas (interpret mode off-TPU; for tests)
     entropy_kernel: str = "auto"
+    # decorrelation kernel selection, same scheme ("auto" = Pallas on TPU)
+    decorr_kernel: str = "auto"
 
 
 _default = DecodeOptions()

@@ -17,7 +17,7 @@ import numpy as np
 from .. import consts, trace
 from ..config import get_options
 from ..container.blockstate import BlockState
-from ..ops.decorr import decorr_decode
+from ..ops.decorr_select import decorr_decode_any
 from ..ops.entropy_select import entropy_decode_any
 from ..ops.post import fixup, joint_mute_crc, wvx_inject
 from .staging import Bucket, group_blocks
@@ -51,9 +51,10 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
 
     L = b.words.shape[0]
     with trace.stage("decorr"):
-        decorr_out = _sync(decorr_decode(
+        decorr_out = _sync(decorr_decode_any(
             residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
-            b.num_terms, mono=prof.mono))
+            b.num_terms, mono=prof.mono,
+            num_terms_max=int(b.num_terms.max()) if len(b.states) else None))
 
     with trace.stage("post"):
         out, crc, mute = joint_mute_crc(

@@ -76,7 +76,8 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
                  hybrid_balance=prof.hybrid_balance,
                  is_float=prof.is_float,
                  int32_expand=prof.is_int32 and not prof.has_wvx,
-                 nsteps=prof.nsteps)
+                 nsteps=prof.nsteps,
+                 num_terms_max=int(np.asarray(b.num_terms).max()))
     sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_rep=False)
     out, crc, mute = jax.jit(sharded)(*args)
