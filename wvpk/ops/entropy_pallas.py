@@ -2,10 +2,16 @@
 
 The XLA scan version (entropy.py) is bound by per-peek HBM gathers. This
 kernel keeps each lane tile's bitstreams RESIDENT IN VMEM, laid out
-transposed as (word, lane), and reads them through a carried 64-bit bit
-window per lane: the common path costs ONE one-word select-reduce sweep per
-refill point (two per word) instead of multi-word window gathers; the rare
-zero-run / LIMIT_ONES escape paths and second refills run under pl.when.
+grouped as (word_group, 32, lane), and reads them through a carried 64-bit
+bit window per lane fed from a double-buffered 32-word GROUP CACHE: a full
+select-reduce sweep over the streams runs only on a fixed 8-iteration
+schedule (refreshing every lane's current + next group at once), so common
+refills are 32-row cache extractions (~12 vector ops) instead of full-W
+sweeps. The cache cannot underrun between refreshes: a decode_word's
+common path consumes at most 17+34 bits (unary cap + value + sign), so 8
+stereo iterations consume <= 25.5 words while a refresh always leaves
+>= 33 buffered; the rare zero-run / LIMIT_ONES gamma paths (up to 66 more
+bits) run under pl.when and refresh the cache for their lanes afterwards.
 
 All arithmetic is 32-bit (TPU-native): the window is an explicit
 (lo, hi) uint32 pair and the interval math uses unsigned-32 identities.
@@ -89,7 +95,7 @@ def _lane_tile(w_words: int) -> int:
 
 
 def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
-                    stfin_ref, st, tmp, wvmem, dma_sem, *, mono: bool,
+                    stfin_ref, st, tmp, wvmem, bufs, dma_sem, *, mono: bool,
                     hybrid: bool, hybrid_bitrate: bool, hybrid_balance: bool,
                     chunk: int, w_total: int, lane_tile: int):
     i = pl.program_id(0)
@@ -102,25 +108,64 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         # VMEM-blocked input would be double-buffered by the pipeline and
         # blow the 16 MB budget at larger tiles
         cp = pltpu.make_async_copy(
-            words_ref.at[:, pl.ds(i * lane_tile, lane_tile)], wvmem, dma_sem)
+            words_ref.at[:, :, pl.ds(i * lane_tile, lane_tile)], wvmem,
+            dma_sem)
         cp.start()
         cp.wait()
 
     L = lane_tile
+    n_groups = w_total // 32
     # stream words as int32 (Mosaic lacks unsigned reductions); exactly one
     # selected term per lane makes the int32 sum the exact bit pattern
-    words = _bc_i32(wvmem[...])  # (W, L), resident in VMEM
-    # (W, 1) iota broadcasts in the compare without materializing
-    # a (W, L) constant in VMEM
-    iota_w = jax.lax.broadcasted_iota(I32, (w_total, 1), 0)
-    max_word = I32(w_total - 1)
+    grouped = _bc_i32(wvmem[...])  # (W/32, 32, L), resident in VMEM
+    iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
+    iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
+    max_g = I32(n_groups - 1)
+    # group cache rows in `bufs`: [0:32) current group's words, [32:64)
+    # next group's, [64] current group index, [65] next group index
+    B_CUR, B_NXT, B_CG, B_NG = 0, 32, 64, 65
+
+    def fetch_group(tgt):
+        """One select-reduce sweep: the 32 words of group tgt per lane."""
+        m = iota_g == tgt[None, :, :]
+        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
+
+    def refresh_cache(widx, mask=None):
+        """Refill the double-buffered group cache at widx's group (+1) for
+        `mask` lanes (all lanes when None). Two sweeps; runs on the fixed
+        schedule and inside the rare-path pl.when bodies."""
+        eff = jnp.minimum(widx >> 5, max_g)
+        nxt = jnp.minimum(eff + 1, max_g)
+        cg = fetch_group(eff)
+        ng = fetch_group(nxt)
+        if mask is None:
+            bufs[B_CUR:B_CUR + 32, :] = cg
+            bufs[B_NXT:B_NXT + 32, :] = ng
+            bufs[B_CG:B_CG + 1, :] = eff
+            bufs[B_NG:B_NG + 1, :] = nxt
+        else:
+            bufs[B_CUR:B_CUR + 32, :] = jnp.where(mask, cg,
+                                                  bufs[B_CUR:B_CUR + 32, :])
+            bufs[B_NXT:B_NXT + 32, :] = jnp.where(mask, ng,
+                                                  bufs[B_NXT:B_NXT + 32, :])
+            bufs[B_CG:B_CG + 1, :] = jnp.where(mask, eff,
+                                               bufs[B_CG:B_CG + 1, :])
+            bufs[B_NG:B_NG + 1, :] = jnp.where(mask, nxt,
+                                               bufs[B_NG:B_NG + 1, :])
 
     def fetch_word(widx):
-        """One select-reduce sweep: words[widx] per lane (uint32)."""
-        idx = jnp.minimum(widx, max_word)
-        m = iota_w == idx
-        return _bc_u32(jnp.sum(jnp.where(m, words, I32(0)), axis=0,
-                               keepdims=True, dtype=I32))
+        """words[widx] per lane (uint32) from the group cache: two 32-row
+        extractions + a select, no full-W sweep. The cache always covers
+        widx (see module docstring for the consumption-bound argument)."""
+        eff = jnp.minimum(widx >> 5, max_g)
+        e = jnp.minimum(widx, I32(w_total - 1)) & 31
+        sel_c = iota32 == e
+        wc = jnp.sum(jnp.where(sel_c, bufs[B_CUR:B_CUR + 32, :], I32(0)),
+                     axis=0, keepdims=True, dtype=I32)
+        wn = jnp.sum(jnp.where(sel_c, bufs[B_NXT:B_NXT + 32, :], I32(0)),
+                     axis=0, keepdims=True, dtype=I32)
+        use_n = eff == bufs[B_NG:B_NG + 1, :]
+        return _bc_u32(jnp.where(use_n, wn, wc))
 
     def table_lookup(base_row: int, idx):
         """tables_ref rows [base_row, base_row+256) indexed per lane via a
@@ -212,25 +257,11 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         return (wlo, whi, wcnt, widx)
 
     def ensure33(win):
-        """Refill to >= 33 held bits: one unconditional sweep, a second
-        under pl.when (only lanes that were near-empty need it)."""
+        """Refill to >= 33 held bits: two unconditional cache refills
+        (cache extraction is ~12 vector ops, cheaper than gating the
+        second refill behind a cross-lane reduce)."""
         win = refill_once(win, win[2] < 33)
-        need2 = win[2] < 33
-        any2 = jnp.max(jnp.where(need2, I32(1), I32(0)))
-
-        @pl.when(any2 > 0)
-        def _second():
-            w2 = refill_once(win, need2)
-            tmp[0:1, :] = _bc_i32(w2[0])
-            tmp[1:2, :] = _bc_i32(w2[1])
-            tmp[2:3, :] = w2[2]
-            tmp[3:4, :] = w2[3]
-
-        wlo = jnp.where(need2, _bc_u32(tmp[0:1, :]), win[0])
-        whi = jnp.where(need2, _bc_u32(tmp[1:2, :]), win[1])
-        wcnt = jnp.where(need2, tmp[2:3, :], win[2])
-        widx = jnp.where(need2, tmp[3:4, :], win[3])
-        return (wlo, whi, wcnt, widx)
+        return refill_once(win, win[2] < 33)
 
     def consume(win, k, mask):
         """Drop k (<= 33, per-lane) bits for masked lanes."""
@@ -304,6 +335,10 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         def _zero_run_gamma():
             zv_, gb_, win_ = gamma(win)
             win_write_tmp(zv_, gb_, win_, 4)
+            # gamma may jump widx past the cached groups; re-center the
+            # cache for the affected lanes (pre-gamma coverage was enough
+            # for gamma itself: >= 7.5 words vs <= 66 bits consumed)
+            refresh_cache(win_[3], start)
 
         zv, gb, win = win_merge_tmp(win, start, 4)
         gbreak = start & gb
@@ -349,6 +384,7 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
             win_ = consume(win, I32(17), esc & read)
             ev_, eb_, win_ = gamma(win_)
             win_write_tmp(ev_, eb_, win_, 4)
+            refresh_cache(win_[3], esc & read)
 
         esc_lanes = esc & read
         ev, eb, win_esc = win_merge_tmp(win, esc_lanes, 4)
@@ -487,8 +523,14 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
     carry0 = load_state()
 
     def body(t0, carry):
-        # manual UNROLL: amortize the ~6us/iteration fori overhead
-        # (Mosaic only supports full loop unrolls)
+        # scheduled group-cache refresh: the only full-W sweeps on the
+        # common path, amortized over 8 iterations (scalar condition, no
+        # cross-lane reduce). 8 stereo iterations consume <= 25.5 words;
+        # a refresh always leaves >= 33 buffered.
+        @pl.when((t0 & 7) == 0)
+        def _sched_refresh():
+            refresh_cache(carry[R_WIDX])
+
         state = carry
         limit = state0_ref[NSTATE:NSTATE + 1, :]  # samples per lane
         for u in range(UNROLL):
@@ -526,16 +568,16 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     L, W = words.shape
     C = 1 if mono else 2
     T = nsteps // C
-    lane_tile = _lane_tile(((W + 7) // 8) * 8)
+    lane_tile = _lane_tile(((W + 31) // 32) * 32)
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
     chunk = min(T, 256)
     assert T % chunk == 0
 
-    # W padded to the sublane tile (8) for the HBM->VMEM DMA slice
-    W = ((W + 7) // 8) * 8
+    # W padded to the 32-word cache group for the grouped layout
+    W = ((W + 31) // 32) * 32
     wpad = jnp.pad(words, ((0, Lp - L), (0, W - words.shape[1])),
                    constant_values=np.uint32(0xFFFFFFFF))
-    words_t = wpad.T  # (W, Lp)
+    words_t = wpad.T.reshape(W // 32, 32, Lp)
 
     state0 = jnp.zeros((NSTATE + N_EXTRA, Lp), jnp.int32)
     state0 = state0.at[R_M0A, :L].set(med0[:, 0, 0].astype(jnp.int32))
@@ -598,7 +640,8 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
             scratch_shapes=[
                 pltpu.VMEM((NSTATE + N_EXTRA, lane_tile), jnp.int32),
                 pltpu.VMEM((10, lane_tile), jnp.int32),
-                pltpu.VMEM((W, lane_tile), jnp.uint32),
+                pltpu.VMEM((W // 32, 32, lane_tile), jnp.uint32),
+                pltpu.VMEM((66, lane_tile), jnp.int32),
                 pltpu.SemaphoreType.DMA(())],
             out_shape=out_shape,
             interpret=interpret,
