@@ -229,20 +229,59 @@ def _make_hybrid():
 
 
 def _bench_secondary(builder, tag: str) -> float:
+    """Device decode throughput for a secondary corpus: same pattern as
+    the primary (inputs staged in HBM, CRC-gated, one blocking fetch)."""
+    import jax
+    import jax.numpy as jnp
+
     from wvpk.container import parse_blocks
-    from wvpk.engine import decode_states
+    from wvpk.engine.fused import fused_decode
+    from wvpk.engine.staging import group_blocks
 
     files, _n = _cache_blob(tag, builder)
     states = []
     for data in files:
         states += [b.state for b in parse_blocks(data)]
     total = sum(st.header.block_samples for st in states)
-    decode_states(states)  # warm/compile
-    t0 = time.perf_counter()
-    res = decode_states(states)
-    dt = time.perf_counter() - t0
-    assert not any(r.crc_error for r in res), f"{tag} corpus must be clean"
-    return round(total / dt / 1e6, 3)
+    buckets = group_blocks(states)
+    names = ("words", "nwords_lane", "nsamples", "med", "slow", "acc",
+             "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
+             "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
+             "float_shift_eff", "int32_zod")
+    staged = []
+    for b in buckets:
+        dev = {k: jax.device_put(getattr(b, k)) for k in names}
+        for v in dev.values():
+            np.asarray(v)
+        staged.append(dev)
+
+    def run():
+        handles = []
+        for b, dev in zip(buckets, staged):
+            prof = b.profile
+            _out, crc, mute = fused_decode(
+                *(dev[k] for k in names),
+                mono=prof.mono, hybrid=prof.hybrid,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance,
+                is_float=prof.is_float,
+                int32_expand=prof.is_int32 and not prof.has_wvx,
+                nsteps=prof.nsteps,
+                num_terms_max=int(b.num_terms.max()))
+            handles.append(jnp.stack([crc.astype(jnp.int32),
+                                      mute.astype(jnp.int32)]))
+        return [np.asarray(h) for h in handles]
+
+    res = run()  # warm/compile + gate
+    for b, cm in zip(buckets, res):
+        assert not cm[1].any(), f"{tag} corpus must decode mute-free"
+        assert (cm[0] == b.hdr_crc).all(), f"{tag} corpus failed CRC gate"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(total / best / 1e6, 3)
 
 
 if __name__ == "__main__":
