@@ -31,6 +31,8 @@ class DecodeOptions:
     entropy_kernel: str = "auto"
     # decorrelation kernel selection, same scheme ("auto" = Pallas on TPU)
     decorr_kernel: str = "auto"
+    # DSD high-mode kernel selection, same scheme
+    dsd_kernel: str = "auto"
 
 
 _default = DecodeOptions()

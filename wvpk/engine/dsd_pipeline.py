@@ -19,6 +19,20 @@ from ..ops.dsd import dsd_fast_decode, dsd_high_decode, dsd_raw_crc
 MAX_DSD_BITS_VALUE = 256
 
 
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _use_pallas_high() -> bool:
+    from ..config import get_options
+    mode = get_options().dsd_kernel
+    return mode == "pallas" or (mode == "auto" and _on_tpu())
+
+
 def _pow2_at_least(n: int, lo: int = 64) -> int:
     v = lo
     while v < n:
@@ -114,10 +128,18 @@ def decode_dsd_states(states: list[BlockState]):
             ptable = np.stack([st.dsd.ptable for st in sts]).astype(np.int32)
             filters = np.stack([st.dsd.filters for st in sts]).astype(np.int32)
             value0 = np.asarray([st.dsd.value for st in sts], np.int64)
-            outs, crc = dsd_high_decode(
-                data, nbytes, ptable, filters, value0,
-                nsamples.astype(np.int32), mono=prof.mono,
-                nsteps=prof.nsteps)
+            if _use_pallas_high():
+                from ..ops.dsd_pallas import dsd_high_decode_pallas
+                outs, crc = dsd_high_decode_pallas(
+                    data, nbytes, ptable, filters,
+                    (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+                    nsamples.astype(np.int32), mono=prof.mono,
+                    nsteps=prof.nsteps, interpret=not _on_tpu())
+            else:
+                outs, crc = dsd_high_decode(
+                    data, nbytes, ptable, filters, value0,
+                    nsamples.astype(np.int32), mono=prof.mono,
+                    nsteps=prof.nsteps)
             outs = np.asarray(outs)      # (nsteps, L, C)
             crc = np.asarray(crc)
             for k, i in enumerate(idxs):

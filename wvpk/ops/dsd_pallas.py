@@ -1,0 +1,316 @@
+"""Pallas TPU kernel for DSD "high" mode (mode 3) decode.
+
+The XLA scan kernel (dsd.py dsd_high_decode) is bound by per-bit ptable
+gathers/onehot-updates over HBM and anti-scales with lane count (NOTES.md).
+This kernel keeps the adaptive ptable as a (256, tile) VMEM scratch per
+lane tile (lookup/update = 256-row onehot select-reduce) and feeds the
+byte renormalization from the same double-buffered 32-word group cache as
+the entropy kernel — refreshed every step, which always covers the
+worst-case 16 words a stereo step can consume (2 ch x 8 bits x <= 4
+renorm bytes).
+
+Semantics mirror DsdUtils.cs:391-493 exactly (same contract as
+dsd_high_decode): binary arithmetic coder with adaptive ptable + 6-stage
+leaky-integrator filter bank per channel, channels interleaved in one
+arithmetic stream, 8 bits per output byte. All C# uint arithmetic is
+int32 bit patterns with unsigned compares via the sign-bias trick.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dsd import DECAY, DOWN, PRECISION, PRECISION_USE, PTABLE_MASK, UP
+
+I32 = jnp.int32
+U32 = jnp.uint32
+VALUE_ONE = 1 << PRECISION
+SIGN = -0x80000000  # i32 bias for unsigned compares
+
+
+def _bc_i32(x):
+    return pltpu.bitcast(x, jnp.int32)
+
+
+def _bc_u32(x):
+    return pltpu.bitcast(x, jnp.uint32)
+
+
+def _ult(a, b):
+    """Unsigned a < b on i32 bit patterns."""
+    return (a ^ SIGN) < (b ^ SIGN)
+
+
+def _ule(a, b):
+    return (a ^ SIGN) <= (b ^ SIGN)
+
+
+def _lshr(x, k):
+    """Logical shift right by scalar int k."""
+    return _bc_i32(_bc_u32(x) >> U32(k))
+
+
+# state scratch rows
+(S_VAL, S_LOW, S_HIGH, S_BPTR, S_CRC, S_CH0) = range(6)
+CH_ROWS = 7  # f1..f6, factor
+
+
+def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
+                     out_a_ref, out_b_ref, st, pt, bufs, wvmem, dma_sem, *,
+                     mono: bool, chunk: int, w_total: int, lane_tile: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    C = 1 if mono else 2
+    nstate = S_CH0 + CH_ROWS * C
+
+    @pl.when(j == 0)
+    def _init():
+        st[...] = state0_ref[...]
+        pt[...] = ptable0_ref[...]
+        cp = pltpu.make_async_copy(
+            words_ref.at[:, :, pl.ds(i * lane_tile, lane_tile)], wvmem,
+            dma_sem)
+        cp.start()
+        cp.wait()
+
+    n_groups = w_total // 32
+    grouped = _bc_i32(wvmem[...])  # (W/32, 32, tile)
+    iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
+    iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
+    iota256 = jax.lax.broadcasted_iota(I32, (256, 1), 0)
+    max_g = I32(n_groups - 1)
+    nbytes = meta_ref[0:1, :]
+    nsamp = meta_ref[1:2, :]
+
+    def fetch_group(tgt):
+        m = iota_g == tgt[None, :, :]
+        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
+
+    def refresh_cache(bptr):
+        widx = bptr >> 2
+        eff = jnp.minimum(widx >> 5, max_g)
+        nxt = jnp.minimum(eff + 1, max_g)
+        bufs[0:32, :] = fetch_group(eff)
+        bufs[32:64, :] = fetch_group(nxt)
+        bufs[64:65, :] = eff
+        bufs[65:66, :] = nxt
+
+    def fetch_byte(bptr):
+        """data[bptr] per lane from the cache (bytes LE-packed in words)."""
+        widx = bptr >> 2
+        eff = jnp.minimum(widx >> 5, max_g)
+        e = jnp.minimum(widx, I32(w_total - 1)) & 31
+        sel = iota32 == e
+        wc = jnp.sum(jnp.where(sel, bufs[0:32, :], I32(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        wn = jnp.sum(jnp.where(sel, bufs[32:64, :], I32(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        w = jnp.where(eff == bufs[65:66, :], wn, wc)
+        return _bc_i32(_bc_u32(w) >> _bc_u32((bptr & 3) * 8)) & 0xFF
+
+    def renorm(high, low, value, bptr):
+        """Masked 4x unroll of the byte renormalization
+        (DsdUtils.cs:295-300)."""
+        for _ in range(4):
+            go = (((high ^ low) & I32(0xFF000000 - (1 << 32))) == 0) \
+                & (bptr < nbytes)
+            nxt = fetch_byte(bptr)
+            value = jnp.where(go, (value << 8) | nxt, value)
+            high = jnp.where(go, (high << 8) | 0xFF, high)
+            low = jnp.where(go, low << 8, low)
+            bptr = jnp.where(go, bptr + 1, bptr)
+        return high, low, value, bptr
+
+    def ptable_get(pp):
+        m = iota256 == pp
+        return jnp.sum(jnp.where(m, pt[...], I32(0)), axis=0,
+                       keepdims=True, dtype=I32)
+
+    def one_bit(coder, ch, active):
+        value, low, high, bptr = coder
+        f1, f2, f3, f4, f5, f6, factor, val, bytei = ch
+        pp = _lshr(val, PRECISION - PRECISION_USE) & PTABLE_MASK
+        pt_pp = ptable_get(pp)
+        # split = low + ((high - low) >> 8) * (pt >> 16), uint wrap
+        split = low + _lshr(high - low, 8) * _lshr(pt_pp, 16)
+        bit1 = _ule(value, split)
+        high = jnp.where(bit1 & active, split, high)
+        low = jnp.where(bit1 | ~active, low, split + 1)
+        pt_new = jnp.where(bit1, pt_pp + ((UP - pt_pp) >> DECAY),
+                           pt_pp + ((DOWN - pt_pp) >> DECAY))
+        onehot = (iota256 == pp) & active
+        pt[...] = jnp.where(onehot, pt_new, pt[...])
+        f0 = jnp.where(bit1, I32(-1), I32(0))
+        h2, l2, v2, b2 = renorm(high, low, value, bptr)
+        high = jnp.where(active, h2, high)
+        low = jnp.where(active, l2, low)
+        value = jnp.where(active, v2, value)
+        bptr = jnp.where(active, b2, bptr)
+        val = val + f6 * 8
+        bytei = (bytei << 1) | (f0 & 1)
+        factor = factor + ((((val ^ f0) >> 31) | 1)
+                           & ((val ^ (val - f6 * 16)) >> 31))
+        f1 = f1 + (((f0 & VALUE_ONE) - f1) >> 6)
+        f2 = f2 + (((f0 & VALUE_ONE) - f2) >> 4)
+        f3 = f3 + ((f2 - f3) >> 4)
+        f4 = f4 + ((f3 - f4) >> 4)
+        val = (f4 - f5) >> 4
+        f5 = f5 + val
+        f6 = f6 + ((val - f6) >> 3)
+        val = f1 - f5 + ((f6 * factor) >> 2)
+        return ((value, low, high, bptr),
+                (f1, f2, f3, f4, f5, f6, factor, val, bytei))
+
+    def load_state():
+        rows = [st[k:k + 1, :] for k in range(nstate)]
+        return tuple(rows)
+
+    def body(tt, carry):
+        t = j * chunk + tt
+        active = t < nsamp
+        refresh_cache(carry[S_BPTR])
+        coder = (carry[S_VAL], carry[S_LOW], carry[S_HIGH], carry[S_BPTR])
+        crc = carry[S_CRC]
+        chans = []
+        for c in range(C):
+            base = S_CH0 + CH_ROWS * c
+            f = list(carry[base:base + CH_ROWS])
+            # per-sample predictor seed (DsdUtils.cs:401-404)
+            val = f[0] - f[4] + ((f[5] * f[6]) >> 2)
+            chans.append(tuple(f) + (val, jnp.zeros_like(val)))
+        for _bit in range(8):
+            for c in range(C):
+                coder, chans[c] = one_bit(coder, chans[c], active)
+        out = list(carry)
+        out[S_VAL], out[S_LOW], out[S_HIGH], out[S_BPTR] = coder
+        for c in range(C):
+            f1, f2, f3, f4, f5, f6, factor, val, bytei = chans[c]
+            code = bytei & 0xFF
+            crc = jnp.where(active, crc * 3 + code, crc)
+            factor = factor - ((factor + 512) >> 10)
+            base = S_CH0 + CH_ROWS * c
+            upd = (f1, f2, f3, f4, f5, f6, factor)
+            for r in range(CH_ROWS):
+                out[base + r] = jnp.where(active, upd[r], carry[base + r])
+            ocode = jnp.where(active, code, 0)
+            if c == 0:
+                out_a_ref[pl.ds(tt, 1), :] = ocode
+            else:
+                out_b_ref[pl.ds(tt, 1), :] = ocode
+        out[S_CRC] = crc
+        return tuple(out)
+
+    final = jax.lax.fori_loop(0, chunk, body, load_state())
+    for k in range(nstate):
+        st[k:k + 1, :] = final[k]
+
+
+@partial(jax.jit, static_argnames=("mono", "nsteps", "interpret"))
+def dsd_high_decode_pallas(data, nbytes, ptable0, filters0, value0,
+                           nsamples, *, mono: bool, nsteps: int,
+                           interpret: bool = False):
+    """Pallas DSD high decode; same contract as dsd.dsd_high_decode.
+
+    data (L, NB) int32 byte values; nbytes (L,); ptable0 (L, 256) int32;
+    filters0 (L, 2, 8) int32; value0 (L,); nsamples (L,).
+    Returns (out (nsteps, L, C) int32, crc (L,) int32).
+    """
+    import numpy as np
+
+    L, NB = data.shape
+    C = 1 if mono else 2
+    lane_tile = min(256, max(128, 1 << max(L - 1, 1).bit_length()))
+    Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
+    chunk = min(nsteps, 256)
+    T = ((nsteps + chunk - 1) // chunk) * chunk
+
+    # LE-pack 4 bytes per word; pad NB to a 32-word group multiple
+    NBp = ((NB + 127) // 128) * 128
+    b = jnp.pad(data.astype(jnp.uint32), ((0, Lp - L), (0, NBp - NB)))
+    b4 = b.reshape(Lp, NBp // 4, 4)
+    words = (b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
+             | (b4[:, :, 3] << 24))
+    words_t = words.T.reshape(NBp // 128, 32, Lp)
+
+    nstate = S_CH0 + CH_ROWS * C
+    state0 = jnp.zeros((nstate, Lp), I32)
+    state0 = state0.at[S_VAL, :L].set(value0.astype(I32))
+    state0 = state0.at[S_HIGH, :L].set(I32(-1))
+    state0 = state0.at[S_CRC, :].set(I32(-1))
+    for c in range(C):
+        base = S_CH0 + CH_ROWS * c
+        for r in range(CH_ROWS):
+            state0 = state0.at[base + r, :L].set(
+                filters0[:, c, r].astype(I32))
+    ptab = jnp.zeros((256, Lp), I32).at[:, :L].set(
+        ptable0.astype(I32).T)
+    meta = jnp.zeros((2, Lp), I32)
+    meta = meta.at[0, :L].set(nbytes.astype(I32))
+    meta = meta.at[1, :L].set(nsamples.astype(I32))
+
+    grid = (Lp // lane_tile, T // chunk)
+    kernel = partial(_dsd_high_kernel, mono=mono, chunk=chunk,
+                     w_total=NBp // 4, lane_tile=lane_tile)
+    out_shape = [jax.ShapeDtypeStruct((T, Lp), I32),
+                 jax.ShapeDtypeStruct((T, Lp), I32)]
+    with jax.enable_x64(False):
+        out_a, out_b = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nstate, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((256, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nstate, lane_tile), I32),
+                pltpu.VMEM((256, lane_tile), I32),
+                pltpu.VMEM((66, lane_tile), I32),
+                pltpu.VMEM((NBp // 128, 32, lane_tile), jnp.uint32),
+                pltpu.SemaphoreType.DMA(())],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(state0, ptab, meta, words_t)
+
+    # final-state CRC rides in the scratch; recompute from outputs is
+    # wrong (mute semantics) — so thread it out via an extra output row
+    # instead: cheaper to recompute here in XLA over the small outputs.
+    # We instead return CRC computed the same way as the kernel did:
+    tidx = jnp.arange(T, dtype=I32)[:, None]
+    valid = tidx < nsamples[None, :L]
+    crc = jnp.full((L,), jnp.uint32(0xFFFFFFFF))
+    a = jnp.where(valid, jnp.uint32(9 if C == 2 else 3), jnp.uint32(1))
+    if C == 2:
+        v = (out_a[:, :L].astype(jnp.uint32) * 3
+             + out_b[:, :L].astype(jnp.uint32))
+    else:
+        v = out_a[:, :L].astype(jnp.uint32)
+    bvec = jnp.where(valid, v, jnp.uint32(0))
+
+    def compose(x, y):
+        return (y[0] * x[0], y[0] * x[1] + y[1])
+
+    A, B = jax.lax.associative_scan(compose, (a, bvec), axis=0)
+    crc = A[-1] * crc + B[-1]
+    crc = crc.astype(I32)
+
+    if mono:
+        out = out_a[:nsteps, :L, None]
+    else:
+        out = jnp.stack([out_a[:nsteps, :L], out_b[:nsteps, :L]], axis=2)
+    return out, crc
