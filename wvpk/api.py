@@ -360,7 +360,8 @@ def WavpackGetReducedChannels(wpc):
 
 
 def WavpackGetFileFormat(wpc):
-    return wpc.file_format
+    """File format enum (reference eFileFormat, WavPackUtils.cs:452-462)."""
+    return consts.FileFormat(wpc.file_format)
 
 
 def WavpackGetFileExtension(wpc):
