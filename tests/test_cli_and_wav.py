@@ -77,3 +77,21 @@ def test_wav_header_fields():
     assert byps == 44100 * 4 and align == 4
     (dsz,) = struct.unpack("<I", h[40:44])
     assert dsz == 44100 * 4
+
+
+def test_cli_raw_output(tmp_path):
+    import numpy as np
+
+    from wvpk.cli import main as cli_main
+    from wvpk.testgen import EncodeSpec, encode_file
+
+    rng = np.random.default_rng(11)
+    pcm = np.round(rng.normal(0, 2000, (600, 2))).astype(np.int64)
+    np.clip(pcm, -32768, 32767, out=pcm)
+    wv = tmp_path / "r.wv"
+    wv.write_bytes(encode_file(pcm, EncodeSpec(block_samples=256,
+                                               joint=True)))
+    out = tmp_path / "r.raw"
+    assert cli_main([str(wv), "-o", str(out), "-q", "--raw"]) == 0
+    got = np.frombuffer(out.read_bytes(), "<i2").reshape(-1, 2)
+    np.testing.assert_array_equal(got, pcm)

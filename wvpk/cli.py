@@ -20,7 +20,8 @@ from .report import build_report
 
 
 def decode_one(path: str, out_path: str | None, quiet: bool = False,
-               show_trace: bool = False, report_json: bool = False) -> int:
+               show_trace: bool = False, report_json: bool = False,
+               raw: bool = False) -> int:
     t_open = time.perf_counter()
     # unlike the reference demo (first two channels only), decode every
     # stream of multichannel files
@@ -72,13 +73,20 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
     pcm = b"".join(chunks)
 
     if out_path:
-        hdr = api.WavpackGetHeader(wpc)
-        write_wav(out_path, pcm,
-                  total_samples=max(total_samples, 0),
-                  num_channels=num_channels, sample_rate=sample_rate,
-                  bits_per_sample=bits, bytes_per_sample=byteps,
-                  header=hdr if hdr and not api.WavpackGetIsFloat(wpc) else None,
-                  trailer=api.WavpackGetTrailer(wpc))
+        if raw:
+            # container-less output: the interleaved little-endian PCM (or
+            # native DSD byte stream) exactly as formatted, no RIFF header
+            with open(out_path, "wb") as f:
+                f.write(pcm)
+        else:
+            hdr = api.WavpackGetHeader(wpc)
+            write_wav(out_path, pcm,
+                      total_samples=max(total_samples, 0),
+                      num_channels=num_channels, sample_rate=sample_rate,
+                      bits_per_sample=bits, bytes_per_sample=byteps,
+                      header=hdr if hdr and not api.WavpackGetIsFloat(wpc)
+                      else None,
+                      trailer=api.WavpackGetTrailer(wpc))
 
     if not quiet:
         ms = (t1 - t0) * 1000
@@ -176,6 +184,9 @@ def main(argv=None) -> int:
                    help="print a JSON decode report per file")
     p.add_argument("--batch", action="store_true",
                    help="decode all inputs in one lane-parallel device batch")
+    p.add_argument("--raw", action="store_true",
+                   help="write raw interleaved samples (or native DSD "
+                        "bytes) with no WAV container")
     args = p.parse_args(argv)
 
     if args.batch:
@@ -187,13 +198,14 @@ def main(argv=None) -> int:
             base = args.inputs[0]
             out = (base[:-3] if base.endswith(".wv") else base) + ".wav"
         return decode_one(args.inputs[0], out, args.quiet,
-                          show_trace=args.trace, report_json=args.report)
+                          show_trace=args.trace, report_json=args.report,
+                          raw=args.raw)
 
     rc = 0
     for path in args.inputs:
         out = (path[:-3] if path.endswith(".wv") else path) + ".wav"
         rc |= decode_one(path, out, args.quiet, show_trace=args.trace,
-                         report_json=args.report)
+                         report_json=args.report, raw=args.raw)
     return rc
 
 
