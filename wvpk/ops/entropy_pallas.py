@@ -1,4 +1,4 @@
-"""Pallas TPU entropy kernel (lossless profiles).
+"""Pallas TPU entropy kernel (lossless + hybrid profiles).
 
 The XLA scan version (entropy.py) is bound by per-peek HBM gathers. This
 kernel keeps each lane tile's bitstreams RESIDENT IN VMEM, laid out
@@ -10,8 +10,16 @@ refills are 32-row cache extractions (~12 vector ops) instead of full-W
 sweeps. The cache cannot underrun between refreshes: a decode_word's
 common path consumes at most 17+34 bits (unary cap + value + sign), so 8
 stereo iterations consume <= 25.5 words while a refresh always leaves
->= 33 buffered; the rare zero-run / LIMIT_ONES gamma paths (up to 66 more
-bits) run under pl.when and refresh the cache for their lanes afterwards.
+>= 33 buffered.
+
+Each iteration decodes SPECULATIVELY: both channels run the common path
+with no cross-lane reduces, collecting a per-lane `rare` flag (zero-run
+gamma start, LIMIT_ONES escape). A single any-reduce gates a repair body
+that re-decodes the whole iteration from the pre-iteration state with the
+Elias gammas inlined branchlessly (and the group cache re-centered for
+affected lanes), merging per-lane. Cross-lane reduces cost ~0.23 us each
+on v5e (latency-bound); this design pays exactly one per iteration where
+the previous one paid four (zero-run + escape whens x 2 channels).
 
 All arithmetic is 32-bit (TPU-native): the window is an explicit
 (lo, hi) uint32 pair and the interval math uses unsigned-32 identities.
@@ -297,24 +305,11 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         win = consume(win, jnp.maximum(cbits - 1, 0), ~brk & (cbits >= 2))
         return v, brk, win
 
-    def win_write_tmp(v, brk, win, base):
-        tmp[base:base + 1, :] = _bc_i32(v)
-        tmp[base + 1:base + 2, :] = jnp.where(brk, I32(1), I32(0))
-        tmp[base + 2:base + 3, :] = _bc_i32(win[0])
-        tmp[base + 3:base + 4, :] = _bc_i32(win[1])
-        tmp[base + 4:base + 5, :] = win[2]
-        tmp[base + 5:base + 6, :] = win[3]
+    def win_sel(mask, a, b):
+        """Per-lane select between two windows."""
+        return tuple(jnp.where(mask, x, y) for x, y in zip(a, b))
 
-    def win_merge_tmp(win, mask, base):
-        v = _bc_u32(tmp[base:base + 1, :])
-        brk = tmp[base + 1:base + 2, :] != 0
-        wlo = jnp.where(mask, _bc_u32(tmp[base + 2:base + 3, :]), win[0])
-        whi = jnp.where(mask, _bc_u32(tmp[base + 3:base + 4, :]), win[1])
-        wcnt = jnp.where(mask, tmp[base + 4:base + 5, :], win[2])
-        widx = jnp.where(mask, tmp[base + 5:base + 6, :], win[3])
-        return v, brk, (wlo, whi, wcnt, widx)
-
-    def decode_word(state, entidx: int, active):
+    def decode_word(state, entidx: int, active, inline: bool):
         (wlo, whi, wcnt, widx, m0a, m1a, m2a, m0b, m1b, m2b,
          h1, h0, zacc, done, ndec,
          slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db) = state
@@ -329,18 +324,20 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         zacc1 = jnp.where(in_run, zacc - 1, zacc)
         consumed_zero = in_run & (zacc1 > 0)
         start = zcond & (zacc == 0)
-        any_start = jnp.max(jnp.where(start, I32(1), I32(0)))
-
-        @pl.when(any_start > 0)
-        def _zero_run_gamma():
-            zv_, gb_, win_ = gamma(win)
-            win_write_tmp(zv_, gb_, win_, 4)
+        if inline:
+            # rare path (runs under the iteration's single pl.when): gamma
+            # computed branchlessly for every lane, merged for start lanes.
             # gamma may jump widx past the cached groups; re-center the
             # cache for the affected lanes (pre-gamma coverage was enough
             # for gamma itself: >= 7.5 words vs <= 66 bits consumed)
-            refresh_cache(win_[3], start)
-
-        zv, gb, win = win_merge_tmp(win, start, 4)
+            zv, gb, win_g = gamma(win)
+            refresh_cache(win_g[3], start)
+            win = win_sel(start, win_g, win)
+        else:
+            # speculative common path: flag start lanes as rare; their
+            # results are discarded and recomputed by the inline pass
+            zv = jnp.zeros_like(_bc_u32(zacc))
+            gb = start & False
         gbreak = start & gb
         do_gamma = start & ~gbreak
         # saturate run lengths at 2^30 (only reachable on corrupt streams;
@@ -377,23 +374,22 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         t_u = _to32(~win[0])  # trailing ones; values > 17 break below
         esc = t_u == consts.LIMIT_ONES
         ubreak = read & (t_u >= consts.LIMIT_ONES + 1)
-        any_esc = jnp.max(jnp.where(esc & read, I32(1), I32(0)))
-
-        @pl.when(any_esc > 0)
-        def _escape_gamma():
-            win_ = consume(win, I32(17), esc & read)
-            ev_, eb_, win_ = gamma(win_)
-            win_write_tmp(ev_, eb_, win_, 4)
-            refresh_cache(win_[3], esc & read)
-
         esc_lanes = esc & read
-        ev, eb, win_esc = win_merge_tmp(win, esc_lanes, 4)
-        ebreak = esc_lanes & eb
+        if inline:
+            win_e = consume(win, I32(17), esc_lanes)
+            ev, eb, win_e = gamma(win_e)
+            refresh_cache(win_e[3], esc_lanes)
+            win = win_sel(esc_lanes, win_e, win)
+            ebreak = esc_lanes & eb
+        else:
+            # escape lanes are rare: flagged, discarded, recomputed inline
+            ev = jnp.zeros_like(_bc_u32(t_u))
+            ebreak = esc_lanes & False
         rawu = jnp.where(esc, ev + U32(consts.LIMIT_ONES), _bc_u32(t_u))
         broke = gbreak | ubreak | ebreak
         ok_read = read & ~broke
-        # fast-path consumption; escape lanes already consumed via scratch
-        win = consume(win_esc, t_u + 1, ok_read & ~esc)
+        # fast-path consumption; escape lanes already consumed above
+        win = consume(win, t_u + 1, ok_read & ~esc)
 
         oc = jnp.where(h1 != 0, (rawu >> 1) + U32(1), rawu >> 1)
         h1_new = _bc_i32(rawu & 1)
@@ -505,10 +501,16 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         out = jnp.where(code_mask, value, 0)
         done = jnp.where(broke, 1, done)
         ndec = ndec + jnp.where(emit_zero | code_mask, 1, 0)
+        # rare = lanes whose speculative (common-path) decode is invalid:
+        # zero-run gamma starts and LIMIT_ONES escapes. Exact in spec mode
+        # for any lane whose earlier words this iteration were common —
+        # lanes already flagged by an earlier word are recomputed anyway.
+        rare = start | esc_lanes
         return ((win[0], win[1], win[2], win[3],
                  m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
                  done, ndec,
-                 slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db), out)
+                 slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db),
+                out, rare)
 
     def load_state():
         out = []
@@ -536,11 +538,46 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         for u in range(UNROLL):
             t = t0 * UNROLL + u
             active = (j * chunk + t) < limit
-            state, out_a = decode_word(state, 0, active)
-            out_a_ref[pl.ds(t, 1), :] = out_a
+            # speculative pass: both channels on the common path, no
+            # cross-lane reduces; collects per-lane rare flags
+            spec, out_a, rare = decode_word(state, 0, active, inline=False)
             if not mono:
-                state, out_b = decode_word(state, 1, active)
-                out_b_ref[pl.ds(t, 1), :] = out_b
+                spec, out_b, rare_b = decode_word(spec, 1, active,
+                                                  inline=False)
+                rare = rare | rare_b
+            any_rare = jnp.max(jnp.where(rare, I32(1), I32(0)))
+
+            # rare repair: re-decode the whole iteration from the
+            # pre-iteration state with gammas inlined branchlessly (the
+            # iteration's ONLY cross-lane reduce gates this body)
+            @pl.when(any_rare > 0)
+            def _rare_repair():
+                s1, oa, _ = decode_word(state, 0, active, inline=True)
+                if not mono:
+                    s1, ob, _ = decode_word(s1, 1, active, inline=True)
+                for k in range(NSTATE):
+                    row = s1[k]
+                    tmp[k:k + 1, :] = (_bc_i32(row)
+                                       if k in (R_WLO, R_WHI) else row)
+                tmp[NSTATE:NSTATE + 1, :] = oa
+                if not mono:
+                    tmp[NSTATE + 1:NSTATE + 2, :] = ob
+
+            merged = []
+            for k in range(NSTATE):
+                t_k = tmp[k:k + 1, :]
+                if k in (R_WLO, R_WHI):
+                    merged.append(jnp.where(rare, _bc_u32(t_k), spec[k]))
+                else:
+                    merged.append(jnp.where(rare, t_k, spec[k]))
+            merged.append(spec[NSTATE])      # delta_a (read-only)
+            merged.append(spec[NSTATE + 1])  # delta_b (read-only)
+            state = tuple(merged)
+            out_a_ref[pl.ds(t, 1), :] = jnp.where(
+                rare, tmp[NSTATE:NSTATE + 1, :], out_a)
+            if not mono:
+                out_b_ref[pl.ds(t, 1), :] = jnp.where(
+                    rare, tmp[NSTATE + 1:NSTATE + 2, :], out_b)
         return state
 
     # static Python-int bounds; tracing runs under enable_x64(False), so
@@ -639,7 +676,7 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
             ],
             scratch_shapes=[
                 pltpu.VMEM((NSTATE + N_EXTRA, lane_tile), jnp.int32),
-                pltpu.VMEM((10, lane_tile), jnp.int32),
+                pltpu.VMEM((NSTATE + 2, lane_tile), jnp.int32),
                 pltpu.VMEM((W // 32, 32, lane_tile), jnp.uint32),
                 pltpu.VMEM((66, lane_tile), jnp.int32),
                 pltpu.SemaphoreType.DMA(())],

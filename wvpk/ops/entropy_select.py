@@ -1,8 +1,11 @@
 """Entropy kernel dispatch: Pallas VMEM kernel vs XLA scan kernel.
 
-The Pallas kernel (entropy_pallas.py) covers lossless profiles on TPU and
-is ~2.5x faster at scale; hybrid buckets and non-TPU backends use the XLA
-kernel (entropy.py). The selection is per bucket profile.
+The Pallas kernel (entropy_pallas.py) covers lossless AND hybrid profiles
+natively on TPU (split-limb bitrate accumulators, in-kernel exp2s/mylog2
+tables, unrolled error-limit binary search) and is the default there; the
+XLA scan kernel (entropy.py) serves non-TPU backends and the int64-exact
+fallback (`DecodeOptions.entropy_kernel="xla"`). Selection is per bucket
+profile.
 """
 
 from __future__ import annotations
