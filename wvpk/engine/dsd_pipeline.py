@@ -27,7 +27,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_pallas_high() -> bool:
+def _use_pallas_dsd() -> bool:
     from ..config import get_options
     mode = get_options().dsd_kernel
     return mode == "pallas" or (mode == "auto" and _on_tpu())
@@ -101,21 +101,31 @@ def decode_dsd_states(states: list[BlockState]):
             nbytes = np.asarray([len(st.dsd.data) for st in sts], np.int64)
             B = prof.bins
             summed = np.zeros((len(sts), B * 256), np.int32)
-            probs = np.zeros((len(sts), B * 256), np.int32)
-            vlook = np.zeros((len(sts), B), np.int32)
-            lookup = np.zeros((len(sts), prof.lookup_cap), np.int32)
             value0 = np.zeros(len(sts), np.int64)
             for k, st in enumerate(sts):
                 d = st.dsd
                 summed[k] = d.summed_probabilities.astype(np.int32).reshape(-1)
-                probs[k] = d.probabilities.astype(np.int32).reshape(-1)
-                vlook[k] = d.value_lookup
-                lookup[k, :d.lookup_buffer.size] = d.lookup_buffer
                 value0[k] = d.value
-            outs, err, crc = dsd_fast_decode(
-                data, nbytes, summed, probs, vlook, lookup, value0,
-                np.full(len(sts), B, np.int64), nvals.astype(np.int32),
-                mono=prof.mono, nsteps=prof.nsteps)
+            if _use_pallas_dsd():
+                from ..ops.dsd_pallas import dsd_fast_decode_pallas
+                outs, err, crc = dsd_fast_decode_pallas(
+                    data, nbytes, summed,
+                    (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+                    nvals.astype(np.int32), bins=B, mono=prof.mono,
+                    nsteps=prof.nsteps, interpret=not _on_tpu())
+            else:
+                probs = np.zeros((len(sts), B * 256), np.int32)
+                vlook = np.zeros((len(sts), B), np.int32)
+                lookup = np.zeros((len(sts), prof.lookup_cap), np.int32)
+                for k, st in enumerate(sts):
+                    d = st.dsd
+                    probs[k] = d.probabilities.astype(np.int32).reshape(-1)
+                    vlook[k] = d.value_lookup
+                    lookup[k, :d.lookup_buffer.size] = d.lookup_buffer
+                outs, err, crc = dsd_fast_decode(
+                    data, nbytes, summed, probs, vlook, lookup, value0,
+                    np.full(len(sts), B, np.int64), nvals.astype(np.int32),
+                    mono=prof.mono, nsteps=prof.nsteps)
             outs = np.asarray(outs).T  # (L, nsteps)
             err = np.asarray(err)
             crc = np.asarray(crc)
@@ -128,7 +138,7 @@ def decode_dsd_states(states: list[BlockState]):
             ptable = np.stack([st.dsd.ptable for st in sts]).astype(np.int32)
             filters = np.stack([st.dsd.filters for st in sts]).astype(np.int32)
             value0 = np.asarray([st.dsd.value for st in sts], np.int64)
-            if _use_pallas_high():
+            if _use_pallas_dsd():
                 from ..ops.dsd_pallas import dsd_high_decode_pallas
                 outs, crc = dsd_high_decode_pallas(
                     data, nbytes, ptable, filters,

@@ -1,19 +1,34 @@
-"""Pallas TPU kernel for DSD "high" mode (mode 3) decode.
+"""Pallas TPU kernels for DSD mode 3 ("high") and mode 1 ("fast") decode.
 
-The XLA scan kernel (dsd.py dsd_high_decode) is bound by per-bit ptable
-gathers/onehot-updates over HBM and anti-scales with lane count (NOTES.md).
-This kernel keeps the adaptive ptable as a (256, tile) VMEM scratch per
-lane tile (lookup/update = 256-row onehot select-reduce) and feeds the
-byte renormalization from the same double-buffered 32-word group cache as
-the entropy kernel — refreshed every step, which always covers the
-worst-case 16 words a stereo step can consume (2 ch x 8 bits x <= 4
-renorm bytes).
+The XLA scan kernels (dsd.py) are bound by per-step HBM gathers and
+anti-scale with lane count (NOTES.md). These kernels keep the per-lane
+tables RESIDENT IN VMEM and feed byte consumption from the same
+double-buffered 32-word group cache as the entropy kernel.
 
-Semantics mirror DsdUtils.cs:391-493 exactly (same contract as
-dsd_high_decode): binary arithmetic coder with adaptive ptable + 6-stage
-leaky-integrator filter bank per channel, channels interleaved in one
-arithmetic stream, 8 bits per output byte. All C# uint arithmetic is
-int32 bit patterns with unsigned compares via the sign-bias trick.
+Mode 3 (DsdUtils.cs:391-493): binary arithmetic coder with adaptive
+ptable (a (256, tile) VMEM scratch; lookup/update = 256-row onehot
+select-reduce) + 6-stage leaky-integrator filter bank per channel,
+channels interleaved in one arithmetic stream, 8 bits per output byte.
+
+Mode 1 (DsdUtils.cs:244-304): byte-wise range decoder over per-history-bin
+cumulative probability tables. The reference's value_lookup expansion
+table (code = lookup[vlook[p0] + index]) is replaced by a rank search on
+the cumulative `summed` table — code = #{c : summed[p0][c] <= index} —
+which also yields summed[code-1] (running max) and summed[code] (running
+min) in the same sweep, so neither the `probs` nor the `lookup` tables
+are staged at all. The unsigned 32-bit divisions (no Mosaic vector div)
+are 32-step restoring long divisions; the rare interval-reset path
+(mult == 0, detected as high - low < sp255 BEFORE dividing) shares the
+main division.
+
+Both kernels renormalize in CLOSED FORM: the reference's byte-at-a-time
+loop `while ((high^low) & 0xFF000000) == 0` runs exactly
+clz(high^low) >> 3 iterations (each shift lowers clz by exactly 8), so
+renorm = one clz + a 4-byte windowed fetch instead of four sequential
+conditional byte fetches.
+
+All C# uint arithmetic is int32 bit patterns with unsigned compares via
+the sign-bias trick.
 """
 
 from __future__ import annotations
@@ -100,9 +115,7 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         bufs[64:65, :] = eff
         bufs[65:66, :] = nxt
 
-    def fetch_byte(bptr):
-        """data[bptr] per lane from the cache (bytes LE-packed in words)."""
-        widx = bptr >> 2
+    def fetch_word(widx):
         eff = jnp.minimum(widx >> 5, max_g)
         e = jnp.minimum(widx, I32(w_total - 1)) & 31
         sel = iota32 == e
@@ -110,21 +123,37 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
                      keepdims=True, dtype=I32)
         wn = jnp.sum(jnp.where(sel, bufs[32:64, :], I32(0)), axis=0,
                      keepdims=True, dtype=I32)
-        w = jnp.where(eff == bufs[65:66, :], wn, wc)
-        return _bc_i32(_bc_u32(w) >> _bc_u32((bptr & 3) * 8)) & 0xFF
+        return jnp.where(eff == bufs[65:66, :], wn, wc)
+
+    def fetch4_be(bptr):
+        """bytes data[bptr..bptr+3] as one big-endian u32 (i32 pattern)."""
+        wi = bptr >> 2
+        o = (bptr & 3) * 8
+        w0 = _bc_u32(fetch_word(wi))
+        w1 = _bc_u32(fetch_word(wi + 1))
+        lw = (w0 >> _bc_u32(o)) | jnp.where(o == 0, U32(0),
+                                            w1 << _bc_u32((32 - o) & 31))
+        lwi = _bc_i32(lw)
+        return (((lwi & 0xFF) << 24) | ((lwi & 0xFF00) << 8)
+                | (_lshr(lwi, 8) & 0xFF00) | (_lshr(lwi, 24) & 0xFF))
 
     def renorm(high, low, value, bptr):
-        """Masked 4x unroll of the byte renormalization
-        (DsdUtils.cs:295-300)."""
-        for _ in range(4):
-            go = (((high ^ low) & I32(0xFF000000 - (1 << 32))) == 0) \
-                & (bptr < nbytes)
-            nxt = fetch_byte(bptr)
-            value = jnp.where(go, (value << 8) | nxt, value)
-            high = jnp.where(go, (high << 8) | 0xFF, high)
-            low = jnp.where(go, low << 8, low)
-            bptr = jnp.where(go, bptr + 1, bptr)
-        return high, low, value, bptr
+        """Closed-form byte renormalization (DsdUtils.cs:295-300): the
+        loop runs exactly clz(high^low) >> 3 times (each shift lowers clz
+        by exactly 8), clamped by bytes left — one clz + one windowed
+        4-byte fetch instead of four sequential conditional byte fetches."""
+        lead = _bc_i32(jax.lax.clz(_bc_u32(high ^ low)))
+        k = jnp.minimum(lead >> 3, jnp.clip(nbytes - bptr, 0, 4))
+        w4 = fetch4_be(bptr)
+        shu = _bc_u32((k * 8) & 31)
+        vmix = _bc_i32((_bc_u32(value) << shu)
+                       | (_bc_u32(w4) >> _bc_u32((32 - k * 8) & 31)))
+        value = jnp.where(k == 0, value, jnp.where(k == 4, w4, vmix))
+        ones = _bc_i32((U32(1) << shu) - U32(1))
+        high = jnp.where(k == 4, I32(-1),
+                         _bc_i32(_bc_u32(high) << shu) | ones)
+        low = jnp.where(k == 4, I32(0), _bc_i32(_bc_u32(low) << shu))
+        return high, low, value, bptr + k
 
     def ptable_get(pp):
         m = iota256 == pp
@@ -173,7 +202,14 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
     def body(tt, carry):
         t = j * chunk + tt
         active = t < nsamp
-        refresh_cache(carry[S_BPTR])
+
+        # worst-case consumption is 16 words per stereo step (2 ch x
+        # 8 bits x <= 4 renorm bytes); a refresh leaves >= 33 words of
+        # coverage, so every-other-step refresh is always safe
+        @pl.when((tt & 1) == 0)
+        def _sched_refresh():
+            refresh_cache(carry[S_BPTR])
+
         coder = (carry[S_VAL], carry[S_LOW], carry[S_HIGH], carry[S_BPTR])
         crc = carry[S_CRC]
         chans = []
@@ -314,3 +350,245 @@ def dsd_high_decode_pallas(data, nbytes, ptable0, filters0, value0,
     else:
         out = jnp.stack([out_a[:nsteps, :L], out_b[:nsteps, :L]], axis=2)
     return out, crc
+
+
+# ---------------------------------------------------------------------------
+# Mode 1 ("fast") range decoder
+# ---------------------------------------------------------------------------
+
+# state rows
+(F_VAL, F_LOW, F_HIGH, F_BPTR, F_P0, F_P1, F_CRC, F_ERR, F_NSTATE) = range(9)
+
+
+def _dsd_fast_kernel(state0_ref, summed_ref, meta_ref, words_ref, out_ref,
+                     stfin_ref, st, bufs, wvmem, dma_sem, *, bins: int,
+                     mono: bool, chunk: int, w_total: int, lane_tile: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        st[...] = state0_ref[...]
+        cp = pltpu.make_async_copy(
+            words_ref.at[:, :, pl.ds(i * lane_tile, lane_tile)], wvmem,
+            dma_sem)
+        cp.start()
+        cp.wait()
+
+    n_groups = w_total // 32
+    grouped = _bc_i32(wvmem[...])  # (W/32, 32, tile)
+    iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
+    iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
+    iota_b = jax.lax.broadcasted_iota(I32, (bins, 1, 1), 0)
+    max_g = I32(n_groups - 1)
+    nbytes = meta_ref[0:1, :]
+    nvals = meta_ref[1:2, :]
+    tab3 = summed_ref[...].reshape(bins, 256, lane_tile)
+
+    def fetch_group(tgt):
+        m = iota_g == tgt[None, :, :]
+        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
+
+    def refresh_cache(bptr):
+        widx = bptr >> 2
+        eff = jnp.minimum(widx >> 5, max_g)
+        nxt = jnp.minimum(eff + 1, max_g)
+        bufs[0:32, :] = fetch_group(eff)
+        bufs[32:64, :] = fetch_group(nxt)
+        bufs[64:65, :] = eff
+        bufs[65:66, :] = nxt
+
+    def fetch_word(widx):
+        eff = jnp.minimum(widx >> 5, max_g)
+        e = jnp.minimum(widx, I32(w_total - 1)) & 31
+        sel = iota32 == e
+        wc = jnp.sum(jnp.where(sel, bufs[0:32, :], I32(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        wn = jnp.sum(jnp.where(sel, bufs[32:64, :], I32(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        return jnp.where(eff == bufs[65:66, :], wn, wc)
+
+    def fetch4_be(bptr):
+        """bytes data[bptr..bptr+3] as one big-endian u32 (i32 pattern)."""
+        wi = bptr >> 2
+        o = (bptr & 3) * 8
+        w0 = _bc_u32(fetch_word(wi))
+        w1 = _bc_u32(fetch_word(wi + 1))
+        lw = (w0 >> _bc_u32(o)) | jnp.where(o == 0, U32(0),
+                                            w1 << _bc_u32((32 - o) & 31))
+        lwi = _bc_i32(lw)
+        return (((lwi & 0xFF) << 24) | ((lwi & 0xFF00) << 8)
+                | (_lshr(lwi, 8) & 0xFF00) | (_lshr(lwi, 24) & 0xFF))
+
+    def renorm(high, low, value, bptr, active):
+        """Closed-form renormalization (DsdUtils.cs:295-300): the loop
+        runs exactly clz(high^low) >> 3 times, clamped by bytes left."""
+        lead = _bc_i32(jax.lax.clz(_bc_u32(high ^ low)))
+        k = jnp.minimum(lead >> 3, jnp.clip(nbytes - bptr, 0, 4))
+        k = jnp.where(active, k, 0)
+        w4 = fetch4_be(bptr)
+        shu = _bc_u32((k * 8) & 31)
+        vmix = _bc_i32((_bc_u32(value) << shu)
+                       | (_bc_u32(w4) >> _bc_u32((32 - k * 8) & 31)))
+        value = jnp.where(k == 0, value, jnp.where(k == 4, w4, vmix))
+        ones = _bc_i32((U32(1) << shu) - U32(1))
+        high = jnp.where(k == 4, I32(-1),
+                         _bc_i32(_bc_u32(high) << shu) | ones)
+        low = jnp.where(k == 4, I32(0), _bc_i32(_bc_u32(low) << shu))
+        return high, low, value, bptr + k
+
+    def udiv(n, d):
+        """Unsigned n / d on i32 bit patterns, d >= 1. 32-step restoring
+        long division; the pre-shift top bit of the remainder forces a
+        subtract (conceptual r >= 2^32 > d), keeping everything in u32."""
+        r = jnp.zeros_like(n)
+        q = jnp.zeros_like(n)
+        for b in range(31, -1, -1):
+            top = r < 0
+            r2 = (r << 1) | (_lshr(n, b) & 1)
+            ge = top | ~_ult(r2, d)
+            r = jnp.where(ge, r2 - d, r2)
+            q = jnp.where(ge, q | (I32(1) << b), q)
+        return q
+
+    def body(tt, carry):
+        value, low, high, bptr, p0, p1, crc, err = carry
+
+        @pl.when((tt & 7) == 0)
+        def _sched_refresh():
+            refresh_cache(carry[F_BPTR])
+
+        t = j * chunk + tt
+        active = (t < nvals) & (err == 0)
+
+        # per-lane cumulative table of bin p0: one grouped select-reduce
+        sel_bin = iota_b == p0[None, :, :]
+        sl = jnp.sum(jnp.where(sel_bin, tab3, I32(0)), axis=0, dtype=I32)
+        sp255 = sl[255:256, :]
+        bad0 = sp255 == 0
+
+        # interval reset (DsdUtils.cs:258-266): mult == 0 iff
+        # u32(high - low) < sp255, detected before dividing so the reset
+        # path shares the main division (numerator 0xFFFFFFFF)
+        d0 = high - low
+        need4 = active & _ult(d0, sp255) & ~bad0
+        can4 = (nbytes - bptr) >= 4
+        w4 = fetch4_be(bptr)
+        value = jnp.where(need4 & can4, w4, value)
+        bptr = jnp.where(need4 & can4, bptr + 4, bptr)
+        low = jnp.where(need4, I32(0), low)
+        high = jnp.where(need4, I32(-1), high)
+        mult = udiv(jnp.where(need4, I32(-1), d0),
+                    jnp.where(bad0, I32(1), sp255))
+        index = udiv(value - low, jnp.maximum(mult, 1))
+        bad_i = ~_ult(index, sp255)
+        bad = bad0 | (~_ult(I32(0), mult)) | bad_i
+        idx_s = jnp.where(bad, I32(0), index)
+
+        # rank search on the cumulative table: code, summed[code-1],
+        # summed[code] in one sweep (values <= 65280, signed-safe)
+        le = sl <= idx_s
+        code = jnp.sum(jnp.where(le, I32(1), I32(0)), axis=0,
+                       keepdims=True, dtype=I32)
+        base = jnp.max(jnp.where(le, sl, I32(0)), axis=0, keepdims=True)
+        topv = jnp.min(jnp.where(le, I32(0x7FFFFFFF), sl), axis=0,
+                       keepdims=True)
+
+        low2 = low + base * mult
+        high2 = low2 + (topv - base) * mult - 1
+        crc2 = crc * 3 + code
+        if mono:
+            p02, p12 = code & (bins - 1), p1
+        else:
+            p02, p12 = p1, code & (bins - 1)
+        upd = active & ~bad
+        high3, low3, value3, bptr3 = renorm(high2, low2, value, bptr, upd)
+
+        out_ref[pl.ds(tt, 1), :] = jnp.where(upd, code, 0)
+        err = jnp.where(active & bad, I32(1), err)
+        return (jnp.where(upd, value3, carry[F_VAL]),
+                jnp.where(upd, low3, carry[F_LOW]),
+                jnp.where(upd, high3, carry[F_HIGH]),
+                jnp.where(upd, bptr3, carry[F_BPTR]),
+                jnp.where(upd, p02, carry[F_P0]),
+                jnp.where(upd, p12, carry[F_P1]),
+                jnp.where(upd, crc2, carry[F_CRC]),
+                err)
+
+    carry0 = tuple(st[k:k + 1, :] for k in range(F_NSTATE))
+    final = jax.lax.fori_loop(0, chunk, body, carry0)
+    for k in range(F_NSTATE):
+        st[k:k + 1, :] = final[k]
+    stfin_ref[...] = st[...]
+
+
+@partial(jax.jit, static_argnames=("bins", "mono", "nsteps", "interpret"))
+def dsd_fast_decode_pallas(data, nbytes, summed, value0, nvals, *,
+                           bins: int, mono: bool, nsteps: int,
+                           interpret: bool = False):
+    """Pallas DSD fast (mode 1) decode; matches dsd.dsd_fast_decode.
+
+    data (L, NB) int32 byte values; nbytes (L,); summed (L, bins*256)
+    int32 cumulative probabilities; value0 (L,) initial coder window
+    (i32 bit pattern); nvals (L,) output byte count.
+    Returns (out (nsteps, L) int32, err (L,) bool, crc (L,) int32).
+    """
+    L, NB = data.shape
+    lane_tile = 128 if bins > 8 else 256
+    Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
+    chunk = min(nsteps, 256)
+    T = ((nsteps + chunk - 1) // chunk) * chunk
+
+    NBp = ((NB + 127) // 128) * 128
+    b = jnp.pad(data.astype(jnp.uint32), ((0, Lp - L), (0, NBp - NB)))
+    b4 = b.reshape(Lp, NBp // 4, 4)
+    words = (b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
+             | (b4[:, :, 3] << 24))
+    words_t = words.T.reshape(NBp // 128, 32, Lp)
+
+    state0 = jnp.zeros((F_NSTATE, Lp), I32)
+    state0 = state0.at[F_VAL, :L].set(value0.astype(I32))
+    state0 = state0.at[F_HIGH, :].set(I32(-1))
+    state0 = state0.at[F_CRC, :].set(I32(-1))
+    summed_t = jnp.zeros((bins * 256, Lp), I32).at[:, :L].set(
+        summed.astype(I32).T)
+    meta = jnp.zeros((2, Lp), I32)
+    meta = meta.at[0, :L].set(nbytes.astype(I32))
+    meta = meta.at[1, :L].set(nvals.astype(I32))
+
+    grid = (Lp // lane_tile, T // chunk)
+    kernel = partial(_dsd_fast_kernel, bins=bins, mono=mono, chunk=chunk,
+                     w_total=NBp // 4, lane_tile=lane_tile)
+    out_shape = [jax.ShapeDtypeStruct((T, Lp), I32),
+                 jax.ShapeDtypeStruct((F_NSTATE, Lp), I32)]
+    with jax.enable_x64(False):
+        out, stfin = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((F_NSTATE, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bins * 256, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F_NSTATE, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((F_NSTATE, lane_tile), I32),
+                pltpu.VMEM((66, lane_tile), I32),
+                pltpu.VMEM((NBp // 128, 32, lane_tile), jnp.uint32),
+                pltpu.SemaphoreType.DMA(())],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(state0, summed_t, meta, words_t)
+
+    err = stfin[F_ERR, :L] != 0
+    crc = stfin[F_CRC, :L]
+    return out[:nsteps, :L], err, crc
