@@ -17,6 +17,12 @@ from dataclasses import dataclass, replace
 class DecodeOptions:
     # how many upcoming segments one lazy API decode batches together
     batch_blocks: int = 256
+    # decoded-segment cache cap (insertion-order eviction); bounds API
+    # memory to O(cache_segments x block) on arbitrarily long files
+    cache_segments: int = 1024
+    # path sources at least this many bytes open in streaming mode
+    # (header index eager, payload parse lazy, bounded caches)
+    stream_threshold: int = 64 << 20
     # lane capacity rounding floor (power-of-two bucketing of block sizes)
     capacity_floor: int = 256
     # synchronize the device after each pipeline stage so trace timings are
@@ -31,8 +37,12 @@ class DecodeOptions:
     entropy_kernel: str = "auto"
     # decorrelation kernel selection, same scheme ("auto" = Pallas on TPU)
     decorr_kernel: str = "auto"
-    # DSD high-mode kernel selection, same scheme
+    # DSD kernel selection (modes 1 and 3), same scheme
     dsd_kernel: str = "auto"
+    # deliver PCM from the device as packed bytes (bytes_stored+1 wide)
+    # instead of int32 samples when the bucket allows it: 2-4x smaller
+    # device->host transfers on the API/CLI delivery path
+    packed_delivery: bool = True
 
 
 _default = DecodeOptions()

@@ -39,7 +39,36 @@ def _sync(x):
     return x
 
 
-def decode_bucket(b: Bucket) -> list[DecodedBlock]:
+@dataclass
+class LaunchedBucket:
+    """Device handles for one bucket's in-flight decode: everything stays
+    on device until `finalize_bucket`, so multiple buckets can be enqueued
+    back-to-back (the device serializes the compute while the host keeps
+    parsing/staging) and each bucket pays exactly two host fetches —
+    the PCM payload and one stacked (crc, mute, crc_x) vector."""
+    bucket: Bucket
+    payload: object            # (L, W) uint32 packed PCM or (T, L, C) int32
+    crcmute: object            # (3, L) int32 device array
+    bps: int | None            # packed bytes/sample, None = raw int32
+
+
+def _bucket_bps(b: Bucket) -> int | None:
+    """Packed delivery width: set when every lane agrees on bytes_stored
+    and packing actually shrinks the transfer (the tunnel moves ~10 MB/s,
+    so payload bytes dominate delivery; reference analog is the demo's
+    format loop WvDemo.cs:117-141 packing to bytes_per_sample)."""
+    if b.profile.is_float:
+        return None            # float restore delivers 24-bit ints in 4B
+    bs = b.bytes_stored
+    if len(bs) == 0 or (bs != bs[0]).any():
+        return None
+    bps = int(bs[0]) + 1
+    return bps if bps in (1, 2, 3) else None
+
+
+def launch_bucket(b: Bucket) -> LaunchedBucket:
+    import jax.numpy as jnp
+
     prof = b.profile
     with trace.stage("entropy"):
         residuals, broke, ndec = entropy_decode_any(
@@ -62,7 +91,6 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
             mono=prof.mono)
         _sync(out)
 
-    crc_x = np.full((L,), -1, np.int32)
     if prof.has_wvx:
         with trace.stage("wvx"):
             out, crc_x_dev = wvx_inject(
@@ -72,7 +100,8 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
                           np.asarray([st.int32_ones for st in b.states]),
                           np.asarray([st.int32_dups for st in b.states])],
                          axis=1).astype(np.int32))
-            crc_x = np.asarray(crc_x_dev)
+    else:
+        crc_x_dev = jnp.full((L,), -1, jnp.int32)
 
     with trace.stage("fixup"):
         out = _sync(fixup(out, b.shift, b.bytes_stored, b.float_shift_eff,
@@ -81,15 +110,50 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
                           int32_expand=prof.is_int32 and not prof.has_wvx,
                           hybrid=prof.hybrid))
 
-    with trace.stage("transfer"):
-        out_np = np.asarray(out)          # (T, L, C)
-        crc_np = np.asarray(crc)
-        mute_np = np.asarray(mute)
+    bps = _bucket_bps(b) if get_options().packed_delivery else None
+    if bps is not None:
+        from ..ops.pack import pack_samples
+        payload = pack_samples(out, bps=bps)
+    else:
+        payload = out
+    crcmute = jnp.stack([jnp.asarray(crc, jnp.int32).astype(jnp.int32),
+                         jnp.asarray(mute).astype(jnp.int32),
+                         crc_x_dev.astype(jnp.int32)])
+    return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
+                          bps=bps)
 
+
+def _unpack_lane(raw_words: np.ndarray, n_vals: int, bps: int,
+                 C: int) -> np.ndarray:
+    """Host-side inverse of ops.pack.pack_samples for one lane."""
+    by = raw_words.view(np.uint8)[:n_vals * bps]
+    if bps == 1:
+        v = by.astype(np.int32) - 128
+    elif bps == 2:
+        v = by.view("<i2").astype(np.int32)
+    else:
+        b3 = by.reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000
+    return v.reshape(-1, C)
+
+
+def finalize_bucket(lb: LaunchedBucket) -> list[DecodedBlock]:
+    b = lb.bucket
+    prof = b.profile
+    with trace.stage("transfer"):
+        cm = np.asarray(lb.crcmute)
+        payload_np = np.asarray(lb.payload)
+    crc_np, mute_np, crc_x = cm[0], cm[1], cm[2]
+
+    C = 1 if prof.mono else 2
     results = []
     for i, st in enumerate(b.states):
         n = int(b.nsamples[i])
-        vals = out_np[:n, i, :]
+        if lb.bps is not None:
+            vals = _unpack_lane(payload_np[i], n * C, lb.bps, C)
+        else:
+            vals = payload_np[:n, i, :]
         if st.flags & consts.FALSE_STEREO:
             vals = np.repeat(vals, 2, axis=1)
         crc_err = (int(crc_np[i]) != st.header.crc
@@ -99,6 +163,10 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
             crc=int(crc_np[i]), crc_x=int(crc_x[i]),
             mute_error=bool(mute_np[i]), crc_error=bool(crc_err)))
     return results
+
+
+def decode_bucket(b: Bucket) -> list[DecodedBlock]:
+    return finalize_bucket(launch_bucket(b))
 
 
 def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
@@ -122,8 +190,11 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
     with trace.stage("staging"):
         buckets = group_blocks(pcm_states)
-    for bucket in buckets:
-        for st, res in zip(bucket.states, decode_bucket(bucket)):
+    # launch every bucket first (device work queues asynchronously),
+    # then finalize: fetches overlap the remaining buckets' compute
+    launched = [launch_bucket(bucket) for bucket in buckets]
+    for lb in launched:
+        for st, res in zip(lb.bucket.states, finalize_bucket(lb)):
             results[remap[id(st)]] = res
     if dsd_states:
         with trace.stage("dsd"):
