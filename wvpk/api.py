@@ -58,6 +58,7 @@ class WavpackContext:
     open_flags: int = 0
     version: int = 0
     all_channels: bool = False
+    streaming: bool = False
     _decoded: dict = field(default_factory=dict)   # segment idx -> np array
     _first_audio: int = 0
     # segments: (block_index, end_index, [block positions]) per multichannel
@@ -65,9 +66,30 @@ class WavpackContext:
     _segments: list = field(default_factory=list)
 
     # ------------------------------------------------------------------
+    def _get_states(self, flat: list[int]):
+        """Block states for the given block indices. In streaming mode a
+        block whose metadata fails to parse is concealed (None -> zero
+        fill + mute downstream), matching the CRC-failure concealment
+        tier; the eager path drops such blocks at open already."""
+        from .container.stream import BlockParseError
+
+        states = []
+        for i in flat:
+            try:
+                st = self.blocks[i].state
+            except BlockParseError:
+                states.append(None)
+                continue
+            if self.streaming:
+                _update_lossy(self, st)
+            states.append(st)
+        return states
+
     def _ensure_decoded(self, seg_idx: int) -> np.ndarray:
         """Decode (and cache) the assembled samples of a segment; decodes a
-        whole batch of upcoming segments lane-parallel."""
+        whole batch of upcoming segments lane-parallel. The cache holds at
+        most `cache_segments` segments (insertion-order eviction), so
+        sequential decode of an arbitrarily long file stays O(batch)."""
         if seg_idx not in self._decoded:
             batch = get_options().batch_blocks
             todo_segs = [s for s in range(seg_idx,
@@ -78,8 +100,20 @@ class WavpackContext:
             for s in todo_segs:
                 blocks = self._segments[s][2]
                 flat += blocks if self.all_channels else blocks[:1]
-            results = decode_states([self.blocks[i].state for i in flat])
-            for r in results:
+            states = self._get_states(flat)
+            results = decode_states([st for st in states if st is not None])
+            it = iter(results)
+            full = []
+            for i, st in zip(flat, states):
+                if st is None:
+                    hdr = _headers_of(self)[i]
+                    ch = 1 if hdr.flags & consts.MONO_FLAG else 2
+                    full.append(DecodedBlock(
+                        samples=np.zeros((hdr.block_samples, ch), np.int32),
+                        crc=-1, crc_x=-1, mute_error=True, crc_error=True))
+                else:
+                    full.append(next(it))
+            for r in full:
                 if r.crc_error:
                     self.crc_errors += 1
                 if r.mute_error:
@@ -87,12 +121,23 @@ class WavpackContext:
             pos = 0
             for s in todo_segs:
                 nblk = (len(self._segments[s][2]) if self.all_channels else 1)
-                parts = results[pos:pos + nblk]
+                parts = full[pos:pos + nblk]
                 pos += nblk
                 self._decoded[s] = (parts[0].samples if nblk == 1 else
                                     np.concatenate([p.samples for p in parts],
                                                    axis=1))
+            cap = max(get_options().cache_segments, len(todo_segs))
+            while len(self._decoded) > cap:
+                oldest = next(iter(self._decoded))
+                if oldest == seg_idx:
+                    break
+                del self._decoded[oldest]
         return self._decoded[seg_idx]
+
+    def close(self) -> None:
+        """Release the underlying file handle (streaming mode)."""
+        if self.streaming and hasattr(self.blocks, "close"):
+            self.blocks.close()
 
     # -- getters (reference names in module functions below) ------------
     def get_mode(self) -> int:
@@ -145,79 +190,139 @@ def _read_source(source) -> bytes:
     raise TypeError(f"cannot read wavpack source {type(source)}")
 
 
-def WavpackOpenFileInput(source, flags: int = 0) -> WavpackContext:
+def _headers_of(wpc: WavpackContext):
+    if wpc.streaming:
+        return wpc.blocks.headers
+    return [b.header for b in wpc.blocks]
+
+
+def _apply_updates(wpc: WavpackContext, up) -> None:
+    if up.num_channels is not None:
+        wpc.config.num_channels = up.num_channels
+        wpc.config.channel_mask = up.channel_mask or 0
+    if up.config_flags is not None:
+        wpc.config.flags = (wpc.config.flags & 0xFF) | up.config_flags
+    if up.xmode is not None:
+        wpc.config.xmode = up.xmode
+    if up.sample_rate is not None:
+        wpc.config.sample_rate = up.sample_rate
+    if up.five:
+        wpc.five = True
+    if up.file_format is not None:
+        wpc.file_format = up.file_format
+    if up.file_extension is not None:
+        wpc.file_extension = up.file_extension
+    if up.riff_header is not None and wpc.header is None:
+        wpc.header = up.riff_header
+    if up.riff_trailer is not None:
+        wpc.trailer = up.riff_trailer
+    if up.dsd_multiplier is not None:
+        wpc.dsd_multiplier = up.dsd_multiplier
+
+
+def _update_lossy(wpc: WavpackContext, st) -> None:
+    """Lossy-block conditions (UnpackUtils.cs:57-64)."""
+    if not st.header.block_samples:
+        return
+    if (st.flags & consts.INT32_DATA) and st.int32_sent_bits \
+            and st.wvxbits is None:
+        wpc.lossy_blocks = True
+    if (st.flags & consts.FLOAT_DATA) and (
+            st.float_flags & (consts.FLOAT_EXCEPTIONS
+                              | consts.FLOAT_ZEROS_SENT
+                              | consts.FLOAT_SHIFT_SENT
+                              | consts.FLOAT_SHIFT_SAME)):
+        wpc.lossy_blocks = True
+
+
+def WavpackOpenFileInput(source, flags: int = 0,
+                         streaming: bool | None = None) -> WavpackContext:
     """Open a .wv source (bytes / path / file-like); reference
-    WavPackUtils.cs:36-120."""
+    WavPackUtils.cs:36-120.
+
+    `streaming=None` auto-selects: path sources at least
+    `DecodeOptions.stream_threshold` bytes open in bounded-memory
+    streaming mode (header index eager, per-block payload parse lazy +
+    LRU, decoded-segment cache evicted at `cache_segments`); everything
+    else parses eagerly. Pass True/False to force."""
+    import os
+
     wpc = WavpackContext()
     wpc.open_flags = flags
+    is_path = isinstance(source, str) or hasattr(source, "__fspath__")
+    if streaming is None:
+        streaming = (is_path and os.path.getsize(source)
+                     >= get_options().stream_threshold)
     try:
-        data = _read_source(source)
-        wpc.blocks = parse_blocks(data)
+        if streaming:
+            from .container.stream import LazyBlocks, scan_headers_file
+            f = open(source, "rb") if is_path else source
+            headers = scan_headers_file(f)
+            wpc.blocks = LazyBlocks(
+                f, headers,
+                cache_blocks=get_options().batch_blocks * 4)
+            wpc.streaming = True
+        else:
+            data = _read_source(source)
+            wpc.blocks = parse_blocks(data)
     except Exception as e:  # container-level failure
         wpc.error_message = f"invalid WavPack file: {e}"
         return wpc
+
+    headers = _headers_of(wpc)
     first = None
-    for i, b in enumerate(wpc.blocks):
-        up = b.updates
-        if up.num_channels is not None:
-            wpc.config.num_channels = up.num_channels
-            wpc.config.channel_mask = up.channel_mask or 0
-        if up.config_flags is not None:
-            wpc.config.flags = (wpc.config.flags & 0xFF) | up.config_flags
-        if up.xmode is not None:
-            wpc.config.xmode = up.xmode
-        if up.sample_rate is not None:
-            wpc.config.sample_rate = up.sample_rate
-        if up.five:
-            wpc.five = True
-        if up.file_format is not None:
-            wpc.file_format = up.file_format
-        if up.file_extension is not None:
-            wpc.file_extension = up.file_extension
-        if up.riff_header is not None and wpc.header is None:
-            wpc.header = up.riff_header
-        if up.riff_trailer is not None:
-            wpc.trailer = up.riff_trailer
-        if up.dsd_multiplier is not None:
-            wpc.dsd_multiplier = up.dsd_multiplier
-        if first is None and b.header.block_samples > 0:
+    for i, h in enumerate(headers):
+        if h.block_samples > 0:
             first = i
-        # lossy-block conditions (UnpackUtils.cs:57-64)
-        st = b.state
-        if b.header.block_samples:
-            if (st.flags & consts.INT32_DATA) and st.int32_sent_bits \
-                    and st.wvxbits is None:
-                wpc.lossy_blocks = True
-            if (st.flags & consts.FLOAT_DATA) and (
-                    st.float_flags & (consts.FLOAT_EXCEPTIONS
-                                      | consts.FLOAT_ZEROS_SENT
-                                      | consts.FLOAT_SHIFT_SENT
-                                      | consts.FLOAT_SHIFT_SAME)):
-                wpc.lossy_blocks = True
+            break
     if first is None:
         wpc.error_message = "not compatible with this version of WavPack file!"
         return wpc
+
+    if wpc.streaming:
+        # parse eagerly only the prefix up to the first audio block plus
+        # the trailing zero-sample blocks (RIFF trailer etc. live there);
+        # lossy-block flags accrue lazily as blocks decode, matching the
+        # reference's per-block unpack_init timing (UnpackUtils.cs:57-64)
+        from .container.stream import BlockParseError
+        walk = list(range(first + 1))
+        tail = len(headers) - 1
+        while tail > first and headers[tail].block_samples == 0:
+            walk.append(tail)
+            tail -= 1
+        for i in sorted(set(walk)):
+            try:
+                b = wpc.blocks[i]
+            except BlockParseError:
+                continue
+            _apply_updates(wpc, b.updates)
+            _update_lossy(wpc, b.state)
+    else:
+        for b in wpc.blocks:
+            _apply_updates(wpc, b.updates)
+            _update_lossy(wpc, b.state)
+
     wpc._first_audio = first
-    hdr = wpc.blocks[first].header
+    hdr = headers[first]
     wpc.version = hdr.version
     if hdr.total_samples != 0xFFFFFFFF:
         wpc.total_samples = hdr.total_samples
     # group audio blocks into multichannel segments (INITIAL..FINAL)
     cur: list[int] = []
-    for i, b in enumerate(wpc.blocks):
-        if b.header.block_samples == 0:
+    for i, h in enumerate(headers):
+        if h.block_samples == 0:
             continue
-        if b.header.is_initial and cur:
-            h0 = wpc.blocks[cur[0]].header
+        if h.is_initial and cur:
+            h0 = headers[cur[0]]
             wpc._segments.append((h0.block_index, h0.end_index, cur))
             cur = []
         cur.append(i)
-        if b.header.is_final:
-            h0 = wpc.blocks[cur[0]].header
+        if h.is_final:
+            h0 = headers[cur[0]]
             wpc._segments.append((h0.block_index, h0.end_index, cur))
             cur = []
     if cur:
-        h0 = wpc.blocks[cur[0]].header
+        h0 = headers[cur[0]]
         wpc._segments.append((h0.block_index, h0.end_index, cur))
     wpc.all_channels = bool(flags & consts.OPEN_ALL_CHANNELS)
     st_flags = hdr.flags
@@ -247,7 +352,7 @@ def WavpackOpenFileInput(source, flags: int = 0) -> WavpackContext:
     if st_flags & consts.DSD_FLAG:
         wpc.config.bytes_per_sample = 1
         wpc.config.bits_per_sample = 8
-    wpc.sample_index = wpc.blocks[first].header.block_index
+    wpc.sample_index = headers[first].block_index
     return wpc
 
 

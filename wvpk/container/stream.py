@@ -1,0 +1,127 @@
+"""Bounded-memory streaming container access.
+
+The reference decodes from a BinaryReader with incremental refill
+(BitsUtils.cs:95-146, MetadataUtils.cs:25-26) and never holds the file in
+memory. The eager path here (blocks.parse_blocks) loads + parses the whole
+file at open, which is right for batch throughput but not for multi-GB
+single files. This module provides the streaming equivalent:
+
+- `scan_headers_file`: chunked whole-file header scan (32-byte headers
+  only, ~0.4% of the file for 4k-sample blocks) — the block index that
+  makes every block a checkpoint stays O(blocks), not O(bytes).
+- `LazyBlocks`: a sequence view that reads + parses one block's payload
+  on demand (seek/read of ck_size+8 bytes), behind a bounded LRU, so
+  resident payload memory is O(batch), like the reference's reader.
+"""
+
+from __future__ import annotations
+
+import io
+from collections import OrderedDict
+from dataclasses import replace
+
+from .blocks import Block
+from .blockstate import decode_block_state
+from .header import HEADER_SIZE, MAX_RESYNC_BYTES, BlockHeader, _parse_at, \
+    _valid_magic
+from .metadata import iter_metadata
+
+
+def scan_headers_file(f: io.BufferedIOBase,
+                      chunk_size: int = 8 << 20) -> list[BlockHeader]:
+    """Chunked header scan of a seekable binary file. Same semantics as
+    header.scan_headers (magic + sanity checks, jump by ck_size + 8,
+    resync over garbage) without loading the file; the resync cap applies
+    per contiguous garbage run."""
+    f.seek(0)
+    out: list[BlockHeader] = []
+    buf = b""
+    base = 0          # file offset of buf[0]
+    pos = 0           # scan offset relative to buf
+    skipped = 0       # garbage run length (resync cap)
+
+    def ensure(k: int) -> bool:
+        """Grow/slide buf so [pos, pos+k) is resident; False at EOF.
+        A block jump can land past the buffered bytes — seek there
+        instead of slicing (slicing would desynchronize base from the
+        file position)."""
+        nonlocal buf, base, pos
+        if pos >= len(buf):
+            base += pos
+            f.seek(base)
+            buf = b""
+            pos = 0
+        elif pos > chunk_size:
+            base += pos
+            buf = buf[pos:]
+            pos = 0
+        while pos + k > len(buf):
+            data = f.read(chunk_size)
+            if not data:
+                return pos + k <= len(buf)
+            buf += data
+        return True
+
+    while ensure(HEADER_SIZE):
+        if buf[pos] == 0x77 and _valid_magic(buf, pos):  # 'w'
+            hdr = _parse_at(buf, pos)
+            hdr.stream_position = base + pos
+            out.append(hdr)
+            pos += hdr.ck_size + 8
+            skipped = 0
+        else:
+            pos += 1
+            skipped += 1
+            if skipped > MAX_RESYNC_BYTES:
+                break
+    return out
+
+
+class LazyBlocks:
+    """Sequence of Blocks parsed on demand from an open file.
+
+    `headers` is the eager index (cheap); payload bytes + metadata parse
+    happen per `__getitem__`, held in an LRU of `cache_blocks` entries.
+    Raises BlockParseError for corrupt blocks — callers conceal them
+    (zero-fill + mute) just like CRC failures."""
+
+    def __init__(self, f: io.BufferedIOBase, headers: list[BlockHeader],
+                 cache_blocks: int = 1024):
+        self._f = f
+        self.headers = headers
+        self._cap = max(cache_blocks, 8)
+        self._cache: OrderedDict[int, Block] = OrderedDict()
+
+    def __len__(self) -> int:
+        return len(self.headers)
+
+    def header(self, i: int) -> BlockHeader:
+        return self.headers[i]
+
+    def __getitem__(self, i: int) -> Block:
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        hdr = self.headers[i]
+        self._f.seek(hdr.stream_position)
+        raw = self._f.read(hdr.ck_size + 8)
+        if len(raw) < hdr.ck_size + 8:
+            raise BlockParseError(f"truncated block at {hdr.stream_position}")
+        local = replace(hdr, stream_position=0)
+        try:
+            items = iter_metadata(raw, local)
+            state, updates = decode_block_state(hdr, items)
+        except Exception as e:
+            raise BlockParseError(str(e)) from e
+        blk = Block(hdr, items, state, updates)
+        self._cache[i] = blk
+        while len(self._cache) > self._cap:
+            self._cache.popitem(last=False)
+        return blk
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class BlockParseError(Exception):
+    pass
