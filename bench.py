@@ -164,6 +164,19 @@ def main():
     mc51 = _bench_secondary(_make_mc51, "mc51_v2")
     hyb = _bench_secondary(_make_hybrid, "hybrid_v2")
 
+    # gated hardware differential coverage: a compact randomized
+    # mode-matrix sweep (PCM incl. wvx/float + DSD modes) runs against the
+    # real-TPU kernels every bench run and must be mismatch-free
+    if os.environ.get("WVPK_BENCH_SWEEP", "1") != "0":
+        from wvpk.testgen.fuzzspec import run_hw_sweep
+        sweep_fails, sweep_blocks = run_hw_sweep(
+            n_cases=int(os.environ.get("WVPK_BENCH_SWEEP_CASES", "10")),
+            n_dsd=6, verbose=True)
+        hw_sweep_ok = sweep_fails == 0
+        assert hw_sweep_ok, f"hardware sweep: {sweep_fails} mismatches"
+    else:
+        hw_sweep_ok, sweep_blocks = None, 0
+
     msamples = total_samples / best / 1e6
     realtime = (total_samples / 44100) / best
     print(json.dumps({

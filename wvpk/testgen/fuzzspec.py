@@ -1,0 +1,157 @@
+"""Randomized mode-matrix spec/signal generators + differential sweep.
+
+Shared by the CI differential fuzzer (tests/test_fuzz_differential.py,
+CPU interpret mode), the standalone hardware sweep (tools/hw_sweep.py)
+and bench.py's gated `hw_sweep_ok` check, so the exact same randomized
+coverage runs against the real-TPU Pallas kernels that ship.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .encoder import EncodeSpec
+
+TERM_POOL = [1, 2, 3, 4, 5, 6, 7, 8, 17, 18]
+NEG_TERMS = [-1, -2, -3]
+
+
+def random_spec(rng: np.random.Generator,
+                family: str | None = None) -> EncodeSpec:
+    """Random mode-matrix spec. `family` None picks among plain PCM,
+    extended int32 (wvx / zeros / ones / dups with random sent_bits and
+    max_width) and float; every family randomizes channels/terms/joint."""
+    mono = bool(rng.random() < 0.25)
+    false_stereo = not mono and bool(rng.random() < 0.15)
+    nterms = int(rng.integers(1, 9))
+    terms = list(rng.choice(TERM_POOL, size=nterms))
+    if not mono and not false_stereo and rng.random() < 0.3:
+        terms[0] = int(rng.choice(NEG_TERMS))
+    deltas = [int(rng.integers(0, 6)) for _ in terms]
+    if family is None:
+        family = rng.choice(["plain", "plain", "plain", "int32", "float"])
+    base = dict(
+        block_samples=int(rng.choice([117, 256, 300, 512, 1000])),
+        mono=mono,
+        false_stereo=false_stereo,
+        joint=bool(rng.random() < 0.6) and not mono and not false_stereo,
+        terms=tuple(int(t) for t in terms),
+        deltas=tuple(deltas),
+    )
+    if family == "int32":
+        mode = str(rng.choice(["wvx", "wvx", "zeros", "ones", "dups"]))
+        kw = dict(base, bytes_stored=4, int32_mode=mode)
+        if mode == "wvx":
+            kw["int32_sent_bits"] = int(rng.integers(1, 9))
+            # 0 = old-style variable width; else WavPack5 max_width
+            kw["int32_max_width"] = int(rng.choice([0, 0, 31, 30,
+                                                    int(rng.integers(26, 32))]))
+        else:
+            kw["int32_" + mode] = int(rng.integers(1, 7))
+        return EncodeSpec(**kw)
+    if family == "float":
+        return EncodeSpec(**base, float_data=True, bytes_stored=4,
+                          float_shift=0,
+                          float_max_exp=int(rng.choice([127, 127, 130, 133])),
+                          float_norm_exp=127)
+    bytes_stored = int(rng.choice([1, 2, 2, 3, 4]))
+    hybrid = bool(rng.random() < 0.3)
+    return EncodeSpec(
+        **base,
+        bytes_stored=bytes_stored,
+        shift=int(rng.integers(0, 4)) if not hybrid and bytes_stored > 1
+        and rng.random() < 0.3 else 0,
+        hybrid=hybrid,
+        hybrid_bitrate=hybrid and bool(rng.random() < 0.4),
+        bitrate=int(rng.integers(200, 1200)),
+        bitrate_delta=int(rng.integers(0, 3)) if hybrid else 0,
+    )
+
+
+def random_pcm(rng: np.random.Generator, n: int, ch: int,
+               spec: EncodeSpec) -> np.ndarray:
+    bytes_stored, shift = spec.bytes_stored, spec.shift
+    kind = rng.integers(0, 4)
+    lim = 1 << (bytes_stored * 8 - 1)
+    if spec.float_data:
+        # decoded-int domain for the float restore path (24-bit scaled by
+        # max_exp - norm_exp); mirror the fixed-case ranges
+        lim = 1 << 23
+    scale = min(lim // 4, 1 << int(rng.integers(3, 22)))
+    if kind == 0:
+        x = rng.normal(0, scale, (n, ch))
+    elif kind == 1:
+        t = np.arange(n)[:, None]
+        x = scale * np.sin(2 * np.pi * t / float(rng.integers(5, 200)))
+        x = x + rng.normal(0, scale / 50, (n, ch))
+    elif kind == 2:  # sparse/silence heavy
+        x = rng.normal(0, scale, (n, ch))
+        mask = rng.random((n, 1)) < 0.7
+        x = np.where(mask, 0, x)
+    else:  # steps / clipping
+        x = np.repeat(rng.integers(-scale, scale, ((n + 15) // 16, ch)),
+                      16, axis=0)[:n]
+    pcm = np.clip(np.round(x), -lim + 1, lim - 1).astype(np.int64)
+    if shift:
+        pcm = (pcm >> shift) << shift
+    # int32 re-expansion families need their bit-structure invariants
+    if spec.int32_mode == "zeros":
+        pcm = pcm << spec.int32_zeros
+    elif spec.int32_mode == "ones":
+        pcm = ((pcm + 1) << spec.int32_ones) - 1
+    elif spec.int32_mode == "dups":
+        d = spec.int32_dups
+        pcm = (pcm << d) | np.where(pcm & 1, (1 << d) - 1, 0)
+    return pcm
+
+
+def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
+                 corrupt: bool = True, verbose: bool = True):
+    """Differential sweep of decode_states vs the scalar oracle on the
+    CURRENT backend (real kernels on TPU). Returns (fails, blocks)."""
+    from ..container import parse_blocks
+    from ..engine import decode_states
+    from ..ref import decode_block
+    from . import encode_dsd_file, encode_file
+
+    fails = blocks_checked = 0
+    for seed in range(n_cases):
+        rng = np.random.default_rng(7000 + seed)
+        spec = random_spec(rng)
+        n = int(rng.integers(spec.block_samples // 2,
+                             spec.block_samples * 2 + 1))
+        pcm = random_pcm(rng, n, spec.nch_data, spec)
+        data = encode_file(pcm, spec)
+        if corrupt and rng.random() < 0.2:
+            data = bytearray(data)
+            data[int(rng.integers(64, len(data)))] ^= int(rng.integers(1, 256))
+            data = bytes(data)
+        blocks = parse_blocks(data)
+        dev = decode_states([b.state for b in blocks])
+        for blk, d in zip(blocks, dev):
+            want = decode_block(blk.state)
+            blocks_checked += 1
+            if not (np.array_equal(d.samples, want.samples)
+                    and d.mute_error == want.mute_error
+                    and d.crc_error == want.crc_error):
+                fails += 1
+                if verbose:
+                    print(f"MISMATCH seed {seed}: {spec}")
+    for seed in range(n_dsd):
+        rng = np.random.default_rng(8000 + seed)
+        mode = int(rng.choice([0, 1, 3]))
+        mono = bool(rng.random() < 0.3)
+        ch = 1 if mono else 2
+        d = rng.integers(0, 256, (int(rng.integers(200, 800)), ch))
+        data = encode_dsd_file(d.astype(np.int64), mode, mono=mono,
+                               history_bits=2)
+        blocks = parse_blocks(data)
+        dev = decode_states([b.state for b in blocks])
+        for blk, dd in zip(blocks, dev):
+            want = decode_block(blk.state)
+            blocks_checked += 1
+            if not np.array_equal(dd.samples, want.samples):
+                fails += 1
+                if verbose:
+                    print(f"DSD MISMATCH seed {seed} mode {mode}")
+    return fails, blocks_checked
