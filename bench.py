@@ -112,9 +112,10 @@ def main():
 
     def run_device():
         # enqueue every bucket asynchronously; the device serializes the
-        # compute, and the single blocking fetch at the end pays the
-        # host round trip once instead of per bucket
+        # compute, and ONE blocking fetch of the cross-bucket concatenated
+        # crc/mute array pays the ~27 ms tunnel round trip exactly once
         handles = []
+        packs = []
         for b, dev in zip(buckets, staged):
             prof = b.profile
             out, crc, mute = fused_decode(
@@ -128,13 +129,17 @@ def main():
                 num_terms_max=int(b.num_terms.max()))
             packed = pack_samples(out, bps=2)
             # keep `packed` resident on device; fetch only CRC + mute
-            crcmute = jnp.stack([crc.astype(jnp.int32),
-                                 mute.astype(jnp.int32)])
-            handles.append((crcmute, packed))
+            handles.append(jnp.stack([crc.astype(jnp.int32),
+                                      mute.astype(jnp.int32)]))
+            packs.append(packed)
+        cm = np.asarray(jnp.concatenate(handles, axis=1))
         out = []
-        for crcmute, packed in handles:
-            cm = np.asarray(crcmute)
-            out.append((cm[0], cm[1].astype(bool), packed))
+        pos = 0
+        for b, packed in zip(buckets, packs):
+            L = len(b.states)
+            out.append((cm[0, pos:pos + L], cm[1, pos:pos + L].astype(bool),
+                        packed))
+            pos += L
         return out
 
     # warmup / compile
@@ -153,7 +158,10 @@ def main():
         t1 = time.perf_counter()
         best = min(best, t1 - t0)
 
-    # secondary: everything delivered to host numpy
+    # secondary: everything delivered to host numpy (packed-byte payloads
+    # + batched fetches). Warm once so the number measures the delivery
+    # path, not kernel compilation, same as every other metric here.
+    decode_states(states)
     t0 = time.perf_counter()
     results = decode_states(states)
     host_s = time.perf_counter() - t0
@@ -161,8 +169,8 @@ def main():
 
     # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3) and
     # hybrid lossy (config 5 PCM half), decoded through the same engine
-    mc51 = _bench_secondary(_make_mc51, "mc51_v2")
-    hyb = _bench_secondary(_make_hybrid, "hybrid_v2")
+    mc51 = _bench_secondary(_make_mc51, "mc51_v3")
+    hyb = _bench_secondary(_make_hybrid, "hybrid_v3")
 
     # gated hardware differential coverage: a compact randomized
     # mode-matrix sweep (PCM incl. wvx/float + DSD modes) runs against the
@@ -189,6 +197,8 @@ def main():
         "host_delivery_msamples": round(total_samples / host_s / 1e6, 3),
         "mc51_24bit_msamples": mc51,
         "hybrid_msamples": hyb,
+        "hw_sweep_ok": hw_sweep_ok,
+        "hw_sweep_blocks": sweep_blocks,
         "corpus_samples": total_samples,
         "blocks": len(states),
         "gen_seconds": round(gen_s, 1),
@@ -225,7 +235,7 @@ def _make_mc51():
     spec = EncodeSpec(block_samples=4096, joint=True, bytes_stored=3,
                       terms=(18, 18, 18, 18, 18, 2, 2, 17, 17, 3),
                       deltas=(2,) * 10)
-    return [encode_multichannel(pcm, spec) for _ in range(6)], n
+    return [encode_multichannel(pcm, spec)] * 12, n
 
 
 def _make_hybrid():
@@ -238,7 +248,7 @@ def _make_hybrid():
     np.clip(pcm, -32768, 32767, out=pcm)
     spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
                       hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
-    return [encode_file(pcm, spec) for _ in range(16)], n
+    return [encode_file(pcm, spec)] * 40, n
 
 
 def _bench_secondary(builder, tag: str) -> float:
@@ -283,7 +293,14 @@ def _bench_secondary(builder, tag: str) -> float:
                 num_terms_max=int(b.num_terms.max()))
             handles.append(jnp.stack([crc.astype(jnp.int32),
                                       mute.astype(jnp.int32)]))
-        return [np.asarray(h) for h in handles]
+        # one cross-bucket fetch (fixed tunnel latency paid once)
+        cm = np.asarray(jnp.concatenate(handles, axis=1))
+        out = []
+        pos = 0
+        for b in buckets:
+            out.append(cm[:, pos:pos + len(b.states)])
+            pos += len(b.states)
+        return out
 
     res = run()  # warm/compile + gate
     for b, cm in zip(buckets, res):

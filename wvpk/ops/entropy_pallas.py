@@ -607,7 +607,10 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     T = nsteps // C
     lane_tile = _lane_tile(((W + 31) // 32) * 32)
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
-    chunk = min(T, 256)
+    # chunk bounds the double-buffered output blocks (2 outs x 2 buffers x
+    # chunk x tile x 4B); at tile 512 the words scratch + sweep temporary
+    # already push the 16 MB VMEM budget, so halve the chunk there
+    chunk = min(T, 128 if lane_tile >= 512 else 256)
     assert T % chunk == 0
 
     # W padded to the 32-word cache group for the grouped layout
