@@ -172,6 +172,13 @@ def main():
     mc51 = _bench_secondary(_make_mc51, "mc51_v3")
     hyb = _bench_secondary(_make_hybrid, "hybrid_v3")
 
+    # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
+    # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
+    # vs the DSD64 stereo byte rate (2ch x 2.8224 MHz / 8 = 705600
+    # byte-values/s)
+    dsd_fast = _bench_dsd(1)
+    dsd_high = _bench_dsd(3)
+
     # gated hardware differential coverage: a compact randomized
     # mode-matrix sweep (PCM incl. wvx/float + DSD modes) runs against the
     # real-TPU kernels every bench run and must be mismatch-free
@@ -197,6 +204,8 @@ def main():
         "host_delivery_msamples": round(total_samples / host_s / 1e6, 3),
         "mc51_24bit_msamples": mc51,
         "hybrid_msamples": hyb,
+        "dsd_fast_realtime_x": dsd_fast,
+        "dsd_high_realtime_x": dsd_high,
         "hw_sweep_ok": hw_sweep_ok,
         "hw_sweep_blocks": sweep_blocks,
         "corpus_samples": total_samples,
@@ -249,6 +258,65 @@ def _make_hybrid():
     spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
                       hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
     return [encode_file(pcm, spec)] * 40, n
+
+
+def _bench_dsd(mode: int) -> float:
+    """DSD batch decode realtime factor for one mode (1=fast, 3=high):
+    Pallas lane kernels, inputs staged in HBM, CRC-gated, one fetch."""
+    import jax
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.dsd_profile import build
+
+    from wvpk.engine.dsd_pipeline import _pad_bytes, _profile
+    from wvpk.ops.dsd_pallas import dsd_fast_decode_pallas, \
+        dsd_high_decode_pallas
+
+    L, n = 512, 4096
+    states = [st for st in build(mode, L, n) if _profile(st).mode == mode]
+    prof = _profile(states[0])
+    data = _pad_bytes([st.dsd.data for st in states], prof.nbytes_cap)
+    nbytes = np.asarray([len(st.dsd.data) for st in states], np.int64)
+    value0 = np.asarray([st.dsd.value for st in states],
+                        np.uint32).view(np.int32)
+    nsamples = np.asarray([st.header.block_samples for st in states],
+                          np.int32)
+    hdr = np.asarray([st.header.crc for st in states], np.int32)
+    total = int(nsamples.sum()) * 2   # stereo byte-values
+
+    if mode == 1:
+        summed = np.stack([st.dsd.summed_probabilities.astype(np.int32)
+                           .reshape(-1) for st in states])
+        args = [jax.device_put(x) for x in
+                (data, nbytes, summed, value0,
+                 (nsamples * 2).astype(np.int32))]
+
+        def run():
+            _out, _err, crc = dsd_fast_decode_pallas(
+                *args, bins=prof.bins, mono=False, nsteps=prof.nsteps)
+            return np.asarray(crc)
+    else:
+        ptable = np.stack([st.dsd.ptable for st in states]).astype(np.int32)
+        filters = np.stack([st.dsd.filters
+                            for st in states]).astype(np.int32)
+        args = [jax.device_put(x) for x in
+                (data, nbytes, ptable, filters, value0, nsamples)]
+
+        def run():
+            _out, crc = dsd_high_decode_pallas(
+                *args, mono=False, nsteps=prof.nsteps)
+            return np.asarray(crc)
+
+    for a in args:
+        np.asarray(a)
+    crc = run()  # warm/compile + gate
+    assert (crc == hdr).all(), f"DSD mode {mode} corpus failed CRC gate"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(total / best / 705600, 1)
 
 
 def _bench_secondary(builder, tag: str) -> float:

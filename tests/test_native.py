@@ -53,3 +53,56 @@ def test_pack_streams_matches(wv_data):
     for i, p in enumerate(payloads):
         assert out[i, :len(p)].tobytes() == p
         assert (out[i, len(p):] == 0xFF).all()
+
+
+def test_parse_block_native_differential():
+    """Native metadata walk vs the Python decode_block_state, field for
+    field, across randomized mode-matrix specs."""
+    import numpy as np
+
+    from wvpk.container.blockstate import decode_block_state
+    from wvpk.container.header import scan_headers as py_scan
+    from wvpk.container.metadata import iter_metadata
+    from wvpk.native import parse_block_native
+    from wvpk.container.blockstate import state_from_native
+    from wvpk.testgen.fuzzspec import random_pcm, random_spec
+
+    native_hits = 0
+    fallbacks = 0
+    for seed in range(16):
+        rng = np.random.default_rng(4200 + seed)
+        spec = random_spec(rng)
+        n = int(rng.integers(spec.block_samples // 2,
+                             spec.block_samples * 2 + 1))
+        pcm = random_pcm(rng, n, spec.nch_data, spec)
+        data = encode_file(pcm, spec)
+        for hdr in py_scan(data):
+            arr = parse_block_native(data, hdr.stream_position)
+            if arr is None:
+                fallbacks += 1
+                continue
+            native_hits += 1
+            got, gup = state_from_native(hdr, arr, data)
+            want, wup = decode_block_state(hdr, iter_metadata(data, hdr))
+            assert got.num_terms == want.num_terms, (seed, spec)
+            assert got.terms == want.terms
+            assert got.deltas == want.deltas
+            assert got.weights_a == want.weights_a
+            assert got.weights_b == want.weights_b
+            np.testing.assert_array_equal(got.samples_a, want.samples_a)
+            np.testing.assert_array_equal(got.samples_b, want.samples_b)
+            assert got.medians == want.medians
+            assert got.slow_level == want.slow_level
+            assert got.bitrate_acc == want.bitrate_acc
+            assert got.bitrate_delta == want.bitrate_delta
+            for f in ("float_flags", "float_shift", "float_max_exp",
+                      "float_norm_exp", "float_min_shifted_zeros",
+                      "float_max_shifted_ones", "int32_sent_bits",
+                      "int32_zeros", "int32_ones", "int32_dups",
+                      "int32_max_width", "crc_mvx", "wvx_start_bit",
+                      "wvbits", "wvcbits", "wvxbits"):
+                assert getattr(got, f) == getattr(want, f), (seed, f)
+            assert gup.five == wup.five
+    # the walk must actually engage on update-free blocks (first/last
+    # blocks carry config/RIFF updates and legitimately fall back)
+    assert native_hits >= 8

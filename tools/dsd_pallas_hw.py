@@ -21,7 +21,7 @@ def main():
     from wvpk.engine.dsd_pipeline import _pad_bytes, _profile
     from wvpk.ops.dsd_pallas import dsd_high_decode_pallas
 
-    L, n = 256, 4096
+    L, n = 512, 4096
     states = [st for st in build(3, L, n) if _profile(st).mode == 3]
     prof = _profile(states[0])
     data = _pad_bytes([st.dsd.data for st in states], prof.nbytes_cap)
@@ -59,7 +59,7 @@ def main_fast():
     from wvpk.engine.dsd_pipeline import _pad_bytes, _profile
     from wvpk.ops.dsd_pallas import dsd_fast_decode_pallas
 
-    L, n = 256, 4096
+    L, n = 512, 4096
     states = [st for st in build(1, L, n) if _profile(st).mode == 1]
     prof = _profile(states[0])
     B = prof.bins

@@ -382,6 +382,40 @@ def _init_dsd_high(st: BlockState, data: bytes, p: int, multiplier: int) -> DsdS
                     rate_i=rate_i, ptable=ptable, filters=filters, value=value)
 
 
+def state_from_native(hdr: BlockHeader, a: np.ndarray, data: bytes
+                      ) -> tuple[BlockState, ContextUpdates]:
+    """Rehydrate a BlockState from the native parser's flat int64 state
+    array (wvpk_parse_block; layout in native/csrc/wvpk_host.c). The C
+    parser covers exactly the PCM-block subset of decode_block_state —
+    anything else returns the fallback status and never reaches here."""
+    st = BlockState(header=hdr)
+    st.samples_a = a[65:193].reshape(16, 8).copy()
+    st.samples_b = a[193:321].reshape(16, 8).copy()
+    v = a.tolist()   # one bulk conversion; scalar indexing of int64 is slow
+    st.num_terms = v[0]
+    st.terms = v[1:17]
+    st.deltas = v[17:33]
+    st.weights_a = v[33:49]
+    st.weights_b = v[49:65]
+    st.medians = [v[321:324], v[324:327]]
+    st.slow_level = v[327:329]
+    st.bitrate_acc = v[329:331]
+    st.bitrate_delta = v[331:333]
+    (st.float_flags, st.float_shift, st.float_max_exp, st.float_norm_exp,
+     st.float_min_shifted_zeros, st.float_max_shifted_ones) = v[333:339]
+    (st.int32_sent_bits, st.int32_zeros, st.int32_ones, st.int32_dups,
+     st.int32_max_width) = v[339:344]
+    st.crc_mvx = v[344]
+    st.wvx_start_bit = v[345]
+    if v[346]:
+        st.wvbits = bytes(data[v[346]:v[346] + v[347]])
+    if v[348]:
+        st.wvcbits = bytes(data[v[348]:v[348] + v[349]])
+    if v[350]:
+        st.wvxbits = bytes(data[v[350]:v[350] + v[351]])
+    return st, ContextUpdates(five=bool(v[352]))
+
+
 def decode_block_state(hdr: BlockHeader, items: list[MetadataItem]
                        ) -> tuple[BlockState, ContextUpdates]:
     """process_metadata over all sub-blocks (MetadataUtils.cs:111-193)."""

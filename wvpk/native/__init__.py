@@ -53,6 +53,10 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
         ctypes.c_void_p, ctypes.c_long]
+    lib.wvpk_parse_block.restype = ctypes.c_long
+    lib.wvpk_parse_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64)]
     return lib
 
 
@@ -78,6 +82,25 @@ def scan_headers_native(data: bytes) -> np.ndarray | None:
         data, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_headers)
     return out[:n]
+
+
+# state-array field layout of wvpk_parse_block (keep in sync with the C
+# enum in csrc/wvpk_host.c)
+PARSE_NFIELDS = 353
+
+
+def parse_block_native(data: bytes, hpos: int) -> np.ndarray | None:
+    """Parse one PCM block's metadata into the flat int64 state array.
+    None = unavailable / needs the Python path (DSD, context updates,
+    or malformed metadata — the Python path reproduces exact errors)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    st = np.zeros(PARSE_NFIELDS, np.int64)
+    rc = lib.wvpk_parse_block(
+        data, len(data), hpos,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return st if rc == 0 else None
 
 
 def pack_streams_native(payloads: list[bytes], stride: int) -> np.ndarray | None:

@@ -260,7 +260,10 @@ def dsd_high_decode_pallas(data, nbytes, ptable0, filters0, value0,
 
     L, NB = data.shape
     C = 1 if mono else 2
-    lane_tile = min(256, max(128, 1 << max(L - 1, 1).bit_length()))
+    # the coder chain is latency-bound on (1, tile) ops: wider tiles do
+    # more work per op at the same latency (VMEM: ptable 0.5MB + words
+    # ~4MB at tile 512 for typical 8k-byte payload caps)
+    lane_tile = min(512, max(128, 1 << max(L - 1, 1).bit_length()))
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
     chunk = min(nsteps, 256)
     T = ((nsteps + chunk - 1) // chunk) * chunk
@@ -534,7 +537,10 @@ def dsd_fast_decode_pallas(data, nbytes, summed, value0, nvals, *,
     Returns (out (nsteps, L) int32, err (L,) bool, crc (L,) int32).
     """
     L, NB = data.shape
-    lane_tile = 128 if bins > 8 else 256
+    # latency-bound like mode 3: widest tile the summed table allows
+    # (bins*256 rows x tile x 4B; bins <= 8 fits 512 lanes comfortably)
+    lane_tile = 512 if bins <= 8 else 128
+    lane_tile = min(lane_tile, max(128, 1 << max(L - 1, 1).bit_length()))
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
     chunk = min(nsteps, 256)
     T = ((nsteps + chunk - 1) // chunk) * chunk
