@@ -273,8 +273,10 @@ def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
 
 def _npasses_static(num_terms_max: int) -> int:
     """Pad the unrolled pass count to a small set so each bucket profile
-    compiles at most 4 kernel variants."""
-    for n in (2, 4, 8, 16):
+    compiles at most a handful of kernel variants. 10 and 12 are real
+    encoder presets ("high" uses 10 terms); padding those to 16 wasted
+    60% of the decorr unroll on the multichannel-24bit config."""
+    for n in (2, 4, 8, 10, 12, 16):
         if num_terms_max <= n:
             return n
     return 16

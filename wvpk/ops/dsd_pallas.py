@@ -94,7 +94,6 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         cp.wait()
 
     n_groups = w_total // 32
-    grouped = _bc_i32(wvmem[...])  # (W/32, 32, tile)
     iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
     iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
     iota256 = jax.lax.broadcasted_iota(I32, (256, 1), 0)
@@ -103,8 +102,16 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
     nsamp = meta_ref[1:2, :]
 
     def fetch_group(tgt):
-        m = iota_g == tgt[None, :, :]
-        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
+        # chunked select-reduce: bounds the masked temporary to 32 groups
+        # (a full (G, 32, tile) where-temp at G >= 128 blows the 16 MB
+        # VMEM stack on top of the resident words scratch)
+        acc = None
+        for g0 in range(0, n_groups, 32):
+            blk = _bc_i32(wvmem[g0:g0 + 32])   # slice the ref, not a copy
+            m = iota_g[g0:g0 + 32] == tgt[None, :, :]
+            part = jnp.sum(jnp.where(m, blk, I32(0)), axis=0, dtype=I32)
+            acc = part if acc is None else acc + part
+        return acc
 
     def refresh_cache(bptr):
         widx = bptr >> 2
@@ -379,7 +386,6 @@ def _dsd_fast_kernel(state0_ref, summed_ref, meta_ref, words_ref, out_ref,
         cp.wait()
 
     n_groups = w_total // 32
-    grouped = _bc_i32(wvmem[...])  # (W/32, 32, tile)
     iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
     iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
     iota_b = jax.lax.broadcasted_iota(I32, (bins, 1, 1), 0)
@@ -389,8 +395,16 @@ def _dsd_fast_kernel(state0_ref, summed_ref, meta_ref, words_ref, out_ref,
     tab3 = summed_ref[...].reshape(bins, 256, lane_tile)
 
     def fetch_group(tgt):
-        m = iota_g == tgt[None, :, :]
-        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
+        # chunked select-reduce: bounds the masked temporary to 32 groups
+        # (a full (G, 32, tile) where-temp at G >= 128 blows the 16 MB
+        # VMEM stack on top of the resident words scratch)
+        acc = None
+        for g0 in range(0, n_groups, 32):
+            blk = _bc_i32(wvmem[g0:g0 + 32])   # slice the ref, not a copy
+            m = iota_g[g0:g0 + 32] == tgt[None, :, :]
+            part = jnp.sum(jnp.where(m, blk, I32(0)), axis=0, dtype=I32)
+            acc = part if acc is None else acc + part
+        return acc
 
     def refresh_cache(bptr):
         widx = bptr >> 2
