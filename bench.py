@@ -77,6 +77,13 @@ def main():
     block_samples = int(os.environ.get("WVPK_BENCH_BLOCK", "4096"))
     repeats = int(os.environ.get("WVPK_BENCH_REPEATS", "3"))
 
+    # persistent XLA compile cache: the bench compiles ~20 kernel variants
+    # (fused buckets, secondaries, DSD, sweep profiles); cache them across
+    # runs so repeat benches spend their time measuring, not compiling
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/wvpk-jax-cache"))
+
     import jax
 
     from wvpk.container import parse_blocks

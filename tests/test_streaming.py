@@ -138,6 +138,16 @@ def test_streaming_auto_threshold(tmp_path):
     assert not wpc.streaming
 
 
+def test_cli_streaming_matches_eager(tmp_path):
+    from wvpk import cli
+    pcm, _data, path = make_file(tmp_path, n_blocks=6)
+    out_e = tmp_path / "eager.wav"
+    out_s = tmp_path / "stream.wav"
+    assert cli.main([str(path), "-o", str(out_e), "-q"]) == 0
+    assert cli.main([str(path), "-o", str(out_s), "-q", "--streaming"]) == 0
+    assert out_e.read_bytes() == out_s.read_bytes()
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))

@@ -21,11 +21,12 @@ from .report import build_report
 
 def decode_one(path: str, out_path: str | None, quiet: bool = False,
                show_trace: bool = False, report_json: bool = False,
-               raw: bool = False) -> int:
+               raw: bool = False, streaming: bool | None = None) -> int:
     t_open = time.perf_counter()
     # unlike the reference demo (first two channels only), decode every
     # stream of multichannel files
-    wpc = api.WavpackOpenFileInput(path, flags=consts.OPEN_ALL_CHANNELS)
+    wpc = api.WavpackOpenFileInput(path, flags=consts.OPEN_ALL_CHANNELS,
+                                   streaming=streaming)
     err = api.WavpackGetErrorMessage(wpc)
     if err:
         print(f"Error: {err}", file=sys.stderr)
@@ -187,6 +188,10 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true",
                    help="write raw interleaved samples (or native DSD "
                         "bytes) with no WAV container")
+    p.add_argument("--streaming", action="store_true",
+                   help="force bounded-memory streaming decode (lazy "
+                        "block parse + segment-cache eviction; automatic "
+                        "for large files)")
     args = p.parse_args(argv)
 
     if args.batch:
@@ -199,13 +204,15 @@ def main(argv=None) -> int:
             out = (base[:-3] if base.endswith(".wv") else base) + ".wav"
         return decode_one(args.inputs[0], out, args.quiet,
                           show_trace=args.trace, report_json=args.report,
-                          raw=args.raw)
+                          raw=args.raw,
+                          streaming=True if args.streaming else None)
 
     rc = 0
     for path in args.inputs:
         out = (path[:-3] if path.endswith(".wv") else path) + ".wav"
         rc |= decode_one(path, out, args.quiet, show_trace=args.trace,
-                         report_json=args.report, raw=args.raw)
+                         report_json=args.report, raw=args.raw,
+                         streaming=True if args.streaming else None)
     return rc
 
 
