@@ -123,8 +123,12 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
 
     L = lane_tile
     n_groups = w_total // 32
-    # stream words read as int32 slices (Mosaic lacks unsigned reductions);
-    # exactly one selected term per lane makes the int32 sum exact
+    # stream words as int32 (Mosaic lacks unsigned reductions); exactly one
+    # selected term per lane makes the int32 sum the exact bit pattern.
+    # Materialized ONCE per grid step and reused by every scheduled sweep
+    # in the chunk — slicing wvmem per sweep re-measured 31% slower
+    # (0.907 -> 1.192 us/iter on hardware)
+    grouped = _bc_i32(wvmem[...])  # (W/32, 32, L), resident in VMEM
     iota_g = jax.lax.broadcasted_iota(I32, (n_groups, 1, 1), 0)
     iota32 = jax.lax.broadcasted_iota(I32, (32, 1), 0)
     max_g = I32(n_groups - 1)
@@ -133,17 +137,9 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
     B_CUR, B_NXT, B_CG, B_NG = 0, 32, 64, 65
 
     def fetch_group(tgt):
-        """One select-reduce sweep: the 32 words of group tgt per lane.
-        Chunked over 32-group slices to bound the masked temporary (a
-        full (G, 32, tile) where-temp costs G*128*tile bytes of VMEM
-        stack on top of the resident words scratch)."""
-        acc = None
-        for g0 in range(0, n_groups, 32):
-            blk = _bc_i32(wvmem[g0:g0 + 32])   # slice the ref, not a copy
-            m = iota_g[g0:g0 + 32] == tgt[None, :, :]
-            part = jnp.sum(jnp.where(m, blk, I32(0)), axis=0, dtype=I32)
-            acc = part if acc is None else acc + part
-        return acc
+        """One select-reduce sweep: the 32 words of group tgt per lane."""
+        m = iota_g == tgt[None, :, :]
+        return jnp.sum(jnp.where(m, grouped, I32(0)), axis=0, dtype=I32)
 
     def refresh_cache(widx, mask=None):
         """Refill the double-buffered group cache at widx's group (+1) for
@@ -619,7 +615,10 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     T = nsteps // C
     lane_tile = _lane_tile(((W + 31) // 32) * 32)
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
-    chunk = min(T, 256)
+    # chunk bounds the double-buffered output blocks (2 outs x 2 buffers x
+    # chunk x tile x 4B); at tile 512 the words scratch + sweep temporary
+    # already push the 16 MB VMEM budget, so halve the chunk there
+    chunk = min(T, 128 if lane_tile >= 512 else 256)
     assert T % chunk == 0
 
     # W padded to the 32-word cache group for the grouped layout
