@@ -166,12 +166,16 @@ def main():
         best = min(best, t1 - t0)
 
     # secondary: everything delivered to host numpy (packed-byte payloads
-    # + batched fetches). Warm once so the number measures the delivery
-    # path, not kernel compilation, same as every other metric here.
+    # + one batched cross-bucket fetch). Warm once so the number measures
+    # the delivery path, not kernel compilation, and take best-of-repeats
+    # like every other metric here (the dev tunnel's transfer rate swings
+    # ~2x run to run; best-of reflects the path's capability).
     decode_states(states)
-    t0 = time.perf_counter()
-    results = decode_states(states)
-    host_s = time.perf_counter() - t0
+    host_s = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        results = decode_states(states)
+        host_s = min(host_s, time.perf_counter() - t0)
     assert not any(r.crc_error for r in results)
 
     # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3) and

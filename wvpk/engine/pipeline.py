@@ -138,12 +138,17 @@ def _unpack_lane(raw_words: np.ndarray, n_vals: int, bps: int,
     return v.reshape(-1, C)
 
 
-def finalize_bucket(lb: LaunchedBucket) -> list[DecodedBlock]:
+def finalize_bucket(lb: LaunchedBucket,
+                    fetched: tuple[np.ndarray, np.ndarray] | None = None
+                    ) -> list[DecodedBlock]:
     b = lb.bucket
     prof = b.profile
-    with trace.stage("transfer"):
-        cm = np.asarray(lb.crcmute)
-        payload_np = np.asarray(lb.payload)
+    if fetched is not None:
+        cm, payload_np = fetched
+    else:
+        with trace.stage("transfer"):
+            cm = np.asarray(lb.crcmute)
+            payload_np = np.asarray(lb.payload)
     crc_np, mute_np, crc_x = cm[0], cm[1], cm[2]
 
     C = 1 if prof.mono else 2
@@ -163,6 +168,34 @@ def finalize_bucket(lb: LaunchedBucket) -> list[DecodedBlock]:
             crc=int(crc_np[i]), crc_x=int(crc_x[i]),
             mute_error=bool(mute_np[i]), crc_error=bool(crc_err)))
     return results
+
+
+def _fetch_launched(lbs: list[LaunchedBucket]
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """ONE device->host transfer for every launched bucket's crc/mute
+    vector and PCM payload: each array is bitcast to a flat int32 vector
+    on device, concatenated, and fetched with a single blocking asarray.
+    The tunneled dev setup pays ~27 ms per fetch regardless of size, and
+    real PCIe pays latency per transfer too — batching makes delivery
+    cost scale with bytes, not with bucket count."""
+    import jax
+    import jax.numpy as jnp
+
+    if not lbs:
+        return []
+    parts, metas = [], []
+    for lb in lbs:
+        for arr in (lb.crcmute, lb.payload):
+            flat = jax.lax.bitcast_convert_type(arr, jnp.int32).reshape(-1)
+            parts.append(flat)
+            metas.append((flat.size, arr.shape, np.dtype(str(arr.dtype))))
+    with trace.stage("transfer"):
+        blob = np.asarray(jnp.concatenate(parts))
+    out, pos = [], 0
+    for size, shape, dt in metas:
+        out.append(blob[pos:pos + size].view(dt).reshape(shape))
+        pos += size
+    return [(out[2 * i], out[2 * i + 1]) for i in range(len(lbs))]
 
 
 def decode_bucket(b: Bucket) -> list[DecodedBlock]:
@@ -190,11 +223,11 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
     with trace.stage("staging"):
         buckets = group_blocks(pcm_states)
-    # launch every bucket first (device work queues asynchronously),
-    # then finalize: fetches overlap the remaining buckets' compute
+    # launch every bucket first (device work queues asynchronously), then
+    # fetch everything in one batched transfer and reassemble on host
     launched = [launch_bucket(bucket) for bucket in buckets]
-    for lb in launched:
-        for st, res in zip(lb.bucket.states, finalize_bucket(lb)):
+    for lb, fetched in zip(launched, _fetch_launched(launched)):
+        for st, res in zip(lb.bucket.states, finalize_bucket(lb, fetched)):
             results[remap[id(st)]] = res
     if dsd_states:
         with trace.stage("dsd"):
