@@ -17,9 +17,11 @@ with no cross-lane reduces, collecting a per-lane `rare` flag (zero-run
 gamma start, LIMIT_ONES escape). A single any-reduce gates a repair body
 that re-decodes the whole iteration from the pre-iteration state with the
 Elias gammas inlined branchlessly (and the group cache re-centered for
-affected lanes), merging per-lane. Cross-lane reduces cost ~0.23 us each
-on v5e (latency-bound); this design pays exactly one per iteration where
-the previous one paid four (zero-run + escape whens x 2 channels).
+lanes whose coverage actually dropped below 33 words — a nested scalar
+gate, since most gammas advance <= ~2.6 words), merging per-lane.
+Cross-lane reduces cost ~0.23 us each on v5e (latency-bound); this design
+pays exactly one per iteration on the common path where the previous one
+paid four (zero-run + escape whens x 2 channels).
 
 All arithmetic is 32-bit (TPU-native): the window is an explicit
 (lo, hi) uint32 pair and the interval math uses unsigned-32 identities.
@@ -53,6 +55,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import consts
 
+# Speculation span: iterations decoded per any-reduce. >1 halves the
+# per-iteration reduce cost on paper but re-measured SLOWER end-to-end on
+# the bench corpus (slope 0.79 -> 0.90 us/iter at 2, worse at 4): the
+# span-wide OR fires the whole-span repair (2x the inline decode body)
+# whenever ANY lane in ANY spanned iteration hits an escape, and at 512
+# lanes that probability compounds fast.
 UNROLL = 1
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -105,7 +113,7 @@ def _lane_tile(w_words: int) -> int:
 def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
                     stfin_ref, st, tmp, wvmem, bufs, dma_sem, *, mono: bool,
                     hybrid: bool, hybrid_bitrate: bool, hybrid_balance: bool,
-                    chunk: int, w_total: int, lane_tile: int):
+                    chunk: int, w_total: int, lane_tile: int, unroll: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -163,6 +171,24 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
                                                bufs[B_CG:B_CG + 1, :])
             bufs[B_NG:B_NG + 1, :] = jnp.where(mask, nxt,
                                                bufs[B_NG:B_NG + 1, :])
+
+    def cond_refresh(widx, mask):
+        """Re-center the group cache for `mask` lanes whose remaining
+        coverage dropped below 33 words, gated on a scalar any-reduce so
+        the two full-W refresh sweeps only run when some lane actually
+        needs them. A gamma consumes <= ~2.6 words, so most gamma events
+        stay covered and pay only the reduce (~0.23 us), not the sweeps
+        (~1.4 us). Invariant kept: after every gamma event each affected
+        lane has >= 33 words of coverage (re-centered or already there),
+        and <= 25.5 + 2.6 words are consumed before the next check, so
+        every fetch_word stays inside the cached groups."""
+        short = (widx + 33) > ((bufs[B_NG:B_NG + 1, :] + 1) << 5)
+        need = mask & short
+        any_need = jnp.max(jnp.where(need, I32(1), I32(0)))
+
+        @pl.when(any_need > 0)
+        def _recenter():
+            refresh_cache(widx, need)
 
     def fetch_word(widx):
         """words[widx] per lane (uint32) from the group cache: two 32-row
@@ -339,7 +365,7 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
             # cache for the affected lanes (pre-gamma coverage was enough
             # for gamma itself: >= 7.5 words vs <= 66 bits consumed)
             zv, gb, win_g = gamma(win)
-            refresh_cache(win_g[3], start)
+            cond_refresh(win_g[3], start)
             win = win_sel(start, win_g, win)
         else:
             # speculative common path: flag start lanes as rare; their
@@ -386,7 +412,7 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         if inline:
             win_e = consume(win, I32(17), esc_lanes)
             ev, eb, win_e = gamma(win_e)
-            refresh_cache(win_e[3], esc_lanes)
+            cond_refresh(win_e[3], esc_lanes)
             win = win_sel(esc_lanes, win_e, win)
             ebreak = esc_lanes & eb
         else:
@@ -451,7 +477,13 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
             m0b, m1b, m2b = m0c, m1c, m2c
 
         # ---- value: read_code (WordsUtils.cs:546-570) + sign ----
-        win = ensure33(win)
+        # ONE refill suffices here (vs ensure33's two): every path into the
+        # value read leaves wcnt >= 1 — common lanes hold >= 33 - 17 = 16
+        # after the unary consume, and both inline gamma paths end with
+        # ensure33 followed by a <= 31-bit consume, leaving >= 2 — so a
+        # single insert from wcnt <= 32 always reaches >= 33 (and lanes
+        # already at >= 33 skip it). The value+sign consume needs <= 33.
+        win = refill_once(win, win[2] < 33)
         lo_v = win[0]
         b32_v = win[1] & 1
         maxcode = high - low
@@ -532,66 +564,84 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
 
     carry0 = load_state()
 
+    # refresh cadence: every 8 decoded iterations regardless of unroll
+    # (8 stereo iterations consume <= 25.5 words; a refresh always leaves
+    # >= 33 buffered)
+    sched = max(1, 8 // unroll)
+
     def body(t0, carry):
         # scheduled group-cache refresh: the only full-W sweeps on the
-        # common path, amortized over 8 iterations (scalar condition, no
-        # cross-lane reduce). 8 stereo iterations consume <= 25.5 words;
-        # a refresh always leaves >= 33 buffered.
-        @pl.when((t0 & 7) == 0)
+        # common path (scalar condition, no cross-lane reduce)
+        @pl.when((t0 % sched) == 0)
         def _sched_refresh():
             refresh_cache(carry[R_WIDX])
 
         state = carry
         limit = state0_ref[NSTATE:NSTATE + 1, :]  # samples per lane
-        for u in range(UNROLL):
-            t = t0 * UNROLL + u
+        # speculative pass: all `unroll` iterations x both channels run the
+        # common path with no cross-lane reduces, OR-accumulating per-lane
+        # rare flags; ONE any-reduce then gates a repair of the whole
+        # unrolled span. A lane rare in any iteration discards its whole
+        # span (its later speculative iterations read a garbage window);
+        # non-rare lanes' speculative results equal the inline recompute.
+        spec = state
+        outs = []
+        rare = None
+        for u in range(unroll):
+            t = t0 * unroll + u
             active = (j * chunk + t) < limit
-            # speculative pass: both channels on the common path, no
-            # cross-lane reduces; collects per-lane rare flags
-            spec, out_a, rare = decode_word(state, 0, active, inline=False)
+            spec, out_a, r = decode_word(spec, 0, active, inline=False)
+            out_b = None
             if not mono:
-                spec, out_b, rare_b = decode_word(spec, 1, active,
-                                                  inline=False)
-                rare = rare | rare_b
-            any_rare = jnp.max(jnp.where(rare, I32(1), I32(0)))
+                spec, out_b, rb = decode_word(spec, 1, active, inline=False)
+                r = r | rb
+            outs.append((out_a, out_b))
+            rare = r if rare is None else rare | r
+        any_rare = jnp.max(jnp.where(rare, I32(1), I32(0)))
 
-            # rare repair: re-decode the whole iteration from the
-            # pre-iteration state with gammas inlined branchlessly (the
-            # iteration's ONLY cross-lane reduce gates this body)
-            @pl.when(any_rare > 0)
-            def _rare_repair():
-                s1, oa, _ = decode_word(state, 0, active, inline=True)
+        # rare repair: re-decode the span from the pre-span state with
+        # gammas inlined branchlessly (the span's ONLY cross-lane reduce
+        # gates this body)
+        @pl.when(any_rare > 0)
+        def _rare_repair():
+            s1 = state
+            for u in range(unroll):
+                t = t0 * unroll + u
+                active = (j * chunk + t) < limit
+                s1, oa, _ = decode_word(s1, 0, active, inline=True)
+                tmp[NSTATE + 2 * u:NSTATE + 2 * u + 1, :] = oa
                 if not mono:
                     s1, ob, _ = decode_word(s1, 1, active, inline=True)
-                for k in range(NSTATE):
-                    row = s1[k]
-                    tmp[k:k + 1, :] = (_bc_i32(row)
-                                       if k in (R_WLO, R_WHI) else row)
-                tmp[NSTATE:NSTATE + 1, :] = oa
-                if not mono:
-                    tmp[NSTATE + 1:NSTATE + 2, :] = ob
-
-            merged = []
+                    tmp[NSTATE + 2 * u + 1:NSTATE + 2 * u + 2, :] = ob
             for k in range(NSTATE):
-                t_k = tmp[k:k + 1, :]
-                if k in (R_WLO, R_WHI):
-                    merged.append(jnp.where(rare, _bc_u32(t_k), spec[k]))
-                else:
-                    merged.append(jnp.where(rare, t_k, spec[k]))
-            merged.append(spec[NSTATE])      # delta_a (read-only)
-            merged.append(spec[NSTATE + 1])  # delta_b (read-only)
-            state = tuple(merged)
+                row = s1[k]
+                tmp[k:k + 1, :] = (_bc_i32(row)
+                                   if k in (R_WLO, R_WHI) else row)
+
+        merged = []
+        for k in range(NSTATE):
+            t_k = tmp[k:k + 1, :]
+            if k in (R_WLO, R_WHI):
+                merged.append(jnp.where(rare, _bc_u32(t_k), spec[k]))
+            else:
+                merged.append(jnp.where(rare, t_k, spec[k]))
+        merged.append(spec[NSTATE])      # delta_a (read-only)
+        merged.append(spec[NSTATE + 1])  # delta_b (read-only)
+        for u in range(unroll):
+            t = t0 * unroll + u
+            out_a, out_b = outs[u]
             out_a_ref[pl.ds(t, 1), :] = jnp.where(
-                rare, tmp[NSTATE:NSTATE + 1, :], out_a)
+                rare, tmp[NSTATE + 2 * u:NSTATE + 2 * u + 1, :], out_a)
             if not mono:
                 out_b_ref[pl.ds(t, 1), :] = jnp.where(
-                    rare, tmp[NSTATE + 1:NSTATE + 2, :], out_b)
-        return state
+                    rare, tmp[NSTATE + 2 * u + 1:NSTATE + 2 * u + 2, :],
+                    out_b)
+        return tuple(merged)
 
     # static Python-int bounds; tracing runs under enable_x64(False), so
     # the induction variable stays int32 for Mosaic
-    assert chunk % UNROLL == 0
-    final = jax.lax.fori_loop(0, chunk // UNROLL, body, carry0)
+    assert chunk % unroll == 0
+    final = jax.lax.fori_loop(0, chunk // unroll, body, carry0)
 
     for k in range(NSTATE):
         row = final[k]
@@ -620,6 +670,9 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     # already push the 16 MB VMEM budget, so halve the chunk there
     chunk = min(T, 128 if lane_tile >= 512 else 256)
     assert T % chunk == 0
+    # speculate UNROLL iterations per any-reduce (the reduce is ~0.23 us
+    # latency-bound whether taken or not; spanning 2 iterations halves it)
+    unroll = UNROLL if chunk % UNROLL == 0 else 1
 
     # W padded to the 32-word cache group for the grouped layout
     W = ((W + 31) // 32) * 32
@@ -663,7 +716,7 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     kernel = partial(_entropy_kernel, mono=mono, hybrid=hybrid,
                      hybrid_bitrate=hybrid_bitrate,
                      hybrid_balance=hybrid_balance, chunk=chunk, w_total=W,
-                     lane_tile=lane_tile)
+                     lane_tile=lane_tile, unroll=unroll)
     out_shape = [
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_a
         jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_b
@@ -690,7 +743,7 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
             ],
             scratch_shapes=[
                 pltpu.VMEM((NSTATE + N_EXTRA, lane_tile), jnp.int32),
-                pltpu.VMEM((NSTATE + 2, lane_tile), jnp.int32),
+                pltpu.VMEM((NSTATE + 2 * unroll, lane_tile), jnp.int32),
                 pltpu.VMEM((W // 32, 32, lane_tile), jnp.uint32),
                 pltpu.VMEM((66, lane_tile), jnp.int32),
                 pltpu.SemaphoreType.DMA(())],
