@@ -113,6 +113,12 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
             acc = part if acc is None else acc + part
         return acc
 
+    # bufs rows [66] and [67] carry the two stream words at bptr>>2 and
+    # bptr>>2 + 1 — a per-lane byte window kept in sync with bptr so the
+    # per-bit renorm reads bytes with NO cache extraction (rebuilt after
+    # every scheduled refresh, advanced with one lookahead fetch per bit)
+    B_W0, B_W1 = 66, 67
+
     def refresh_cache(bptr):
         widx = bptr >> 2
         eff = jnp.minimum(widx >> 5, max_g)
@@ -121,6 +127,8 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         bufs[32:64, :] = fetch_group(nxt)
         bufs[64:65, :] = eff
         bufs[65:66, :] = nxt
+        bufs[B_W0:B_W0 + 1, :] = fetch_word(widx)
+        bufs[B_W1:B_W1 + 1, :] = fetch_word(widx + 1)
 
     def fetch_word(widx):
         eff = jnp.minimum(widx >> 5, max_g)
@@ -132,26 +140,26 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
                      keepdims=True, dtype=I32)
         return jnp.where(eff == bufs[65:66, :], wn, wc)
 
-    def fetch4_be(bptr):
-        """bytes data[bptr..bptr+3] as one big-endian u32 (i32 pattern)."""
-        wi = bptr >> 2
-        o = (bptr & 3) * 8
-        w0 = _bc_u32(fetch_word(wi))
-        w1 = _bc_u32(fetch_word(wi + 1))
-        lw = (w0 >> _bc_u32(o)) | jnp.where(o == 0, U32(0),
-                                            w1 << _bc_u32((32 - o) & 31))
-        lwi = _bc_i32(lw)
+    def _swap_be(lwi):
         return (((lwi & 0xFF) << 24) | ((lwi & 0xFF00) << 8)
                 | (_lshr(lwi, 8) & 0xFF00) | (_lshr(lwi, 24) & 0xFF))
 
-    def renorm(high, low, value, bptr):
+    def renorm(high, low, value, bptr, active):
         """Closed-form byte renormalization (DsdUtils.cs:295-300): the
         loop runs exactly clz(high^low) >> 3 times (each shift lowers clz
-        by exactly 8), clamped by bytes left — one clz + one windowed
-        4-byte fetch instead of four sequential conditional byte fetches."""
+        by exactly 8), clamped by bytes left. Bytes come from the carried
+        two-word window (bufs[B_W0/B_W1]); the window advances by at most
+        one word per bit (k <= 4 from a word-aligned base + in-word
+        offset), refilled with a single lookahead cache extraction."""
+        w0 = bufs[B_W0:B_W0 + 1, :]
+        w1 = bufs[B_W1:B_W1 + 1, :]
         lead = _bc_i32(jax.lax.clz(_bc_u32(high ^ low)))
         k = jnp.minimum(lead >> 3, jnp.clip(nbytes - bptr, 0, 4))
-        w4 = fetch4_be(bptr)
+        k = jnp.where(active, k, 0)
+        o = (bptr & 3) * 8
+        lw = (_bc_u32(w0) >> _bc_u32(o)) | jnp.where(
+            o == 0, U32(0), _bc_u32(w1) << _bc_u32((32 - o) & 31))
+        w4 = _swap_be(_bc_i32(lw))
         shu = _bc_u32((k * 8) & 31)
         vmix = _bc_i32((_bc_u32(value) << shu)
                        | (_bc_u32(w4) >> _bc_u32((32 - k * 8) & 31)))
@@ -160,7 +168,13 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         high = jnp.where(k == 4, I32(-1),
                          _bc_i32(_bc_u32(high) << shu) | ones)
         low = jnp.where(k == 4, I32(0), _bc_i32(_bc_u32(low) << shu))
-        return high, low, value, bptr + k
+        wi = bptr >> 2
+        bptr = bptr + k
+        adv = (bptr >> 2) != wi
+        wnew = fetch_word(wi + 2)
+        bufs[B_W0:B_W0 + 1, :] = jnp.where(adv, w1, w0)
+        bufs[B_W1:B_W1 + 1, :] = jnp.where(adv, wnew, w1)
+        return high, low, value, bptr
 
     def ptable_get(pp):
         m = iota256 == pp
@@ -182,11 +196,7 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         onehot = (iota256 == pp) & active
         pt[...] = jnp.where(onehot, pt_new, pt[...])
         f0 = jnp.where(bit1, I32(-1), I32(0))
-        h2, l2, v2, b2 = renorm(high, low, value, bptr)
-        high = jnp.where(active, h2, high)
-        low = jnp.where(active, l2, low)
-        value = jnp.where(active, v2, value)
-        bptr = jnp.where(active, b2, bptr)
+        high, low, value, bptr = renorm(high, low, value, bptr, active)
         val = val + f6 * 8
         bytei = (bytei << 1) | (f0 & 1)
         factor = factor + ((((val ^ f0) >> 31) | 1)
@@ -210,10 +220,13 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         t = j * chunk + tt
         active = t < nsamp
 
-        # worst-case consumption is 16 words per stereo step (2 ch x
-        # 8 bits x <= 4 renorm bytes); a refresh leaves >= 33 words of
-        # coverage, so every-other-step refresh is always safe
-        @pl.when((tt & 1) == 0)
+        # consumption bound: each bit-decode narrows the interval by at
+        # most 8 bits (split keeps >= (high-low)>>8 of the width), so the
+        # renormalized common prefix grows <= 8 bits/bit — N bits consume
+        # <= N + 4 bytes. 4 stereo steps = 64 bits consume <= 68 bytes =
+        # 17 words, + 2 words of byte-window lookahead = 19 < the >= 33
+        # words a refresh leaves, so every-4-steps refresh is safe
+        @pl.when((tt & 3) == 0)
         def _sched_refresh():
             refresh_cache(carry[S_BPTR])
 
@@ -326,7 +339,7 @@ def dsd_high_decode_pallas(data, nbytes, ptable0, filters0, value0,
             scratch_shapes=[
                 pltpu.VMEM((nstate, lane_tile), I32),
                 pltpu.VMEM((256, lane_tile), I32),
-                pltpu.VMEM((66, lane_tile), I32),
+                pltpu.VMEM((68, lane_tile), I32),
                 pltpu.VMEM((NBp // 128, 32, lane_tile), jnp.uint32),
                 pltpu.SemaphoreType.DMA(())],
             out_shape=out_shape,
