@@ -99,3 +99,20 @@ def test_false_stereo_hybrid_device():
     data = encode_file(pcm, EncodeSpec(block_samples=150, false_stereo=True,
                                        hybrid=True, bitrate=700))
     compare(data)
+
+
+def test_false_stereo_wvx_crcx_quirk():
+    """FALSE_STEREO + INT32/wvx: the reference's fixup counts
+    sample_count*2 whenever MONO_FLAG is clear (UnpackUtils.cs:1265), so
+    it injects wvx bits into the not-yet-duplicated half of the buffer
+    and folds those values into crc_x. The device path must replicate
+    that (samples are unaffected; crc_x and the wvx cursor are)."""
+    pcm = noise(300, 1, 60000, 12) << 4
+    data = encode_file(pcm, EncodeSpec(block_samples=150, false_stereo=True,
+                                       bytes_stored=4, int32_mode="wvx",
+                                       int32_sent_bits=4, int32_max_width=30))
+    blocks, dev = compare(data)
+    for blk, d in zip(blocks, dev):
+        want = decode_block(blk.state)
+        assert d.crc_x == want.crc_x == blk.state.crc_mvx
+        assert not d.crc_error

@@ -93,13 +93,16 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
 
     if prof.has_wvx:
         with trace.stage("wvx"):
+            fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
+                             for st in b.states])
             out, crc_x_dev = wvx_inject(
                 out, b.nsamples, b.wvx_words, b.wvx_start_bit,
                 b.wvx_start_bc, b.sent_bits, b.max_width,
                 np.stack([np.asarray([st.int32_zeros for st in b.states]),
                           np.asarray([st.int32_ones for st in b.states]),
                           np.asarray([st.int32_dups for st in b.states])],
-                         axis=1).astype(np.int32))
+                         axis=1).astype(np.int32),
+                false_stereo=fs if fs.any() else None)
     else:
         crc_x_dev = jnp.full((L,), -1, jnp.int32)
 

@@ -87,6 +87,9 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
     def _init():
         st[...] = state0_ref[...]
         pt[...] = ptable0_ref[...]
+        # poison the cached next-group index so the first step's coverage
+        # guard always fires and populates the cache + byte window
+        bufs[64:66, :] = jnp.full((2, lane_tile), -1, I32)
         cp = pltpu.make_async_copy(
             words_ref.at[:, :, pl.ds(i * lane_tile, lane_tile)], wvmem,
             dma_sem)
@@ -220,14 +223,20 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         t = j * chunk + tt
         active = t < nsamp
 
-        # consumption bound: each bit-decode narrows the interval by at
-        # most 8 bits (split keeps >= (high-low)>>8 of the width), so the
-        # renormalized common prefix grows <= 8 bits/bit — N bits consume
-        # <= N + 4 bytes. 4 stereo steps = 64 bits consume <= 68 bytes =
-        # 17 words, + 2 words of byte-window lookahead = 19 < the >= 33
-        # words a refresh leaves, so every-4-steps refresh is safe
-        @pl.when((tt & 3) == 0)
-        def _sched_refresh():
+        # guarded refresh: a fully-converged ptable entry (pt>>16 == 256)
+        # lets the unlikely branch collapse the interval to
+        # (high-low) & 0xFF, so ONE bit can renormalize up to 4 bytes —
+        # worst-case consumption is 16 bits x 4 bytes = 16 words per
+        # stereo step (no amortized bound holds). Guard per step instead
+        # of a fixed schedule: refresh when any lane's remaining coverage
+        # drops below 16 + 2 lookahead words (one scalar any-reduce per
+        # step; the two full sweeps run only when actually needed)
+        widx0 = carry[S_BPTR] >> 2
+        short = (widx0 + 18) > ((bufs[65:66, :] + 1) << 5)
+        any_short = jnp.max(jnp.where(short, I32(1), I32(0)))
+
+        @pl.when(any_short > 0)
+        def _guard_refresh():
             refresh_cache(carry[S_BPTR])
 
         coder = (carry[S_VAL], carry[S_LOW], carry[S_HIGH], carry[S_BPTR])

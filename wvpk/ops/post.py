@@ -143,14 +143,25 @@ def fixup(out, shift, bytes_stored, float_shift_eff, int32_zod, *,
 
 @jax.jit
 def wvx_inject(out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc,
-               sent_bits, max_width, int32_zod):
+               sent_bits, max_width, int32_zod, false_stereo=None):
     """INT32 wvx low-bit injection + expansion + crc_x
     (UnpackUtils.cs:1271-1314). Values are processed in interleaved memory
     order; crc_x covers the post-expansion values.
 
+    FALSE_STEREO quirk (UnpackUtils.cs:1265): fixup_samples counts
+    `sample_count * 2` whenever MONO_FLAG is clear — including
+    FALSE_STEREO blocks, whose buffer holds only `sample_count` mono
+    values at that point (the channel duplication at :668-680 runs
+    AFTER fixup). The reference therefore injects wvx bits into the
+    zero second half of the buffer and folds those values into crc_x;
+    the dup then overwrites them, so only the bit cursor and crc_x are
+    affected. `false_stereo` lanes replicate this with a second pass
+    over zero values.
+
     out: (T, L, C) int32 decorr output (post joint/mute);
     wvx_words: (L, W) uint32; wvx_start_bit/bc: (L,) initial cursor state;
-    sent_bits/max_width: (L,); int32_zod: (L, 3) zeros/ones/dups.
+    sent_bits/max_width: (L,); int32_zod: (L, 3) zeros/ones/dups;
+    false_stereo: (L,) bool or None.
     Returns (out' int32, crc_x (L,) int32).
     """
     T, L, C = out.shape
@@ -210,5 +221,18 @@ def wvx_inject(out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc,
     carry0 = (wvx_start_bit.astype(I64), wvx_start_bc.astype(I64),
               jnp.full((L,), -1, I64))
     xs = (jnp.arange(T, dtype=jnp.int32), out)
-    (_, _, crc_x), injected = jax.lax.scan(step, carry0, xs)
+    carry, injected = jax.lax.scan(step, carry0, xs)
+
+    # pass false_stereo=None when no lane has FALSE_STEREO (the caller
+    # checks) — jit specializes on the None/array pytree structure
+    if false_stereo is not None:
+        fs = jnp.asarray(false_stereo)
+
+        def step_fs(c, t):
+            state, _v = one_value(c, jnp.zeros((L,), I64), fs & (t < ns))
+            return state, None
+
+        carry, _ = jax.lax.scan(step_fs, carry,
+                                jnp.arange(T, dtype=jnp.int32))
+    crc_x = carry[2]
     return injected, wrap32(crc_x).astype(jnp.int32)
