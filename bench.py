@@ -105,6 +105,22 @@ def main():
     buckets = group_blocks(states)
     gen_s = time.perf_counter() - t_gen
 
+    # host-delivery FIRST, while the tunnel is fresh: the dev tunnel's
+    # transfer rate degrades after sustained multi-hundred-MB load (the
+    # headline staging below), which is a rig artifact, not a decoder
+    # property. Measured on a 48-file subset: full decode_states round
+    # trip — compressed words up, packed PCM down, one batched fetch.
+    host_states = states[:len(states) * 48 // max(n_files, 48)] \
+        if n_files > 48 else states
+    host_samples = sum(st.header.block_samples for st in host_states)
+    decode_states(host_states)   # warm/compile
+    host_s = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        host_results = decode_states(host_states)
+        host_s = min(host_s, time.perf_counter() - t0)
+    assert not any(r.crc_error for r in host_results)
+
     # stage every bucket's arrays into HBM once, outside the timed region
     names = ("words", "nwords_lane", "nsamples", "med", "slow", "acc",
              "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
@@ -168,25 +184,6 @@ def main():
         run_device()
         t1 = time.perf_counter()
         best = min(best, t1 - t0)
-
-    # secondary: everything delivered to host numpy (packed-byte payloads
-    # + one batched cross-bucket fetch). Measured on a 48-file subset:
-    # this metric is payload-transfer-bound, and the dev tunnel's rate
-    # DEGRADES under sustained multi-hundred-MB load, so the subset keeps
-    # the measurement at a healthy tunnel operating point (real PCIe does
-    # not degrade this way). Warm once so the number measures the delivery
-    # path, not kernel compilation, and take best-of-repeats like every
-    # other metric here (the tunnel rate swings ~2x run to run).
-    host_states = states[:len(states) * 48 // max(n_files, 48)] \
-        if n_files > 48 else states
-    host_samples = sum(st.header.block_samples for st in host_states)
-    decode_states(host_states)
-    host_s = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        results = decode_states(host_states)
-        host_s = min(host_s, time.perf_counter() - t0)
-    assert not any(r.crc_error for r in results)
 
     # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3) and
     # hybrid lossy (config 5 PCM half), decoded through the same engine

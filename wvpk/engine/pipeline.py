@@ -70,6 +70,46 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
     import jax.numpy as jnp
 
     prof = b.profile
+    opts = get_options()
+    # fast path: one fused jit dispatch per bucket (plus wvx/pack) — the
+    # tunneled dev setup pays ~25 ms PER dispatch, so the six stage-wise
+    # dispatches below dominate small-batch delivery latency. Stage-wise
+    # execution is kept for tracing (--trace), sync_stages, and
+    # non-default kernel selections (the fused jit bakes the kernel
+    # choice at first trace)
+    # (wvx buckets stay stage-wise: the reference injects wvx bits BEFORE
+    # the final fixup shift, but fused_decode bakes fixup in with no wvx)
+    if (trace._sink() is None and not opts.sync_stages
+            and not opts.oracle_check and not prof.has_wvx
+            and opts.entropy_kernel == "auto"
+            and opts.decorr_kernel == "auto"):
+        from .fused import fused_decode
+        L = b.words.shape[0]
+        out, crc, mute = fused_decode(
+            b.words, b.nwords_lane, b.nsamples, b.med, b.slow, b.acc,
+            b.delta, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
+            b.num_terms, b.joint, b.mute_limit, b.shift, b.bytes_stored,
+            b.float_shift_eff, b.int32_zod,
+            mono=prof.mono, hybrid=prof.hybrid,
+            hybrid_bitrate=prof.hybrid_bitrate,
+            hybrid_balance=prof.hybrid_balance,
+            is_float=prof.is_float,
+            int32_expand=prof.is_int32,
+            nsteps=prof.nsteps,
+            num_terms_max=int(b.num_terms.max()) if len(b.states) else None)
+        crc_x_dev = jnp.full((L,), -1, jnp.int32)
+        bps = _bucket_bps(b) if opts.packed_delivery else None
+        if bps is not None:
+            from ..ops.pack import pack_samples
+            payload = pack_samples(out, bps=bps)
+        else:
+            payload = out
+        crcmute = jnp.stack([jnp.asarray(crc, jnp.int32).astype(jnp.int32),
+                             jnp.asarray(mute).astype(jnp.int32),
+                             crc_x_dev.astype(jnp.int32)])
+        return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
+                              bps=bps)
+
     with trace.stage("entropy"):
         residuals, broke, ndec = entropy_decode_any(
             b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
