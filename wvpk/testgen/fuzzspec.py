@@ -106,9 +106,12 @@ def random_pcm(rng: np.random.Generator, n: int, ch: int,
 
 
 def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
-                 corrupt: bool = True, verbose: bool = True):
+                 corrupt: bool = True, verbose: bool = True,
+                 seed_base: int = 7000):
     """Differential sweep of decode_states vs the scalar oracle on the
-    CURRENT backend (real kernels on TPU). Returns (fails, blocks)."""
+    CURRENT backend (real kernels on TPU). Returns (fails, blocks).
+    `seed_base` selects a disjoint randomized case pool (soak runs use
+    fresh bases; PCM seeds are seed_base+i, DSD seeds seed_base+1000+i)."""
     from ..container import parse_blocks
     from ..engine import decode_states
     from ..ref import decode_block
@@ -116,7 +119,7 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
 
     fails = blocks_checked = 0
     for seed in range(n_cases):
-        rng = np.random.default_rng(7000 + seed)
+        rng = np.random.default_rng(seed_base + seed)
         spec = random_spec(rng)
         n = int(rng.integers(spec.block_samples // 2,
                              spec.block_samples * 2 + 1))
@@ -138,7 +141,7 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
                 if verbose:
                     print(f"MISMATCH seed {seed}: {spec}")
     for seed in range(n_dsd):
-        rng = np.random.default_rng(8000 + seed)
+        rng = np.random.default_rng(seed_base + 1000 + seed)
         mode = int(rng.choice([0, 1, 3]))
         mono = bool(rng.random() < 0.3)
         ch = 1 if mono else 2
