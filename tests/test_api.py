@@ -115,3 +115,28 @@ def test_riff_header_passthrough():
     data = encode_file(pcm, EncodeSpec(block_samples=100, riff_header=hdr))
     wpc = api.WavpackOpenFileInput(data)
     assert api.WavpackGetHeader(wpc) == hdr
+
+
+def test_segment_lookup_searchsorted():
+    """_find_segment is O(log n): the cumulative-end array is built at
+    open (monotone block indices) and agrees with a linear walk at every
+    boundary, including the out-of-range sentinel."""
+    pcm, data = stereo_file(n=6400, block=64, seed=5)
+    wpc = api.WavpackOpenFileInput(data)
+    assert wpc._seg_ends is not None
+    assert len(wpc._segments) == 100
+
+    def linear(sample):
+        for s, (_start, end, _blocks) in enumerate(wpc._segments):
+            if sample < end:
+                return s
+        return None
+
+    probes = [0, 1, 63, 64, 65, 3200, 6399, 6400, 9999]
+    for p in probes:
+        assert api._find_segment(wpc, p) == linear(p), p
+    # seek still lands exactly through the searchsorted path
+    assert api.SetSample(wpc, 4321)
+    buf = np.zeros(10 * 2, np.int32)
+    assert api.WavpackUnpackSamples(wpc, buf, 10) == 10
+    np.testing.assert_array_equal(buf.reshape(-1, 2), pcm[4321:4331])

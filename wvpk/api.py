@@ -64,6 +64,10 @@ class WavpackContext:
     # segments: (block_index, end_index, [block positions]) per multichannel
     # segment (single-element lists for 1-2ch files)
     _segments: list = field(default_factory=list)
+    # cumulative end_index per segment, built once at open: makes
+    # _find_segment an O(log n) searchsorted instead of the reference's
+    # <= 25-step estimate search (WavPackUtils.cs:521-594)
+    _seg_ends: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     def _get_states(self, flat: list[int]):
@@ -324,6 +328,9 @@ def WavpackOpenFileInput(source, flags: int = 0,
     if cur:
         h0 = headers[cur[0]]
         wpc._segments.append((h0.block_index, h0.end_index, cur))
+    ends = np.asarray([e for (_s, e, _b) in wpc._segments], np.int64)
+    if len(ends) and (np.diff(ends) >= 0).all():
+        wpc._seg_ends = ends
     wpc.all_channels = bool(flags & consts.OPEN_ALL_CHANNELS)
     st_flags = hdr.flags
     wpc.config.flags = (wpc.config.flags & ~0xFF) | (st_flags & 0xFF)
@@ -394,6 +401,12 @@ def WavpackUnpackSamples(wpc: WavpackContext, buffer: np.ndarray,
 
 
 def _find_segment(wpc: WavpackContext, sample: int):
+    """First segment whose end_index exceeds `sample`: O(log n) via the
+    cumulative-end array built at open (falls back to a linear walk for
+    malformed files with non-monotonic block indices)."""
+    if wpc._seg_ends is not None:
+        s = int(np.searchsorted(wpc._seg_ends, sample, side="right"))
+        return s if s < len(wpc._segments) else None
     for s, (_start, end, _blocks) in enumerate(wpc._segments):
         if sample < end:
             return s
