@@ -108,10 +108,17 @@ def main():
     # host-delivery FIRST, while the tunnel is fresh: the dev tunnel's
     # transfer rate degrades after sustained multi-hundred-MB load (the
     # headline staging below), which is a rig artifact, not a decoder
-    # property. Measured on a 48-file subset: full decode_states round
-    # trip — compressed words up, packed PCM down, one batched fetch.
+    # property. Measured on a 48-file subset PLUS a DSD slice (modes 1+3),
+    # so the mixed-codec single-batched-fetch path is what's timed: full
+    # decode_states round trip — compressed words up, packed PCM + packed
+    # DSD bytes down, ONE batched fetch.
     host_states = states[:len(states) * 48 // max(n_files, 48)] \
         if n_files > 48 else states
+    dsd_files = _cache_blob("dsd_delivery_v1", _make_dsd_delivery)
+    dsd_states = []
+    for data in dsd_files:
+        dsd_states += [b.state for b in parse_blocks(data)]
+    host_states = host_states + dsd_states
     host_samples = sum(st.header.block_samples for st in host_states)
     decode_states(host_states)   # warm/compile
     host_s = float("inf")
@@ -185,10 +192,12 @@ def main():
         t1 = time.perf_counter()
         best = min(best, t1 - t0)
 
-    # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3) and
-    # hybrid lossy (config 5 PCM half), decoded through the same engine
+    # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3),
+    # float (config 4) and hybrid lossy (config 5 PCM half), decoded
+    # through the same engine
     mc51 = _bench_secondary(_make_mc51, "mc51_v3")
     hyb = _bench_secondary(_make_hybrid, "hybrid_v3")
+    flt = _bench_secondary(_make_float, "float_v1")
 
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
     # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
@@ -222,6 +231,7 @@ def main():
         "host_delivery_msamples": round(host_samples / host_s / 1e6, 3),
         "mc51_24bit_msamples": mc51,
         "hybrid_msamples": hyb,
+        "float_msamples": flt,
         "dsd_fast_realtime_x": dsd_fast,
         "dsd_high_realtime_x": dsd_high,
         "hw_sweep_ok": hw_sweep_ok,
@@ -276,6 +286,37 @@ def _make_hybrid():
     spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
                       hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
     return [encode_file(pcm, spec)] * 40, n
+
+
+def _make_float():
+    from wvpk.testgen import EncodeSpec, encode_file
+    rng = np.random.default_rng(9)
+    n = 44100 * 2
+    t = np.arange(n)
+    # decoded-int domain for the float restore path (24-bit mantissa
+    # scale; FloatUtils.cs:32-56)
+    sig = (4 << 20) * np.sin(2 * np.pi * 520 * t / 44100) \
+        + rng.normal(0, 40000, n)
+    pcm = np.stack([np.round(sig), np.round(sig * 0.6)], 1).astype(np.int64)
+    np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
+    spec = EncodeSpec(block_samples=4096, joint=True, float_data=True,
+                      bytes_stored=4, float_shift=0, float_max_exp=130,
+                      float_norm_exp=127)
+    return [encode_file(pcm, spec)] * 24, n
+
+
+def _make_dsd_delivery():
+    """Small DSD slice (modes 1 + 3) folded into the host-delivery corpus
+    so the mixed PCM+DSD single-fetch path is what the bench times."""
+    from wvpk.testgen import encode_dsd_file
+    rng = np.random.default_rng(11)
+    files = []
+    for mode in (1, 3):
+        for _ in range(12):
+            d = rng.integers(0, 256, (4096, 2)).astype(np.int64)
+            files.append(encode_dsd_file(d, mode, mono=False,
+                                         history_bits=2))
+    return files
 
 
 def _bench_dsd(mode: int) -> float:

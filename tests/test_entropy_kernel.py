@@ -109,3 +109,31 @@ def test_entropy_mixed_sizes():
             for n in (100, 257, 512)]
     spec = EncodeSpec(block_samples=512, joint=False)
     check_states(gen_states(spec, pcms), mono=False)
+
+
+def test_entropy_hybrid_balance():
+    # channel-imbalanced signal so the balance redistribution
+    # (WordsUtils.cs:228-243) actually moves bits between channels
+    rng = np.random.default_rng(6)
+    pcm = np.stack([np.round(rng.normal(0, 12000, 400)),
+                    np.round(rng.normal(0, 90, 400))], axis=1).astype(np.int64)
+    spec = EncodeSpec(block_samples=200, joint=False, hybrid=True,
+                      hybrid_bitrate=True, hybrid_balance=True,
+                      bitrate=350, bitrate_delta=1)
+    check_states(gen_states(spec, [pcm]), mono=False, hybrid=True,
+                 hybrid_bitrate=True, hybrid_balance=True)
+
+
+@pytest.mark.parametrize("bitrate", [60, 900])
+def test_entropy_hybrid_balance_extremes(bitrate):
+    # tiny bitrate drives the balance branch into its clamp arms
+    # (bitrate_1 = 2*bitrate_0 / bitrate_0 = 0); large bitrate keeps the
+    # middle arm hot
+    rng = np.random.default_rng(7 + bitrate)
+    pcm = np.stack([np.round(rng.normal(0, 20000, 300)),
+                    np.zeros(300)], axis=1).astype(np.int64)
+    spec = EncodeSpec(block_samples=300, joint=True, hybrid=True,
+                      hybrid_bitrate=True, hybrid_balance=True,
+                      bitrate=bitrate, bitrate_delta=2)
+    check_states(gen_states(spec, [pcm]), mono=False, hybrid=True,
+                 hybrid_bitrate=True, hybrid_balance=True)

@@ -77,3 +77,38 @@ def test_pallas_engine_integration():
         want = decode_block(blk.state)
         np.testing.assert_array_equal(d.samples, want.samples)
         assert not d.crc_error
+
+
+def check_hybrid(data: bytes, mono: bool):
+    """Pallas (interpret) vs XLA kernel with the bucket's hybrid profile."""
+    b = group_blocks([bb.state for bb in parse_blocks(data)])[0]
+    prof = b.profile
+    kw = dict(mono=mono, hybrid=prof.hybrid,
+              hybrid_bitrate=prof.hybrid_bitrate,
+              hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
+    ref, broke_r, ndec_r = entropy_decode(
+        b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta, **kw)
+    res, broke, ndec = entropy_decode_pallas(
+        b.words.astype(np.uint32), b.nwords_lane, b.med, b.slow, b.acc,
+        b.delta, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(res))
+    np.testing.assert_array_equal(np.asarray(broke_r), np.asarray(broke))
+    np.testing.assert_array_equal(np.asarray(ndec_r), np.asarray(ndec))
+
+
+def test_pallas_hybrid_balance():
+    rng = np.random.default_rng(7)
+    pcm = np.stack([np.round(rng.normal(0, 15000, 512)),
+                    np.round(rng.normal(0, 60, 512))], axis=1).astype(np.int64)
+    check_hybrid(encode_file(pcm, EncodeSpec(
+        block_samples=256, joint=False, hybrid=True, hybrid_bitrate=True,
+        hybrid_balance=True, bitrate=300, bitrate_delta=1)), False)
+
+
+def test_pallas_hybrid_balance_clamped():
+    rng = np.random.default_rng(8)
+    pcm = np.stack([np.round(rng.normal(0, 25000, 256)),
+                    np.zeros(256)], axis=1).astype(np.int64)
+    check_hybrid(encode_file(pcm, EncodeSpec(
+        block_samples=256, joint=True, hybrid=True, hybrid_bitrate=True,
+        hybrid_balance=True, bitrate=70, bitrate_delta=2)), False)

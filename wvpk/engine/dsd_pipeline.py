@@ -4,23 +4,33 @@ Mirrors the PCM pipeline: group blocks by a static profile, stage per-lane
 tables/state arrays, run the lane-parallel kernels, reassemble. The
 block-end CRC check (DsdUtils.cs:99-101) and FALSE_STEREO duplication
 (:119-131) happen at reassembly.
+
+Delivery is unified with the PCM engine: `launch_dsd_states` returns
+device handles (byte-values packed to 1 byte/value on device — DSD output
+IS bytes, so shipping int32 would inflate D2H 4x) and `decode_states`
+folds them into its single cross-bucket batched fetch; each mode-1/3
+group is ONE fused dispatch (kernel + pack + crc stack under one jit).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from .. import consts
 from ..container.blockstate import BlockState
 from ..ops.dsd import dsd_fast_decode, dsd_high_decode, dsd_raw_crc
+from ..ops.pack import pack_samples
 
 MAX_DSD_BITS_VALUE = 256
 
 
 def _on_tpu() -> bool:
-    import jax
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
@@ -73,32 +83,101 @@ def _pad_bytes(payloads: list[bytes], cap: int) -> np.ndarray:
     return out
 
 
-def decode_dsd_states(states: list[BlockState]):
-    """Device-decode a list of DSD block states; returns per-state
-    (samples (n, ch_out), crc, mute_error)."""
-    from .pipeline import DecodedBlock
+# ---------------------------------------------------------------------------
+# fused single-dispatch wrappers: kernel + byte pack + crc/err stack
+# ---------------------------------------------------------------------------
 
-    results: list[DecodedBlock | None] = [None] * len(states)
+@partial(jax.jit, static_argnames=("bins", "mono", "nsteps", "interpret"))
+def _fast_packed_pallas(data, nbytes, summed, value0, nvals, *,
+                        bins, mono, nsteps, interpret):
+    from ..ops.dsd_pallas import dsd_fast_decode_pallas
+    outs, err, crc = dsd_fast_decode_pallas(
+        data, nbytes, summed, value0, nvals, bins=bins, mono=mono,
+        nsteps=nsteps, interpret=interpret)
+    payload = pack_samples(outs[:, :, None].astype(jnp.int32), bps=1,
+                           dsd=True)
+    crcerr = jnp.stack([jnp.asarray(crc, jnp.int32),
+                        jnp.asarray(err).astype(jnp.int32)])
+    return payload, crcerr
+
+
+@partial(jax.jit, static_argnames=("mono", "nsteps"))
+def _fast_packed_xla(data, nbytes, summed, probs, vlook, lookup, value0,
+                     bins_arr, nvals, *, mono, nsteps):
+    outs, err, crc = dsd_fast_decode(
+        data, nbytes, summed, probs, vlook, lookup, value0, bins_arr,
+        nvals, mono=mono, nsteps=nsteps)
+    payload = pack_samples(outs[:, :, None].astype(jnp.int32), bps=1,
+                           dsd=True)
+    crcerr = jnp.stack([jnp.asarray(crc, jnp.int32),
+                        jnp.asarray(err).astype(jnp.int32)])
+    return payload, crcerr
+
+
+@partial(jax.jit, static_argnames=("mono", "nsteps", "interpret",
+                                   "use_pallas"))
+def _high_packed(data, nbytes, ptable, filters, value0, nsamples, *,
+                 mono, nsteps, interpret, use_pallas):
+    if use_pallas:
+        from ..ops.dsd_pallas import dsd_high_decode_pallas
+        outs, crc = dsd_high_decode_pallas(
+            data, nbytes, ptable, filters, value0, nsamples, mono=mono,
+            nsteps=nsteps, interpret=interpret)
+    else:
+        outs, crc = dsd_high_decode(
+            data, nbytes, ptable, filters, value0, nsamples, mono=mono,
+            nsteps=nsteps)
+    payload = pack_samples(jnp.asarray(outs, jnp.int32), bps=1, dsd=True)
+    crcerr = jnp.stack([jnp.asarray(crc, jnp.int32),
+                        jnp.zeros(crc.shape, jnp.int32)])
+    return payload, crcerr
+
+
+@dataclass
+class LaunchedDsd:
+    """One DSD profile group's in-flight decode. `payload` is the packed
+    (L, W) uint32 device array of byte-values in per-lane memory order
+    (mode 1: interleaved values; mode 3: (sample, ch)); None for mode 0,
+    whose bytes never left the host. `crcerr` is a (2, L) int32 device
+    array [crc, coder_error]."""
+    prof: DsdProfile
+    idxs: list[int]
+    sts: list[BlockState]
+    payload: object | None
+    crcerr: object
+    host_vals: list[np.ndarray] | None   # mode 0 raw values per state
+    nvals: np.ndarray                    # (L,) delivered value counts
+
+
+def launch_dsd_states(states: list[BlockState]) -> list[LaunchedDsd]:
+    """Enqueue every DSD profile group's decode on device; nothing is
+    fetched here (decode_states batches all fetches into one transfer)."""
     groups: dict[DsdProfile, list[int]] = {}
     for i, st in enumerate(states):
         groups.setdefault(_profile(st), []).append(i)
 
+    launched = []
     for prof, idxs in groups.items():
         sts = [states[i] for i in idxs]
         chans = 1 if prof.mono else 2
-        nsamples = np.asarray([st.header.block_samples for st in sts], np.int32)
+        nsamples = np.asarray([st.header.block_samples for st in sts],
+                              np.int32)
         nvals = nsamples * chans
         if prof.mode == 0:
             cap = max(int(nvals.max()), 1)
             data = _pad_bytes([st.dsd.data for st in sts], cap)
             neff = np.minimum(nvals, [len(st.dsd.data) for st in sts])
-            crc = np.asarray(dsd_raw_crc(data, neff.astype(np.int32)))
-            for k, i in enumerate(idxs):
-                vals = data[k, :nvals[k]].astype(np.int32)
-                results[i] = _assemble(sts[k], vals, int(crc[k]), False)
-        elif prof.mode == 1:
-            data = _pad_bytes([st.dsd.data for st in sts], prof.nbytes_cap)
-            nbytes = np.asarray([len(st.dsd.data) for st in sts], np.int64)
+            crc = dsd_raw_crc(data, neff.astype(np.int32))
+            crcerr = jnp.stack([jnp.asarray(crc, jnp.int32),
+                                jnp.zeros(len(sts), jnp.int32)])
+            host_vals = [data[k, :nvals[k]].astype(np.int32)
+                         for k in range(len(sts))]
+            launched.append(LaunchedDsd(prof, idxs, sts, None, crcerr,
+                                        host_vals, nvals))
+            continue
+        data = _pad_bytes([st.dsd.data for st in sts], prof.nbytes_cap)
+        nbytes = np.asarray([len(st.dsd.data) for st in sts], np.int64)
+        if prof.mode == 1:
             B = prof.bins
             summed = np.zeros((len(sts), B * 256), np.int32)
             value0 = np.zeros(len(sts), np.int64)
@@ -107,8 +186,7 @@ def decode_dsd_states(states: list[BlockState]):
                 summed[k] = d.summed_probabilities.astype(np.int32).reshape(-1)
                 value0[k] = d.value
             if _use_pallas_dsd():
-                from ..ops.dsd_pallas import dsd_fast_decode_pallas
-                outs, err, crc = dsd_fast_decode_pallas(
+                payload, crcerr = _fast_packed_pallas(
                     data, nbytes, summed,
                     (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
                     nvals.astype(np.int32), bins=B, mono=prof.mono,
@@ -122,39 +200,56 @@ def decode_dsd_states(states: list[BlockState]):
                     probs[k] = d.probabilities.astype(np.int32).reshape(-1)
                     vlook[k] = d.value_lookup
                     lookup[k, :d.lookup_buffer.size] = d.lookup_buffer
-                outs, err, crc = dsd_fast_decode(
+                payload, crcerr = _fast_packed_xla(
                     data, nbytes, summed, probs, vlook, lookup, value0,
                     np.full(len(sts), B, np.int64), nvals.astype(np.int32),
                     mono=prof.mono, nsteps=prof.nsteps)
-            outs = np.asarray(outs).T  # (L, nsteps)
-            err = np.asarray(err)
-            crc = np.asarray(crc)
-            for k, i in enumerate(idxs):
-                results[i] = _assemble(sts[k], outs[k, :nvals[k]],
-                                       int(crc[k]), bool(err[k]))
         else:
-            data = _pad_bytes([st.dsd.data for st in sts], prof.nbytes_cap)
-            nbytes = np.asarray([len(st.dsd.data) for st in sts], np.int64)
             ptable = np.stack([st.dsd.ptable for st in sts]).astype(np.int32)
             filters = np.stack([st.dsd.filters for st in sts]).astype(np.int32)
             value0 = np.asarray([st.dsd.value for st in sts], np.int64)
-            if _use_pallas_dsd():
-                from ..ops.dsd_pallas import dsd_high_decode_pallas
-                outs, crc = dsd_high_decode_pallas(
-                    data, nbytes, ptable, filters,
-                    (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
-                    nsamples.astype(np.int32), mono=prof.mono,
-                    nsteps=prof.nsteps, interpret=not _on_tpu())
-            else:
-                outs, crc = dsd_high_decode(
-                    data, nbytes, ptable, filters, value0,
-                    nsamples.astype(np.int32), mono=prof.mono,
-                    nsteps=prof.nsteps)
-            outs = np.asarray(outs)      # (nsteps, L, C)
-            crc = np.asarray(crc)
-            for k, i in enumerate(idxs):
-                vals = outs[:nsamples[k], k, :].reshape(-1)
-                results[i] = _assemble(sts[k], vals, int(crc[k]), False)
+            use_pallas = _use_pallas_dsd()
+            payload, crcerr = _high_packed(
+                data, nbytes, ptable, filters,
+                (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+                if use_pallas else value0,
+                nsamples.astype(np.int32), mono=prof.mono,
+                nsteps=prof.nsteps, interpret=not _on_tpu(),
+                use_pallas=use_pallas)
+        launched.append(LaunchedDsd(prof, idxs, sts, payload, crcerr,
+                                    None, nvals))
+    return launched
+
+
+def finalize_dsd_group(ld: LaunchedDsd,
+                       fetched: tuple[np.ndarray, np.ndarray | None]
+                       | None = None):
+    """Assemble one group's DecodedBlocks from (crcerr, payload) numpy
+    arrays (fetched by the engine's batched transfer, or here if None)."""
+    if fetched is None:
+        payload_np = (None if ld.payload is None else np.asarray(ld.payload))
+        crcerr = np.asarray(ld.crcerr)
+    else:
+        crcerr, payload_np = fetched
+    crc, err = crcerr[0], crcerr[1]
+    out = []
+    for k, st in enumerate(ld.sts):
+        if ld.host_vals is not None:
+            vals = ld.host_vals[k]
+        else:
+            vals = (payload_np[k].view(np.uint8)[:ld.nvals[k]]
+                    .astype(np.int32))
+        out.append(_assemble(st, vals, int(crc[k]), bool(err[k])))
+    return out
+
+
+def decode_dsd_states(states: list[BlockState]):
+    """Device-decode a list of DSD block states (standalone path; the
+    engine's decode_states uses launch/finalize with a batched fetch)."""
+    results = [None] * len(states)
+    for ld in launch_dsd_states(states):
+        for i, res in zip(ld.idxs, finalize_dsd_group(ld)):
+            results[i] = res
     return results
 
 

@@ -3,18 +3,27 @@
 One compiled XLA program per bucket profile; this is the function the
 multi-chip path shards over the lane (block) axis and what bench/entry
 compile-check.
+
+The `_blob` variants take ALL per-lane arrays as ONE packed int32 vector
+(built host-side by `build_blob`) and unpack on device with static
+offsets: a decode_states call then moves exactly one host->device buffer
+per bucket instead of ~20, which matters because the dev tunnel (and real
+PCIe) pays fixed latency per transfer. The byte pack (ops/pack.py) and
+crc/mute stacking are fused into the same dispatch.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.decorr_select import decorr_decode_any
 from ..ops.entropy_select import entropy_decode_any
-from ..ops.post import fixup, joint_mute_crc
+from ..ops.post import fixup, joint_mute_crc, wvx_inject
 
 
 @partial(jax.jit, static_argnames=(
@@ -39,3 +48,123 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
     out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
                 is_float=is_float, int32_expand=int32_expand, hybrid=hybrid)
     return out, crc, mute
+
+
+@partial(jax.jit, static_argnames=(
+    "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
+    "has_false_stereo", "nsteps", "num_terms_max"))
+def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
+                     terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
+                     joint, mute_limit, shift, bytes_stored,
+                     float_shift_eff, int32_zod, wvx_words, wvx_start_bit,
+                     wvx_start_bc, sent_bits, max_width, false_stereo, *,
+                     mono: bool, hybrid: bool, hybrid_bitrate: bool,
+                     hybrid_balance: bool, has_false_stereo: bool,
+                     nsteps: int, num_terms_max: int | None = None):
+    """Single-dispatch decode for INT32+wvx buckets: the wvx low-bit
+    injection (with its own expansion + crc_x, UnpackUtils.cs:1271-1314)
+    runs BETWEEN joint/CRC and the final fixup shift — the same ordering
+    the stage-wise path honors — so wvx content no longer pays the ~25 ms
+    per-dispatch tunnel latency six times."""
+    residuals, broke, _ndec = entropy_decode_any(
+        words, nwords_lane, med, slow, acc, delta,
+        mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, nsteps=nsteps)
+    dec = decorr_decode_any(residuals, terms, deltas16, wa, wb, hist_a,
+                            hist_b, num_terms, mono=mono,
+                            num_terms_max=num_terms_max)
+    out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
+                                    mono=mono)
+    out, crc_x = wvx_inject(
+        out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc, sent_bits,
+        max_width, int32_zod,
+        false_stereo=false_stereo if has_false_stereo else None)
+    out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
+                is_float=False, int32_expand=False, hybrid=hybrid)
+    return out, crc, mute, crc_x
+
+
+# ---------------------------------------------------------------------------
+# blob staging
+# ---------------------------------------------------------------------------
+
+def build_blob(arrays) -> tuple[np.ndarray, tuple]:
+    """Concatenate host arrays into one flat int32 vector + static metas
+    (offset, size, shape, dtype) for the device-side unpack. int64 splits
+    into little-endian (lo, hi) int32 pairs; bool widens to int32."""
+    parts, metas, off = [], [], 0
+    for arr in arrays:
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype == np.int64:
+            flat = arr.view(np.int32).reshape(-1)
+        elif arr.dtype == np.bool_:
+            flat = arr.astype(np.int32).reshape(-1)
+        elif arr.dtype == np.uint32:
+            flat = arr.view(np.int32).reshape(-1)
+        else:
+            assert arr.dtype == np.int32, arr.dtype
+            flat = arr.reshape(-1)
+        parts.append(flat)
+        metas.append((off, flat.size,
+                      tuple(int(s) for s in arr.shape), str(arr.dtype)))
+        off += flat.size
+    return np.concatenate(parts), tuple(metas)
+
+
+def _unpack_blob(blob, metas):
+    out = []
+    for off, size, shape, dt in metas:
+        flat = blob[off:off + size]
+        if dt == "int64":
+            a = jax.lax.bitcast_convert_type(
+                flat.reshape(shape + (2,)), jnp.int64)
+        elif dt == "bool":
+            a = (flat != 0).reshape(shape)
+        elif dt == "uint32":
+            a = jax.lax.bitcast_convert_type(flat, jnp.uint32).reshape(shape)
+        else:
+            a = flat.reshape(shape)
+        out.append(a)
+    return out
+
+
+def _deliver(out, crc, mute, crc_x, pack_bps):
+    if pack_bps is not None:
+        from ..ops.pack import pack_samples
+        payload = pack_samples(out, bps=pack_bps)
+    else:
+        payload = out
+    crcmute = jnp.stack([crc.astype(jnp.int32),
+                         jnp.asarray(mute).astype(jnp.int32),
+                         crc_x.astype(jnp.int32)])
+    return payload, crcmute
+
+
+@partial(jax.jit, static_argnames=(
+    "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
+    "is_float", "int32_expand", "nsteps", "num_terms_max", "pack_bps"))
+def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
+                      hybrid_balance, is_float, int32_expand, nsteps,
+                      num_terms_max, pack_bps):
+    args = _unpack_blob(blob, metas)
+    out, crc, mute = fused_decode(
+        *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, is_float=is_float,
+        int32_expand=int32_expand, nsteps=nsteps,
+        num_terms_max=num_terms_max)
+    crc_x = jnp.full(crc.shape, -1, jnp.int32)
+    return _deliver(out, crc, mute, crc_x, pack_bps)
+
+
+@partial(jax.jit, static_argnames=(
+    "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
+    "has_false_stereo", "nsteps", "num_terms_max", "pack_bps"))
+def fused_decode_wvx_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
+                          hybrid_balance, has_false_stereo, nsteps,
+                          num_terms_max, pack_bps):
+    args = _unpack_blob(blob, metas)
+    out, crc, mute, crc_x = fused_decode_wvx(
+        *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, has_false_stereo=has_false_stereo,
+        nsteps=nsteps, num_terms_max=num_terms_max)
+    return _deliver(out, crc, mute, crc_x, pack_bps)

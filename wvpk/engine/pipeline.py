@@ -71,42 +71,50 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
 
     prof = b.profile
     opts = get_options()
-    # fast path: one fused jit dispatch per bucket (plus wvx/pack) — the
+    # fast path: one fused jit dispatch per bucket (plus pack) — the
     # tunneled dev setup pays ~25 ms PER dispatch, so the six stage-wise
     # dispatches below dominate small-batch delivery latency. Stage-wise
     # execution is kept for tracing (--trace), sync_stages, and
     # non-default kernel selections (the fused jit bakes the kernel
-    # choice at first trace)
-    # (wvx buckets stay stage-wise: the reference injects wvx bits BEFORE
-    # the final fixup shift, but fused_decode bakes fixup in with no wvx)
+    # choice at first trace). wvx buckets take fused_decode_wvx, which
+    # runs the injection between joint/CRC and the final fixup shift
+    # (the ordering the reference requires, UnpackUtils.cs:1271-1314)
     if (trace._sink() is None and not opts.sync_stages
-            and not opts.oracle_check and not prof.has_wvx
+            and not opts.oracle_check
             and opts.entropy_kernel == "auto"
             and opts.decorr_kernel == "auto"):
-        from .fused import fused_decode
-        L = b.words.shape[0]
-        out, crc, mute = fused_decode(
-            b.words, b.nwords_lane, b.nsamples, b.med, b.slow, b.acc,
-            b.delta, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
-            b.num_terms, b.joint, b.mute_limit, b.shift, b.bytes_stored,
-            b.float_shift_eff, b.int32_zod,
-            mono=prof.mono, hybrid=prof.hybrid,
-            hybrid_bitrate=prof.hybrid_bitrate,
-            hybrid_balance=prof.hybrid_balance,
-            is_float=prof.is_float,
-            int32_expand=prof.is_int32,
-            nsteps=prof.nsteps,
-            num_terms_max=int(b.num_terms.max()) if len(b.states) else None)
-        crc_x_dev = jnp.full((L,), -1, jnp.int32)
+        from .fused import build_blob, fused_decode_blob, \
+            fused_decode_wvx_blob
+        ntm = int(b.num_terms.max()) if len(b.states) else None
         bps = _bucket_bps(b) if opts.packed_delivery else None
-        if bps is not None:
-            from ..ops.pack import pack_samples
-            payload = pack_samples(out, bps=bps)
+        names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
+                 "delta", "terms", "deltas16", "wa", "wb", "hist_a",
+                 "hist_b", "num_terms", "joint", "mute_limit", "shift",
+                 "bytes_stored", "float_shift_eff", "int32_zod"]
+        arrays = [getattr(b, n) for n in names]
+        if prof.has_wvx:
+            fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
+                             for st in b.states])
+            arrays += [b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,
+                       b.sent_bits, b.max_width, fs]
+            blob, metas = build_blob(arrays)
+            payload, crcmute = fused_decode_wvx_blob(
+                blob, metas=metas,
+                mono=prof.mono, hybrid=prof.hybrid,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance,
+                has_false_stereo=bool(fs.any()),
+                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps)
         else:
-            payload = out
-        crcmute = jnp.stack([jnp.asarray(crc, jnp.int32).astype(jnp.int32),
-                             jnp.asarray(mute).astype(jnp.int32),
-                             crc_x_dev.astype(jnp.int32)])
+            blob, metas = build_blob(arrays)
+            payload, crcmute = fused_decode_blob(
+                blob, metas=metas,
+                mono=prof.mono, hybrid=prof.hybrid,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance,
+                is_float=prof.is_float,
+                int32_expand=prof.is_int32,
+                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps)
         return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
                               bps=bps)
 
@@ -213,32 +221,37 @@ def finalize_bucket(lb: LaunchedBucket,
     return results
 
 
-def _fetch_launched(lbs: list[LaunchedBucket]
-                    ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """ONE device->host transfer for every launched bucket's crc/mute
-    vector and PCM payload: each array is bitcast to a flat int32 vector
-    on device, concatenated, and fetched with a single blocking asarray.
-    The tunneled dev setup pays ~27 ms per fetch regardless of size, and
-    real PCIe pays latency per transfer too — batching makes delivery
-    cost scale with bytes, not with bucket count."""
+def _fetch_arrays(arrs: list) -> list[np.ndarray]:
+    """ONE device->host transfer for an arbitrary list of device arrays:
+    each array is bitcast to a flat int32 vector on device, concatenated,
+    and fetched with a single blocking asarray. The tunneled dev setup
+    pays ~27 ms per fetch regardless of size, and real PCIe pays latency
+    per transfer too — batching makes delivery cost scale with bytes,
+    not with array count."""
     import jax
     import jax.numpy as jnp
 
-    if not lbs:
+    if not arrs:
         return []
     parts, metas = [], []
-    for lb in lbs:
-        for arr in (lb.crcmute, lb.payload):
-            flat = jax.lax.bitcast_convert_type(arr, jnp.int32).reshape(-1)
-            parts.append(flat)
-            metas.append((flat.size, arr.shape, np.dtype(str(arr.dtype))))
+    for arr in arrs:
+        flat = jax.lax.bitcast_convert_type(arr, jnp.int32).reshape(-1)
+        parts.append(flat)
+        metas.append((flat.size, arr.shape, np.dtype(str(arr.dtype))))
     with trace.stage("transfer"):
         blob = np.asarray(jnp.concatenate(parts))
     out, pos = [], 0
     for size, shape, dt in metas:
         out.append(blob[pos:pos + size].view(dt).reshape(shape))
         pos += size
-    return [(out[2 * i], out[2 * i + 1]) for i in range(len(lbs))]
+    return out
+
+
+def _fetch_launched(lbs: list[LaunchedBucket]
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+    fetched = _fetch_arrays([a for lb in lbs
+                             for a in (lb.crcmute, lb.payload)])
+    return [(fetched[2 * i], fetched[2 * i + 1]) for i in range(len(lbs))]
 
 
 def decode_bucket(b: Bucket) -> list[DecodedBlock]:
@@ -246,8 +259,12 @@ def decode_bucket(b: Bucket) -> list[DecodedBlock]:
 
 
 def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
-    """Decode a list of blocks (any mix of profiles) on device."""
-    from .dsd_pipeline import decode_dsd_states
+    """Decode a list of blocks (any mix of profiles) on device: PCM
+    buckets and DSD groups are all launched first (device work queues
+    asynchronously) and everything — PCM payloads, packed DSD bytes,
+    crc/mute vectors — comes back in ONE batched transfer, so a mixed
+    corpus pays the fetch latency exactly once."""
+    from .dsd_pipeline import finalize_dsd_group, launch_dsd_states
 
     results: list[DecodedBlock | None] = [None] * len(states)
     pcm_states, pcm_indices = [], []
@@ -266,16 +283,27 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
     with trace.stage("staging"):
         buckets = group_blocks(pcm_states)
-    # launch every bucket first (device work queues asynchronously), then
-    # fetch everything in one batched transfer and reassemble on host
     launched = [launch_bucket(bucket) for bucket in buckets]
-    for lb, fetched in zip(launched, _fetch_launched(launched)):
-        for st, res in zip(lb.bucket.states, finalize_bucket(lb, fetched)):
+    dsd_launched = launch_dsd_states(dsd_states) if dsd_states else []
+
+    # one cross-bucket cross-codec batched fetch
+    arrs = [a for lb in launched for a in (lb.crcmute, lb.payload)]
+    dsd_slots = []
+    for ld in dsd_launched:
+        dsd_slots.append((len(arrs), ld.payload is not None))
+        arrs.append(ld.crcerr)
+        if ld.payload is not None:
+            arrs.append(ld.payload)
+    fetched = _fetch_arrays(arrs)
+
+    for k, lb in enumerate(launched):
+        pair = (fetched[2 * k], fetched[2 * k + 1])
+        for st, res in zip(lb.bucket.states, finalize_bucket(lb, pair)):
             results[remap[id(st)]] = res
-    if dsd_states:
-        with trace.stage("dsd"):
-            for i, res in zip(dsd_indices, decode_dsd_states(dsd_states)):
-                results[i] = res
+    for ld, (pos, has_payload) in zip(dsd_launched, dsd_slots):
+        pair = (fetched[pos], fetched[pos + 1] if has_payload else None)
+        for i, res in zip(ld.idxs, finalize_dsd_group(ld, pair)):
+            results[dsd_indices[i]] = res
     if get_options().oracle_check:
         from ..ref import decode_block as oracle_decode
         for st, res in zip(states, results):

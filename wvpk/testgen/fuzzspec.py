@@ -56,15 +56,20 @@ def random_spec(rng: np.random.Generator,
                           float_norm_exp=127)
     bytes_stored = int(rng.choice([1, 2, 2, 3, 4]))
     hybrid = bool(rng.random() < 0.3)
+    hybrid_bitrate = hybrid and bool(rng.random() < 0.4)
     return EncodeSpec(
         **base,
         bytes_stored=bytes_stored,
         shift=int(rng.integers(0, 4)) if not hybrid and bytes_stored > 1
         and rng.random() < 0.3 else 0,
         hybrid=hybrid,
-        hybrid_bitrate=hybrid and bool(rng.random() < 0.4),
+        hybrid_bitrate=hybrid_bitrate,
         bitrate=int(rng.integers(200, 1200)),
         bitrate_delta=int(rng.integers(0, 3)) if hybrid else 0,
+        # balance redistribution (WordsUtils.cs:228-243) only acts on true
+        # stereo with HYBRID_BITRATE (MONO_DATA takes the mono branch)
+        hybrid_balance=hybrid_bitrate and not mono and not false_stereo
+        and bool(rng.random() < 0.4),
     )
 
 
