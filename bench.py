@@ -108,12 +108,13 @@ def main():
     # host-delivery FIRST, while the tunnel is fresh: the dev tunnel's
     # transfer rate degrades after sustained multi-hundred-MB load (the
     # headline staging below), which is a rig artifact, not a decoder
-    # property. Measured on a 48-file subset PLUS a DSD slice (modes 1+3),
-    # so the mixed-codec single-batched-fetch path is what's timed: full
-    # decode_states round trip — compressed words up, packed PCM + packed
-    # DSD bytes down, ONE batched fetch.
-    host_states = states[:len(states) * 48 // max(n_files, 48)] \
-        if n_files > 48 else states
+    # property. Measured on a 96-file subset (big enough to amortize the
+    # fixed ~27 ms dispatch/fetch latencies into the transfer time) PLUS
+    # a DSD slice (modes 1+3), so what's timed is the mixed-codec
+    # chunk-pipelined delivery path: compressed words up, packed PCM +
+    # packed DSD bytes down, chunk k+1 staging overlapping chunk k fetch.
+    host_states = states[:len(states) * 96 // max(n_files, 96)] \
+        if n_files > 96 else states
     dsd_files = _cache_blob("dsd_delivery_v1", _make_dsd_delivery)
     dsd_states = []
     for data in dsd_files:

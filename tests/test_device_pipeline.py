@@ -141,3 +141,22 @@ def test_dev_corrupted_block_mutes():
         np.testing.assert_array_equal(d.samples, w.samples)
         assert d.mute_error == w.mute_error
         assert d.crc_error == w.crc_error
+
+
+def test_dev_chunked_delivery():
+    """Chunked pipelined delivery (delivery_chunk_blocks small) matches
+    the single-fetch path bit-exactly, incl. a DSD block fetched with the
+    final chunk and mixed profiles split across chunk boundaries."""
+    from wvpk import config
+    a = encode_file(noise(64 * 20, 2, 2500, 7),
+                    EncodeSpec(block_samples=64, joint=True))
+    b = encode_file(noise(64 * 5, 1, 700, 8),
+                    EncodeSpec(block_samples=64, mono=True,
+                               terms=(17, 2), deltas=(2, 2)))
+    d = np.random.default_rng(9).integers(0, 256, (300, 2)).astype(np.int64)
+    data = a + b + encode_dsd_file(d, 1, mono=False, history_bits=2)
+    config.set_options(delivery_chunk_blocks=8)
+    try:
+        compare(data)
+    finally:
+        config.set_options(delivery_chunk_blocks=512)

@@ -43,6 +43,11 @@ class DecodeOptions:
     # instead of int32 samples when the bucket allows it: 2-4x smaller
     # device->host transfers on the API/CLI delivery path
     packed_delivery: bool = True
+    # pipeline the delivery path in chunks of this many PCM blocks:
+    # chunk k+1's H2D staging + compute launch overlaps chunk k's blocking
+    # payload fetch (double-buffering over PCIe / the dev tunnel).
+    # 0 disables (single batched fetch); small corpora always single-fetch
+    delivery_chunk_blocks: int = 512
 
 
 _default = DecodeOptions()

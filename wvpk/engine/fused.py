@@ -88,25 +88,39 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
 # blob staging
 # ---------------------------------------------------------------------------
 
-def build_blob(arrays) -> tuple[np.ndarray, tuple]:
+def build_blob(arrays, narrow: frozenset | set = frozenset()
+               ) -> tuple[np.ndarray, tuple]:
     """Concatenate host arrays into one flat int32 vector + static metas
     (offset, size, shape, dtype) for the device-side unpack. int64 splits
-    into little-endian (lo, hi) int32 pairs; bool widens to int32."""
+    into little-endian (lo, hi) int32 pairs; bool widens to int32.
+    Indices in `narrow` are int64 arrays whose values fit int32 (medians,
+    decorr history... — everything except bitrate_acc, which is a genuine
+    64-bit accumulator): they ship as int32 and widen back on device,
+    halving their transfer bytes."""
     parts, metas, off = [], [], 0
-    for arr in arrays:
+    for i, arr in enumerate(arrays):
         arr = np.ascontiguousarray(arr)
-        if arr.dtype == np.int64:
+        if arr.dtype == np.int64 and i in narrow:
+            flat = arr.astype(np.int32).reshape(-1)
+            assert (flat.astype(np.int64) == arr.reshape(-1)).all(), \
+                f"narrow blob array {i} does not fit int32"
+            dt = "int64_narrow"
+        elif arr.dtype == np.int64:
             flat = arr.view(np.int32).reshape(-1)
+            dt = "int64"
         elif arr.dtype == np.bool_:
             flat = arr.astype(np.int32).reshape(-1)
+            dt = "bool"
         elif arr.dtype == np.uint32:
             flat = arr.view(np.int32).reshape(-1)
+            dt = "uint32"
         else:
             assert arr.dtype == np.int32, arr.dtype
             flat = arr.reshape(-1)
+            dt = "int32"
         parts.append(flat)
         metas.append((off, flat.size,
-                      tuple(int(s) for s in arr.shape), str(arr.dtype)))
+                      tuple(int(s) for s in arr.shape), dt))
         off += flat.size
     return np.concatenate(parts), tuple(metas)
 
@@ -118,6 +132,8 @@ def _unpack_blob(blob, metas):
         if dt == "int64":
             a = jax.lax.bitcast_convert_type(
                 flat.reshape(shape + (2,)), jnp.int64)
+        elif dt == "int64_narrow":
+            a = flat.reshape(shape).astype(jnp.int64)
         elif dt == "bool":
             a = (flat != 0).reshape(shape)
         elif dt == "uint32":
@@ -126,6 +142,28 @@ def _unpack_blob(blob, metas):
             a = flat.reshape(shape)
         out.append(a)
     return out
+
+
+# positions in the launch_bucket blob-arg order of the decorr term arrays
+# (terms, deltas16, wa, wb: (L, nterms); hist_a, hist_b: (L, nterms, 8)).
+# They ship trimmed to the bucket's num_terms_max and are padded back to
+# MAX_NTERMS here so both decorr kernels see their full-width contract.
+_TERM2D = (7, 8, 9, 10)
+_TERM3D = (11, 12)
+
+
+def _restore_terms(args):
+    from .. import consts
+    full = consts.MAX_NTERMS
+    for i in _TERM2D:
+        a = args[i]
+        if a.shape[1] < full:
+            args[i] = jnp.pad(a, ((0, 0), (0, full - a.shape[1])))
+    for i in _TERM3D:
+        a = args[i]
+        if a.shape[1] < full:
+            args[i] = jnp.pad(a, ((0, 0), (0, full - a.shape[1]), (0, 0)))
+    return args
 
 
 def _deliver(out, crc, mute, crc_x, pack_bps):
@@ -146,7 +184,7 @@ def _deliver(out, crc, mute, crc_x, pack_bps):
 def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                       hybrid_balance, is_float, int32_expand, nsteps,
                       num_terms_max, pack_bps):
-    args = _unpack_blob(blob, metas)
+    args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute = fused_decode(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, is_float=is_float,
@@ -162,7 +200,7 @@ def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
 def fused_decode_wvx_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                           hybrid_balance, has_false_stereo, nsteps,
                           num_terms_max, pack_bps):
-    args = _unpack_blob(blob, metas)
+    args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute, crc_x = fused_decode_wvx(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, has_false_stereo=has_false_stereo,

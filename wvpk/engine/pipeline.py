@@ -92,12 +92,22 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                  "hist_b", "num_terms", "joint", "mute_limit", "shift",
                  "bytes_stored", "float_shift_eff", "int32_zod"]
         arrays = [getattr(b, n) for n in names]
+        # ship the decorr term arrays trimmed to the bucket's term count
+        # (restored to MAX_NTERMS on device) and the int32-range int64
+        # arrays narrowed: the history matrices alone are 2 KiB/lane at
+        # full width, pure H2D waste on shallow-chain content
+        tier = max(ntm or 1, 1)
+        for i in (7, 8, 9, 10):            # (L, 16) -> (L, tier)
+            arrays[i] = arrays[i][:, :tier]
+        for i in (11, 12):                 # (L, 16, 8) -> (L, tier, 8)
+            arrays[i] = arrays[i][:, :tier, :]
+        narrow = {3, 4, 6, 11, 12, 15}     # med slow delta hists mute_limit
         if prof.has_wvx:
             fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
                              for st in b.states])
             arrays += [b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,
                        b.sent_bits, b.max_width, fs]
-            blob, metas = build_blob(arrays)
+            blob, metas = build_blob(arrays, narrow)
             payload, crcmute = fused_decode_wvx_blob(
                 blob, metas=metas,
                 mono=prof.mono, hybrid=prof.hybrid,
@@ -106,7 +116,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 has_false_stereo=bool(fs.any()),
                 nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps)
         else:
-            blob, metas = build_blob(arrays)
+            blob, metas = build_blob(arrays, narrow)
             payload, crcmute = fused_decode_blob(
                 blob, metas=metas,
                 mono=prof.mono, hybrid=prof.hybrid,
@@ -281,29 +291,54 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
             pcm_states.append(st)
             pcm_indices.append(i)
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
-    with trace.stage("staging"):
-        buckets = group_blocks(pcm_states)
-    launched = [launch_bucket(bucket) for bucket in buckets]
+    # chunked pipelining: chunk k+1's staging + launch runs while chunk
+    # k's payload fetch blocks, overlapping H2D/compute with D2H on the
+    # transfer link. Small corpora stay single-chunk single-fetch.
+    CH = get_options().delivery_chunk_blocks
+    if CH and len(pcm_states) > CH * 3 // 2:
+        n = len(pcm_states)
+        k = (n + CH - 1) // CH
+        bounds = [n * i // k for i in range(k + 1)]   # even split, no tail
+        chunks = [pcm_states[bounds[i]:bounds[i + 1]] for i in range(k)]
+    else:
+        chunks = [pcm_states] if pcm_states else []
+
+    def _launch_chunk(chunk_states):
+        with trace.stage("staging"):
+            buckets = group_blocks(chunk_states)
+        return [launch_bucket(bucket) for bucket in buckets]
+
+    launched_chunks = [_launch_chunk(chunks[0])] if chunks else []
     dsd_launched = launch_dsd_states(dsd_states) if dsd_states else []
 
-    # one cross-bucket cross-codec batched fetch
-    arrs = [a for lb in launched for a in (lb.crcmute, lb.payload)]
-    dsd_slots = []
-    for ld in dsd_launched:
-        dsd_slots.append((len(arrs), ld.payload is not None))
-        arrs.append(ld.crcerr)
-        if ld.payload is not None:
-            arrs.append(ld.payload)
-    fetched = _fetch_arrays(arrs)
+    def _finalize_batch(lbs, with_dsd):
+        arrs = [a for lb in lbs for a in (lb.crcmute, lb.payload)]
+        dsd_slots = []
+        if with_dsd:
+            for ld in dsd_launched:
+                dsd_slots.append((len(arrs), ld.payload is not None))
+                arrs.append(ld.crcerr)
+                if ld.payload is not None:
+                    arrs.append(ld.payload)
+        fetched = _fetch_arrays(arrs)
+        for k, lb in enumerate(lbs):
+            pair = (fetched[2 * k], fetched[2 * k + 1])
+            for st, res in zip(lb.bucket.states,
+                               finalize_bucket(lb, pair)):
+                results[remap[id(st)]] = res
+        for ld, (pos, has_payload) in zip(dsd_launched, dsd_slots):
+            pair = (fetched[pos],
+                    fetched[pos + 1] if has_payload else None)
+            for i, res in zip(ld.idxs, finalize_dsd_group(ld, pair)):
+                results[dsd_indices[i]] = res
 
-    for k, lb in enumerate(launched):
-        pair = (fetched[2 * k], fetched[2 * k + 1])
-        for st, res in zip(lb.bucket.states, finalize_bucket(lb, pair)):
-            results[remap[id(st)]] = res
-    for ld, (pos, has_payload) in zip(dsd_launched, dsd_slots):
-        pair = (fetched[pos], fetched[pos + 1] if has_payload else None)
-        for i, res in zip(ld.idxs, finalize_dsd_group(ld, pair)):
-            results[dsd_indices[i]] = res
+    if not chunks and dsd_launched:
+        _finalize_batch([], with_dsd=True)
+    for ci in range(len(chunks)):
+        if ci + 1 < len(chunks):
+            launched_chunks.append(_launch_chunk(chunks[ci + 1]))
+        _finalize_batch(launched_chunks[ci],
+                        with_dsd=(ci == len(chunks) - 1))
     if get_options().oracle_check:
         from ..ref import decode_block as oracle_decode
         for st, res in zip(states, results):
