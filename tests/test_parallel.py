@@ -24,3 +24,102 @@ def test_entry_compiles():
     out, crc, mute = fn(*args)
     assert out.shape[1] == args[0].shape[0]
     assert not np.asarray(mute).any()
+
+
+def _oracle_check_bucket(b, mesh):
+    from wvpk import consts
+    from wvpk.parallel import sharded_decode_bucket
+    from wvpk.ref import decode_block
+    out, crc, mute, crc_x = sharded_decode_bucket(b, mesh)
+    for i, st in enumerate(b.states):
+        want = decode_block(st)
+        n = st.header.block_samples
+        got = out[:n, i, :]
+        if st.flags & consts.FALSE_STEREO:
+            got = np.repeat(got, 2, axis=1)
+        np.testing.assert_array_equal(got, want.samples, err_msg=f"lane {i}")
+        assert int(crc[i]) == want.crc
+        if b.profile.has_wvx:
+            assert int(crc_x[i]) == want.crc_x
+        assert not mute[i]
+
+
+def _buckets(data):
+    from wvpk.container import parse_blocks
+    from wvpk.engine.staging import group_blocks
+    return group_blocks([blk.state for blk in parse_blocks(data)])
+
+
+def test_sharded_wvx_uneven_lanes():
+    """int32+wvx sharded across the mesh with lanes % devices != 0,
+    incl. a FALSE_STEREO lane (the crc_x quirk, UnpackUtils.cs:1265)."""
+    from wvpk.parallel import make_mesh
+    from wvpk.testgen import EncodeSpec, encode_file
+    rng = np.random.default_rng(21)
+    mesh = make_mesh(8)
+    stereo = np.clip(np.round(rng.normal(0, 1 << 24, (64 * 11, 2))),
+                     -(1 << 30), 1 << 30).astype(np.int64)
+    mono1 = np.clip(np.round(rng.normal(0, 1 << 22, (64 * 3, 1))),
+                    -(1 << 30), 1 << 30).astype(np.int64)
+    data = encode_file(stereo, EncodeSpec(
+        block_samples=64, joint=True, bytes_stored=4, int32_mode="wvx",
+        int32_sent_bits=4, int32_max_width=31))
+    data += encode_file(mono1, EncodeSpec(
+        block_samples=64, false_stereo=True, bytes_stored=4,
+        int32_mode="wvx", int32_sent_bits=3))
+    for b in _buckets(data):
+        _oracle_check_bucket(b, mesh)
+
+
+def test_sharded_hybrid_float_deep():
+    from wvpk.parallel import make_mesh
+    from wvpk.testgen import EncodeSpec, encode_file
+    rng = np.random.default_rng(22)
+    mesh = make_mesh(8)
+    hyb = np.stack([np.round(rng.normal(0, 8000, 64 * 9)),
+                    np.round(rng.normal(0, 90, 64 * 9))],
+                   axis=1).astype(np.int64)
+    flt = np.clip(np.round(rng.normal(0, 1 << 20, (64 * 10, 2))),
+                  -(1 << 23) + 1, (1 << 23) - 1).astype(np.int64)
+    deep = np.clip(np.round(rng.normal(0, 60000, (64 * 13, 2))),
+                   -(1 << 23) + 1, (1 << 23) - 1).astype(np.int64)
+    cases = [
+        encode_file(hyb, EncodeSpec(
+            block_samples=64, hybrid=True, hybrid_bitrate=True,
+            hybrid_balance=True, bitrate=320, bitrate_delta=1)),
+        encode_file(flt, EncodeSpec(
+            block_samples=64, joint=True, float_data=True, bytes_stored=4,
+            float_shift=0, float_max_exp=130, float_norm_exp=127)),
+        encode_file(deep, EncodeSpec(
+            block_samples=64, joint=True, bytes_stored=3,
+            terms=(18, 18, 17, 17, 3, 2, 5, 1, 2, 18, 17, 2),
+            deltas=(2,) * 12)),
+    ]
+    for data in cases:
+        for b in _buckets(data):
+            _oracle_check_bucket(b, mesh)
+
+
+def test_sharded_dsd_modes():
+    """DSD modes 1 and 3 lane-sharded over the mesh via shard_lanes_call,
+    bit-exact vs the oracle (uneven lane counts)."""
+    from wvpk.container import parse_blocks
+    from wvpk.engine.dsd_pipeline import (finalize_dsd_group,
+                                          launch_dsd_states)
+    from wvpk.parallel import make_mesh
+    from wvpk.ref import decode_block
+    from wvpk.testgen import encode_dsd_file
+    rng = np.random.default_rng(23)
+    mesh = make_mesh(8)
+    for mode in (1, 3):
+        d = rng.integers(0, 256, (64 * 11, 2)).astype(np.int64)
+        data = encode_dsd_file(d, mode, mono=False, history_bits=2)
+        states = [blk.state for blk in parse_blocks(data)]
+        n_checked = 0
+        for ld in launch_dsd_states(states, mesh=mesh):
+            for i, res in zip(ld.idxs, finalize_dsd_group(ld)):
+                want = decode_block(states[i])
+                np.testing.assert_array_equal(res.samples, want.samples)
+                assert not res.crc_error
+                n_checked += 1
+        assert n_checked == len(states)

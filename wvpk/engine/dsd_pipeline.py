@@ -149,9 +149,22 @@ class LaunchedDsd:
     nvals: np.ndarray                    # (L,) delivered value counts
 
 
-def launch_dsd_states(states: list[BlockState]) -> list[LaunchedDsd]:
+def launch_dsd_states(states: list[BlockState],
+                      mesh=None) -> list[LaunchedDsd]:
     """Enqueue every DSD profile group's decode on device; nothing is
-    fetched here (decode_states batches all fetches into one transfer)."""
+    fetched here (decode_states batches all fetches into one transfer).
+    With `mesh` the mode-1/3 group kernels run lane-sharded across the
+    device mesh via shard_map (mode 0 is a host byte copy + device CRC
+    and stays unsharded)."""
+    from functools import partial
+
+    def _call(fn, statics, args):
+        if mesh is None:
+            return fn(*args, **statics)
+        from ..parallel.mesh import shard_lanes_call
+        return shard_lanes_call(partial(fn, **statics), args, mesh,
+                                out_lane_axes=(0, 1))
+
     groups: dict[DsdProfile, list[int]] = {}
     for i, st in enumerate(states):
         groups.setdefault(_profile(st), []).append(i)
@@ -186,11 +199,13 @@ def launch_dsd_states(states: list[BlockState]) -> list[LaunchedDsd]:
                 summed[k] = d.summed_probabilities.astype(np.int32).reshape(-1)
                 value0[k] = d.value
             if _use_pallas_dsd():
-                payload, crcerr = _fast_packed_pallas(
-                    data, nbytes, summed,
-                    (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
-                    nvals.astype(np.int32), bins=B, mono=prof.mono,
-                    nsteps=prof.nsteps, interpret=not _on_tpu())
+                payload, crcerr = _call(
+                    _fast_packed_pallas,
+                    dict(bins=B, mono=prof.mono, nsteps=prof.nsteps,
+                         interpret=not _on_tpu()),
+                    (data, nbytes, summed,
+                     (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+                     nvals.astype(np.int32)))
             else:
                 probs = np.zeros((len(sts), B * 256), np.int32)
                 vlook = np.zeros((len(sts), B), np.int32)
@@ -200,22 +215,25 @@ def launch_dsd_states(states: list[BlockState]) -> list[LaunchedDsd]:
                     probs[k] = d.probabilities.astype(np.int32).reshape(-1)
                     vlook[k] = d.value_lookup
                     lookup[k, :d.lookup_buffer.size] = d.lookup_buffer
-                payload, crcerr = _fast_packed_xla(
-                    data, nbytes, summed, probs, vlook, lookup, value0,
-                    np.full(len(sts), B, np.int64), nvals.astype(np.int32),
-                    mono=prof.mono, nsteps=prof.nsteps)
+                payload, crcerr = _call(
+                    _fast_packed_xla,
+                    dict(mono=prof.mono, nsteps=prof.nsteps),
+                    (data, nbytes, summed, probs, vlook, lookup, value0,
+                     np.full(len(sts), B, np.int64),
+                     nvals.astype(np.int32)))
         else:
             ptable = np.stack([st.dsd.ptable for st in sts]).astype(np.int32)
             filters = np.stack([st.dsd.filters for st in sts]).astype(np.int32)
             value0 = np.asarray([st.dsd.value for st in sts], np.int64)
             use_pallas = _use_pallas_dsd()
-            payload, crcerr = _high_packed(
-                data, nbytes, ptable, filters,
-                (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-                if use_pallas else value0,
-                nsamples.astype(np.int32), mono=prof.mono,
-                nsteps=prof.nsteps, interpret=not _on_tpu(),
-                use_pallas=use_pallas)
+            payload, crcerr = _call(
+                _high_packed,
+                dict(mono=prof.mono, nsteps=prof.nsteps,
+                     interpret=not _on_tpu(), use_pallas=use_pallas),
+                (data, nbytes, ptable, filters,
+                 (value0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+                 if use_pallas else value0,
+                 nsamples.astype(np.int32)))
         launched.append(LaunchedDsd(prof, idxs, sts, payload, crcerr,
                                     None, nvals))
     return launched

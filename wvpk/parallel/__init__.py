@@ -8,6 +8,8 @@ and follows the "pick a mesh, annotate shardings, let XLA do the rest"
 recipe.
 """
 
-from .mesh import make_mesh, shard_bucket_arrays, sharded_decode_bucket
+from .mesh import (make_mesh, shard_bucket_arrays, shard_lanes_call,
+                   sharded_decode_bucket)
 
-__all__ = ["make_mesh", "shard_bucket_arrays", "sharded_decode_bucket"]
+__all__ = ["make_mesh", "shard_bucket_arrays", "shard_lanes_call",
+           "sharded_decode_bucket"]

@@ -1,4 +1,14 @@
-"""Device mesh + lane sharding for batch decode."""
+"""Device mesh + lane sharding for batch decode.
+
+Blocks are self-seeded (every block's metadata carries its decorr/entropy
+state, SURVEY.md section 2.3), so the multi-chip story is pure data
+parallelism over the lane (block) axis with ZERO collectives on the hot
+path: shard_map runs each device's Pallas/XLA program on its lane shard
+(a Pallas custom call is opaque to the SPMD partitioner, so shard_map is
+the correct structure, not sharding propagation). Covers every codec
+path: plain/hybrid/float PCM via fused_decode, int32+wvx via
+fused_decode_wvx, and DSD modes 1/3 via the packed DSD group kernels.
+"""
 
 from __future__ import annotations
 
@@ -8,10 +18,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.fused import fused_decode
+from ..engine.fused import fused_decode, fused_decode_wvx
 from ..engine.staging import Bucket
 
 LANE_AXIS = "blocks"
+
+_BASE_NAMES = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
+               "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
+               "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
+               "float_shift_eff", "int32_zod"]
+_WVX_NAMES = ["wvx_words", "wvx_start_bit", "wvx_start_bc", "sent_bits",
+              "max_width"]
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -22,23 +39,23 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def _pad_lanes(arr: np.ndarray, L_pad: int) -> np.ndarray:
+    """Pad the lane axis to a mesh multiple by replicating lane 0 (a real
+    block's data, so padded lanes run the kernels on valid inputs; their
+    outputs are sliced away)."""
     if arr.shape[0] == L_pad:
         return arr
-    pad = [(0, L_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad)
+    rep = np.repeat(arr[:1], L_pad - arr.shape[0], axis=0)
+    return np.concatenate([arr, rep], axis=0)
 
 
-def shard_bucket_arrays(b: Bucket, mesh: Mesh) -> tuple[dict, int]:
+def shard_bucket_arrays(b: Bucket, mesh: Mesh,
+                        names: list[str]) -> tuple[dict, int]:
     """Pad the lane axis to a mesh multiple and device_put every array with
     a lane-sharded NamedSharding."""
     n = mesh.devices.size
     L = b.words.shape[0]
     L_pad = ((L + n - 1) // n) * n
     sh = NamedSharding(mesh, P(LANE_AXIS))
-    names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
-             "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
-             "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
-             "float_shift_eff", "int32_zod"]
     out = {}
     for name in names:
         arr = _pad_lanes(np.asarray(getattr(b, name)), L_pad)
@@ -49,37 +66,82 @@ def shard_bucket_arrays(b: Bucket, mesh: Mesh) -> tuple[dict, int]:
 def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     """Decode one bucket with the lane axis sharded across the mesh.
 
-    shard_map runs the fused kernel per device on its lane shard — each
-    device gets its own Pallas/XLA program (a Pallas custom call is opaque
-    to the SPMD partitioner, so shard_map is the correct structure, not
-    sharding propagation). Zero collectives on the hot path.
-    Returns (out (T, L, C) int32, crc (L,), mute (L,)) unpadded.
+    Returns (out (T, L, C) int32, crc (L,), mute (L,), crc_x (L,))
+    unpadded; crc_x is -1 for non-wvx buckets (reference semantics:
+    crc_mvx only exists with a wvx stream, UnpackUtils.cs:124-128).
     """
     from functools import partial
 
     from jax.experimental.shard_map import shard_map
 
-    arrs, L = shard_bucket_arrays(b, mesh)
     prof = b.profile
-    names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
-             "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
-             "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
-             "float_shift_eff", "int32_zod"]
+    names = _BASE_NAMES + (_WVX_NAMES if prof.has_wvx else [])
+    arrs, L = shard_bucket_arrays(b, mesh, names)
     args = [arrs[n] for n in names]
-    lane = P(LANE_AXIS)
+    ntm = int(np.asarray(b.num_terms).max())
+    if prof.has_wvx:
+        from .. import consts
+        fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
+                         for st in b.states])
+        fs_pad = _pad_lanes(fs, args[0].shape[0])
+        args.append(jax.device_put(fs_pad, NamedSharding(mesh, P(LANE_AXIS))))
+        fn = partial(fused_decode_wvx,
+                     mono=prof.mono, hybrid=prof.hybrid,
+                     hybrid_bitrate=prof.hybrid_bitrate,
+                     hybrid_balance=prof.hybrid_balance,
+                     has_false_stereo=bool(fs.any()),
+                     nsteps=prof.nsteps, num_terms_max=ntm)
+        out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS),
+                     P(LANE_AXIS))
+    else:
+        fn = partial(fused_decode,
+                     mono=prof.mono, hybrid=prof.hybrid,
+                     hybrid_bitrate=prof.hybrid_bitrate,
+                     hybrid_balance=prof.hybrid_balance,
+                     is_float=prof.is_float,
+                     int32_expand=prof.is_int32,
+                     nsteps=prof.nsteps, num_terms_max=ntm)
+        out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS))
     in_specs = tuple(P(LANE_AXIS, *([None] * (a.ndim - 1))) for a in args)
-    out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS))
-
-    fn = partial(fused_decode,
-                 mono=prof.mono, hybrid=prof.hybrid,
-                 hybrid_bitrate=prof.hybrid_bitrate,
-                 hybrid_balance=prof.hybrid_balance,
-                 is_float=prof.is_float,
-                 int32_expand=prof.is_int32 and not prof.has_wvx,
-                 nsteps=prof.nsteps,
-                 num_terms_max=int(np.asarray(b.num_terms).max()))
     sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_rep=False)
-    out, crc, mute = jax.jit(sharded)(*args)
+    res = jax.jit(sharded)(*args)
+    if prof.has_wvx:
+        out, crc, mute, crc_x = res
+        crc_x = np.asarray(crc_x)[:L]
+    else:
+        out, crc, mute = res
+        crc_x = np.full(L, -1, np.int32)
     return (np.asarray(out)[:, :L, :], np.asarray(crc)[:L],
-            np.asarray(mute)[:L])
+            np.asarray(mute)[:L], crc_x)
+
+
+def shard_lanes_call(fn, args, mesh: Mesh, out_lane_axes: tuple[int, ...]):
+    """shard_map an arbitrary lane-leading kernel call over the mesh:
+    every arg is padded on its leading (lane) axis to a mesh multiple by
+    replicating lane 0, the call runs per-device on its shard, and each
+    output is unpadded along `out_lane_axes[i]`. Used for the DSD group
+    kernels (dsd_pipeline launches route through here when a mesh is
+    given)."""
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.devices.size
+    L = int(np.asarray(args[0]).shape[0])
+    L_pad = ((L + n - 1) // n) * n
+    sh = NamedSharding(mesh, P(LANE_AXIS))
+    padded = [jax.device_put(_pad_lanes(np.asarray(a), L_pad), sh)
+              for a in args]
+    in_specs = tuple(P(LANE_AXIS, *([None] * (a.ndim - 1))) for a in padded)
+    out_specs = tuple(
+        P(*(LANE_AXIS if d == ax else None
+            for d in range(2)))            # DSD outputs are rank 2
+        for ax in out_lane_axes)
+    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_rep=False)
+    res = jax.jit(sharded)(*padded)
+    out = []
+    for r, ax in zip(res, out_lane_axes):
+        idx = tuple(slice(0, L) if d == ax else slice(None)
+                    for d in range(r.ndim))
+        out.append(r[idx])
+    return tuple(out)
