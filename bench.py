@@ -196,8 +196,8 @@ def main():
     # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3),
     # float (config 4) and hybrid lossy (config 5 PCM half), decoded
     # through the same engine
-    mc51 = _bench_secondary(_make_mc51, "mc51_v3")
-    hyb = _bench_secondary(_make_hybrid, "hybrid_v3")
+    mc51 = _bench_secondary(_make_mc51, "mc51_v4")
+    hyb = _bench_secondary(_make_hybrid, "hybrid_v4")
     flt = _bench_secondary(_make_float, "float_v1")
 
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
@@ -273,7 +273,7 @@ def _make_mc51():
     spec = EncodeSpec(block_samples=4096, joint=True, bytes_stored=3,
                       terms=(18, 18, 18, 18, 18, 2, 2, 17, 17, 3),
                       deltas=(2,) * 10)
-    return [encode_multichannel(pcm, spec)] * 12, n
+    return [encode_multichannel(pcm, spec)] * 36, n
 
 
 def _make_hybrid():
@@ -286,7 +286,7 @@ def _make_hybrid():
     np.clip(pcm, -32768, 32767, out=pcm)
     spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
                       hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
-    return [encode_file(pcm, spec)] * 40, n
+    return [encode_file(pcm, spec)] * 80, n
 
 
 def _make_float():
@@ -379,9 +379,12 @@ def _bench_dsd(mode: int) -> float:
     return round(total / best / 705600, 1)
 
 
-def _bench_secondary(builder, tag: str) -> float:
+def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
     """Device decode throughput for a secondary corpus: same pattern as
-    the primary (inputs staged in HBM, CRC-gated, one blocking fetch)."""
+    the primary (inputs staged in HBM, CRC-gated) with `launch_rounds`
+    back-to-back decode launches per blocking fetch, so the fixed ~27 ms
+    tunnel round trip is amortized the same way the serving path batches
+    fetches (decode_states launches everything, fetches once)."""
     import jax
     import jax.numpy as jnp
 
@@ -390,9 +393,12 @@ def _bench_secondary(builder, tag: str) -> float:
     from wvpk.engine.staging import group_blocks
 
     files, _n = _cache_blob(tag, builder)
+    parsed: dict[bytes, list] = {}
     states = []
     for data in files:
-        states += [b.state for b in parse_blocks(data)]
+        if data not in parsed:
+            parsed[data] = [b.state for b in parse_blocks(data)]
+        states += parsed[data]
     total = sum(st.header.block_samples for st in states)
     buckets = group_blocks(states)
     names = ("words", "nwords_lane", "nsamples", "med", "slow", "acc",
@@ -406,21 +412,22 @@ def _bench_secondary(builder, tag: str) -> float:
             np.asarray(v)
         staged.append(dev)
 
-    def run():
+    def run(rounds=1):
         handles = []
-        for b, dev in zip(buckets, staged):
-            prof = b.profile
-            _out, crc, mute = fused_decode(
-                *(dev[k] for k in names),
-                mono=prof.mono, hybrid=prof.hybrid,
-                hybrid_bitrate=prof.hybrid_bitrate,
-                hybrid_balance=prof.hybrid_balance,
-                is_float=prof.is_float,
-                int32_expand=prof.is_int32 and not prof.has_wvx,
-                nsteps=prof.nsteps,
-                num_terms_max=int(b.num_terms.max()))
-            handles.append(jnp.stack([crc.astype(jnp.int32),
-                                      mute.astype(jnp.int32)]))
+        for _ in range(rounds):
+            for b, dev in zip(buckets, staged):
+                prof = b.profile
+                _out, crc, mute = fused_decode(
+                    *(dev[k] for k in names),
+                    mono=prof.mono, hybrid=prof.hybrid,
+                    hybrid_bitrate=prof.hybrid_bitrate,
+                    hybrid_balance=prof.hybrid_balance,
+                    is_float=prof.is_float,
+                    int32_expand=prof.is_int32 and not prof.has_wvx,
+                    nsteps=prof.nsteps,
+                    num_terms_max=int(b.num_terms.max()))
+                handles.append(jnp.stack([crc.astype(jnp.int32),
+                                          mute.astype(jnp.int32)]))
         # one cross-bucket fetch (fixed tunnel latency paid once)
         cm = np.asarray(jnp.concatenate(handles, axis=1))
         out = []
@@ -437,9 +444,9 @@ def _bench_secondary(builder, tag: str) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        run(launch_rounds)
         best = min(best, time.perf_counter() - t0)
-    return round(total / best / 1e6, 3)
+    return round(launch_rounds * total / best / 1e6, 3)
 
 
 if __name__ == "__main__":
