@@ -68,12 +68,17 @@ def main():
     assert n == total, (n, total)
     buf = np.zeros(65536 * 2, np.int32)
     got = 0
+    nreq = 0
     t0 = time.perf_counter()
     while True:
         k = api.WavpackUnpackSamples(wpc, buf, 65536)
         if k == 0:
             break
         got += k
+        nreq += 1
+        if os.environ.get("WVPK_STREAM_PROGRESS") and nreq % 16 == 0:
+            r = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            print(f"  {got/1e6:.0f} Msamples, {got/(time.perf_counter()-t0)/1e6:.2f} Ms/s, RSS {r:.0f} MB", flush=True)
     dt = time.perf_counter() - t0
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     assert got == total, (got, total)

@@ -18,12 +18,25 @@ from ..tables import EXP2_NP, LOG2_NP
 EXTRA_PAD_WORDS = 8  # room for bounded post-EOF overreads
 
 
+def _quantize_words(nwords: int) -> int:
+    """Round the staged word capacity up to a coarse grid (>= 1/16
+    granularity, min 32 words): the capacity is a compile-time shape for
+    every downstream kernel, and content-driven per-batch W values would
+    otherwise trigger a fresh (remote, tens-of-seconds) compile per
+    decode batch on a long streaming file. Worst-case padding 6.25%, all
+    padded bytes are the 0xff EOF fill the bitstream contract expects."""
+    gran = 32
+    while gran * 16 < nwords:
+        gran *= 2
+    return ((nwords + gran - 1) // gran) * gran
+
+
 def pack_streams(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Pack per-lane byte payloads into a (L, W) uint32 array (LSB-first
     bit order within word) padded with the 0xff EOF fill. Returns (words,
     nbits). Uses the native C stager (wvpk/native) when available."""
     nbytes = max((len(p) for p in payloads), default=0)
-    nwords = (nbytes + 3) // 4 + EXTRA_PAD_WORDS
+    nwords = _quantize_words((nbytes + 3) // 4 + EXTRA_PAD_WORDS)
     out = None
     try:
         from ..native import pack_streams_native
