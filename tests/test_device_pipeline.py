@@ -159,4 +159,4 @@ def test_dev_chunked_delivery():
     try:
         compare(data)
     finally:
-        config.set_options(delivery_chunk_blocks=512)
+        config.set_options(delivery_chunk_blocks=0)

@@ -45,9 +45,13 @@ class DecodeOptions:
     packed_delivery: bool = True
     # pipeline the delivery path in chunks of this many PCM blocks:
     # chunk k+1's H2D staging + compute launch overlaps chunk k's blocking
-    # payload fetch (double-buffering over PCIe / the dev tunnel).
-    # 0 disables (single batched fetch); small corpora always single-fetch
-    delivery_chunk_blocks: int = 512
+    # payload fetch (double-buffering over PCIe). 0 = single batched
+    # fetch, the default: on the tunneled dev rig each extra fetch costs
+    # a fixed ~27 ms round trip that outweighs the overlap (measured
+    # CH=0 5.13 vs CH=512 4.51 Ms/s on the 96-file subset); real PCIe
+    # deployments with per-transfer latency in the us range should set
+    # ~512
+    delivery_chunk_blocks: int = 0
 
 
 _default = DecodeOptions()

@@ -108,12 +108,26 @@ class LazyBlocks:
         if len(raw) < hdr.ck_size + 8:
             raise BlockParseError(f"truncated block at {hdr.stream_position}")
         local = replace(hdr, stream_position=0)
+        # native C metadata walk first (~10x the Python walk — the
+        # streaming hot loop parses every block exactly once); blocks
+        # with context updates / DSD / malformed fall back to Python
+        blk = None
         try:
-            items = iter_metadata(raw, local)
-            state, updates = decode_block_state(hdr, items)
-        except Exception as e:
-            raise BlockParseError(str(e)) from e
-        blk = Block(hdr, items, state, updates)
+            from ..native import parse_block_native
+            from .blockstate import state_from_native
+            arr = parse_block_native(raw, 0)
+            if arr is not None:
+                state, updates = state_from_native(hdr, arr, raw)
+                blk = Block(hdr, [], state, updates)
+        except Exception:
+            blk = None
+        if blk is None:
+            try:
+                items = iter_metadata(raw, local)
+                state, updates = decode_block_state(hdr, items)
+            except Exception as e:
+                raise BlockParseError(str(e)) from e
+            blk = Block(hdr, items, state, updates)
         self._cache[i] = blk
         while len(self._cache) > self._cap:
             self._cache.popitem(last=False)
