@@ -111,8 +111,8 @@ def main():
     # property. Measured on a 96-file subset (big enough to amortize the
     # fixed ~27 ms dispatch/fetch latencies into the transfer time) PLUS
     # a DSD slice (modes 1+3), so what's timed is the mixed-codec
-    # chunk-pipelined delivery path: compressed words up, packed PCM +
-    # packed DSD bytes down, chunk k+1 staging overlapping chunk k fetch.
+    # delivery path: compressed words up (one packed blob per bucket),
+    # packed PCM + packed DSD bytes down, ONE batched fetch.
     host_states = states[:len(states) * 96 // max(n_files, 96)] \
         if n_files > 96 else states
     dsd_files = _cache_blob("dsd_delivery_v1", _make_dsd_delivery)
@@ -215,7 +215,7 @@ def main():
     # through the same engine
     mc51 = _bench_secondary(_make_mc51, "mc51_v4")
     hyb = _bench_secondary(_make_hybrid, "hybrid_v4")
-    flt = _bench_secondary(_make_float, "float_v1")
+    flt = _bench_secondary(_make_float, "float_v2")
 
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
     # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
@@ -320,7 +320,7 @@ def _make_float():
     spec = EncodeSpec(block_samples=4096, joint=True, float_data=True,
                       bytes_stored=4, float_shift=0, float_max_exp=130,
                       float_norm_exp=127)
-    return [encode_file(pcm, spec)] * 24, n
+    return [encode_file(pcm, spec)] * 48, n
 
 
 def _make_dsd_delivery():
