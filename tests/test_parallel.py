@@ -123,3 +123,33 @@ def test_sharded_dsd_modes():
                 assert not res.crc_error
                 n_checked += 1
         assert n_checked == len(states)
+
+
+def test_sharded_decode_states_matches_single_chip():
+    """sharded_decode_states over the 8-device mesh returns block-for-block
+    identical results to the single-chip engine on a mixed PCM+DSD+
+    zero-sample corpus."""
+    from wvpk.container import parse_blocks
+    from wvpk.engine import decode_states
+    from wvpk.parallel import make_mesh, sharded_decode_states
+    from wvpk.testgen import EncodeSpec, encode_dsd_file, encode_file
+    rng = np.random.default_rng(24)
+    mesh = make_mesh(8)
+    data = encode_file(
+        np.round(rng.normal(0, 3000, (64 * 10, 2))).astype(np.int64),
+        EncodeSpec(block_samples=64, joint=True))
+    data += encode_file(
+        np.round(rng.normal(0, 700, (64 * 3, 1))).astype(np.int64),
+        EncodeSpec(block_samples=64, mono=True, terms=(17, 2),
+                   deltas=(2, 2)))
+    data += encode_dsd_file(
+        rng.integers(0, 256, (64 * 5, 2)).astype(np.int64), 3, mono=False)
+    states = [blk.state for blk in parse_blocks(data)]
+    single = decode_states(states)
+    multi = sharded_decode_states(states, mesh)
+    assert len(single) == len(multi)
+    for s, m in zip(single, multi):
+        np.testing.assert_array_equal(s.samples, m.samples)
+        assert s.crc == m.crc
+        assert s.mute_error == m.mute_error
+        assert s.crc_error == m.crc_error

@@ -9,7 +9,7 @@ recipe.
 """
 
 from .mesh import (make_mesh, shard_bucket_arrays, shard_lanes_call,
-                   sharded_decode_bucket)
+                   sharded_decode_bucket, sharded_decode_states)
 
 __all__ = ["make_mesh", "shard_bucket_arrays", "shard_lanes_call",
-           "sharded_decode_bucket"]
+           "sharded_decode_bucket", "sharded_decode_states"]

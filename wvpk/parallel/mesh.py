@@ -116,6 +116,53 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
             np.asarray(mute)[:L], crc_x)
 
 
+def sharded_decode_states(states, mesh: Mesh):
+    """Multi-chip batch decode: the mesh-parallel counterpart of
+    `engine.decode_states`. Buckets PCM blocks by profile and runs each
+    bucket's fused decode lane-sharded over the mesh; DSD groups route
+    through the sharded group kernels. Returns the same `DecodedBlock`
+    list (order preserved), so swapping a single-chip batch decode for an
+    N-chip one is a one-line change."""
+    from .. import consts
+    from ..engine.dsd_pipeline import finalize_dsd_group, launch_dsd_states
+    from ..engine.pipeline import DecodedBlock
+    from ..engine.staging import group_blocks
+
+    results = [None] * len(states)
+    pcm, pcm_idx, dsd, dsd_idx = [], [], [], []
+    for i, st in enumerate(states):
+        if st.flags & consts.DSD_FLAG:
+            dsd.append(st)
+            dsd_idx.append(i)
+        elif st.header.block_samples == 0:
+            results[i] = DecodedBlock(
+                samples=np.zeros((0, 1), np.int32), crc=-1, crc_x=-1,
+                mute_error=False, crc_error=False)
+        else:
+            pcm.append(st)
+            pcm_idx.append(i)
+    remap = {id(st): i for st, i in zip(pcm, pcm_idx)}
+    for b in group_blocks(pcm):
+        out, crc, mute, crc_x = sharded_decode_bucket(b, mesh)
+        for i, st in enumerate(b.states):
+            n = st.header.block_samples
+            vals = out[:n, i, :]
+            if st.flags & consts.FALSE_STEREO:
+                vals = np.repeat(vals, 2, axis=1)
+            crc_err = (int(crc[i]) != st.header.crc
+                       or (b.profile.has_wvx
+                           and int(crc_x[i]) != st.crc_mvx))
+            results[remap[id(st)]] = DecodedBlock(
+                samples=np.ascontiguousarray(vals), crc=int(crc[i]),
+                crc_x=int(crc_x[i]), mute_error=bool(mute[i]),
+                crc_error=bool(crc_err))
+    if dsd:
+        for ld in launch_dsd_states(dsd, mesh=mesh):
+            for i, res in zip(ld.idxs, finalize_dsd_group(ld)):
+                results[dsd_idx[i]] = res
+    return results
+
+
 def shard_lanes_call(fn, args, mesh: Mesh, out_lane_axes: tuple[int, ...]):
     """shard_map an arbitrary lane-leading kernel call over the mesh:
     every arg is padded on its leading (lane) axis to a mesh multiple by
