@@ -142,6 +142,18 @@ def test_sharded_decode_states_matches_single_chip():
         np.round(rng.normal(0, 700, (64 * 3, 1))).astype(np.int64),
         EncodeSpec(block_samples=64, mono=True, terms=(17, 2),
                    deltas=(2, 2)))
+    data += encode_file(
+        np.stack([np.round(rng.normal(0, 8000, 64 * 4)),
+                  np.round(rng.normal(0, 90, 64 * 4))],
+                 axis=1).astype(np.int64),
+        EncodeSpec(block_samples=64, hybrid=True, hybrid_bitrate=True,
+                   hybrid_balance=True, bitrate=320, bitrate_delta=1))
+    data += encode_file(
+        np.clip(np.round(rng.normal(0, 1 << 20, (64 * 4, 2))),
+                -(1 << 23) + 1, (1 << 23) - 1).astype(np.int64),
+        EncodeSpec(block_samples=64, joint=True, float_data=True,
+                   bytes_stored=4, float_shift=0, float_max_exp=130,
+                   float_norm_exp=127))
     data += encode_dsd_file(
         rng.integers(0, 256, (64 * 5, 2)).astype(np.int64), 3, mono=False)
     states = [blk.state for blk in parse_blocks(data)]
