@@ -179,16 +179,20 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         bufs[B_W1:B_W1 + 1, :] = jnp.where(adv, wnew, w1)
         return high, low, value, bptr
 
+    def pp_of(val):
+        return _lshr(val, PRECISION - PRECISION_USE) & PTABLE_MASK
+
     def ptable_get(pp):
         m = iota256 == pp
         return jnp.sum(jnp.where(m, pt[...], I32(0)), axis=0,
                        keepdims=True, dtype=I32)
 
-    def one_bit(coder, ch, active):
+    def one_bit(coder, ch, active, pt_pp):
+        """Decode one arithmetic-coded bit (DsdUtils.cs:405-470) given a
+        prefetched ptable entry; returns the new entry value for the
+        caller's deferred (paired) table update instead of writing it."""
         value, low, high, bptr = coder
         f1, f2, f3, f4, f5, f6, factor, val, bytei = ch
-        pp = _lshr(val, PRECISION - PRECISION_USE) & PTABLE_MASK
-        pt_pp = ptable_get(pp)
         # split = low + ((high - low) >> 8) * (pt >> 16), uint wrap
         split = low + _lshr(high - low, 8) * _lshr(pt_pp, 16)
         bit1 = _ule(value, split)
@@ -196,8 +200,6 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         low = jnp.where(bit1 | ~active, low, split + 1)
         pt_new = jnp.where(bit1, pt_pp + ((UP - pt_pp) >> DECAY),
                            pt_pp + ((DOWN - pt_pp) >> DECAY))
-        onehot = (iota256 == pp) & active
-        pt[...] = jnp.where(onehot, pt_new, pt[...])
         f0 = jnp.where(bit1, I32(-1), I32(0))
         high, low, value, bptr = renorm(high, low, value, bptr, active)
         val = val + f6 * 8
@@ -213,7 +215,8 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
         f6 = f6 + ((val - f6) >> 3)
         val = f1 - f5 + ((f6 * factor) >> 2)
         return ((value, low, high, bptr),
-                (f1, f2, f3, f4, f5, f6, factor, val, bytei))
+                (f1, f2, f3, f4, f5, f6, factor, val, bytei),
+                pt_new)
 
     def load_state():
         rows = [st[k:k + 1, :] for k in range(nstate)]
@@ -248,9 +251,33 @@ def _dsd_high_kernel(state0_ref, ptable0_ref, meta_ref, words_ref,
             # per-sample predictor seed (DsdUtils.cs:401-404)
             val = f[0] - f[4] + ((f[5] * f[6]) >> 2)
             chans.append(tuple(f) + (val, jnp.zeros_like(val)))
+        # paired table updates: bit 2k+1's entry is read STALE (missing
+        # only bit 2k's pending row update, reconstructed by a cheap
+        # per-lane scalar select when the rows collide), then both row
+        # updates land in ONE masked sweep — 32 -> 24 full-(256, tile)
+        # traversals per stereo step, with reads and writes kept as
+        # independent sweeps (a read-through-write fusion measured 34%
+        # slower; see NOTES.md)
+        pend = None
         for _bit in range(8):
             for c in range(C):
-                coder, chans[c] = one_bit(coder, chans[c], active)
+                pp = pp_of(chans[c][7])
+                pt_pp = ptable_get(pp)
+                if pend is not None:
+                    pt_pp = jnp.where(pp == pend[0], pend[1], pt_pp)
+                coder, chans[c], ptnew = one_bit(coder, chans[c], active,
+                                                 pt_pp)
+                if pend is None:
+                    pend = (pp, ptnew)
+                else:
+                    m2 = (iota256 == pp) & active
+                    m1 = (iota256 == pend[0]) & active
+                    pt[...] = jnp.where(m2, ptnew,
+                                        jnp.where(m1, pend[1], pt[...]))
+                    pend = None
+        if pend is not None:
+            pt[...] = jnp.where((iota256 == pend[0]) & active, pend[1],
+                                pt[...])
         out = list(carry)
         out[S_VAL], out[S_LOW], out[S_HIGH], out[S_BPTR] = coder
         for c in range(C):
