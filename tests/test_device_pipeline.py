@@ -123,6 +123,36 @@ def test_dev_float_shifted():
         float_shift=0, float_max_exp=130, float_norm_exp=127)))
 
 
+def test_dev_float_negative_shift():
+    """shift = max_exp - norm_exp + float_shift < 0 takes the
+    `values >>= -shift` arm of FloatUtils.cs:36-47."""
+    pcm = np.random.default_rng(40).integers(-2**22, 2**22, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=150, float_data=True, bytes_stored=4,
+        float_shift=0, float_max_exp=120, float_norm_exp=127)))
+
+
+def test_dev_float_shift_clamped():
+    """|shift| > 32 clamps to +/-32 (FloatUtils.cs:36-39), and the C#
+    mod-32 int shift makes the clamped shift a NO-OP (only the 24-bit
+    clip applies) — both arms. float_shift itself is an unsigned byte
+    (FloatUtils.cs:25), so the negative arm comes from max_exp."""
+    pcm = np.random.default_rng(41).integers(-2**22, 2**22, size=(200, 2))
+    for max_exp, norm_exp, fsh in ((127, 127, 40), (60, 127, 0)):
+        compare(encode_file(pcm, EncodeSpec(
+            block_samples=100, float_data=True, bytes_stored=4,
+            float_shift=fsh, float_max_exp=max_exp, float_norm_exp=norm_exp)))
+
+
+def test_dev_float_clip_saturates():
+    """positive shift pushing values past 24 bits hits the 8388607 /
+    -8388608 clip arms (FloatUtils.cs:49-52)."""
+    pcm = np.random.default_rng(42).integers(-2**22, 2**22, size=(300, 2))
+    compare(encode_file(pcm, EncodeSpec(
+        block_samples=150, float_data=True, bytes_stored=4,
+        float_shift=4, float_max_exp=130, float_norm_exp=127)))
+
+
 def test_dev_dsd_host_fallback():
     r = np.random.default_rng(15)
     data = r.integers(0, 256, size=(400, 2)).astype(np.int64)

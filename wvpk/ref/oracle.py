@@ -551,12 +551,15 @@ def decorr_mono_pass(dpp: DecorrPass, buf: list[int], sample_count: int,
 def float_values(st: BlockState, buf: list[int], num_values: int, start: int) -> None:
     shift = st.float_max_exp - st.float_norm_exp + st.float_shift
     shift = max(-32, min(32, shift))
+    # C# int shift counts are mod-32 (FloatUtils.cs:42-45), so the
+    # clamped +/-32 shift is a NO-OP, not a zero/sign fill — the value
+    # passes through unshifted and only the 24-bit clip applies
     for p in range(start, start + num_values):
         v = buf[p]
         if shift > 0:
-            v = i32(v << shift)
+            v = i32(v << (shift & 31))
         elif shift < 0:
-            v = v >> -shift
+            v = v >> ((-shift) & 31)
         buf[p] = max(-8388608, min(8388607, v))
 
 

@@ -50,9 +50,12 @@ def random_spec(rng: np.random.Generator,
             kw["int32_" + mode] = int(rng.integers(1, 7))
         return EncodeSpec(**kw)
     if family == "float":
+        # max_exp < norm_exp drives the negative-shift arm; 60/161 land
+        # beyond +/-32 and exercise the clamp + C# mod-32 no-op quirk
         return EncodeSpec(**base, float_data=True, bytes_stored=4,
-                          float_shift=0,
-                          float_max_exp=int(rng.choice([127, 127, 130, 133])),
+                          float_shift=int(rng.choice([0, 0, 0, 3])),
+                          float_max_exp=int(rng.choice(
+                              [127, 127, 130, 133, 120, 60, 161])),
                           float_norm_exp=127)
     bytes_stored = int(rng.choice([1, 2, 2, 3, 4]))
     hybrid = bool(rng.random() < 0.3)
