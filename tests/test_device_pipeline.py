@@ -153,10 +153,49 @@ def test_dev_float_clip_saturates():
         float_shift=4, float_max_exp=130, float_norm_exp=127)))
 
 
+def test_dev_hybrid_clip_saturates():
+    """Near-full-scale hybrid content overshoots the stored-byte range so
+    the lossy clip (UnpackUtils.cs:1350-1393) fires — probed at 130-156
+    hits per corpus across bytes_stored 1/2/3 incl. the bs==3 logical-
+    shift quirk and a shifted variant."""
+    rng = np.random.default_rng(77)
+    rng.normal(0, 90, (600, 2))  # keep stream position of the probe run
+    for shift, bs in ((0, 1), (2, 2), (0, 3)):
+        scale = (1 << (8 * bs - 1)) - 1
+        p = np.clip(np.round(rng.normal(0, scale * 0.7, (600, 2))),
+                    -scale - 1, scale).astype(np.int64)
+        p = (p >> shift) << shift
+        compare(encode_file(p, EncodeSpec(
+            block_samples=300, hybrid=True, bitrate=256 * bs,
+            bytes_stored=bs, shift=shift)))
+
+
 def test_dev_dsd_host_fallback():
     r = np.random.default_rng(15)
     data = r.integers(0, 256, size=(400, 2)).astype(np.int64)
     compare(encode_dsd_file(data, 1, mono=False, history_bits=1))
+
+
+def test_dev_corrupt_int32_counts_mod32():
+    """Corrupt ID_INT32_INFO bytes push zeros/ones/dups/sent_bits past 31;
+    C# shift counts are mod-32 (UnpackUtils.cs:1301-1343 run on ints), so
+    fixup must NOT zero the values. The block's CRC covers pre-fixup
+    samples, so concealment never catches this arm — only the
+    device-vs-oracle differential does (found by the seed-100018 soak)."""
+    rng = np.random.default_rng(43)
+    base = rng.integers(-2**18, 2**18, size=(200, 1)).astype(np.int64)
+    pcms = {"zeros": base << 5, "ones": ((base + 1) << 5) - 1,
+            "dups": ((base + (base & 1)) << 5) - (base & 1)}
+    for mode, off in (("zeros", 1), ("ones", 2), ("dups", 3)):
+        data = bytearray(encode_file(pcms[mode], EncodeSpec(
+            block_samples=200, mono=True, bytes_stored=4, int32_mode=mode,
+            **{f"int32_{mode}": 5})))
+        # locate the ID_INT32_INFO payload (id 0x09, word length 2) and
+        # bump the mode's count byte to 37 (= 5 mod 32)
+        idx = bytes(data).find(bytes([0x09, 0x02]))
+        assert idx > 0 and data[idx + 2 + off] == 5
+        data[idx + 2 + off] = 37
+        compare(bytes(data))
 
 
 def test_dev_corrupted_block_mutes():

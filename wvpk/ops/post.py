@@ -167,7 +167,10 @@ def wvx_inject(out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc,
     T, L, C = out.shape
     windows = make_windows(wvx_words)
     sb = sent_bits.astype(I64)
-    mask = (jnp.int64(1) << jnp.clip(sb, 0, 32)) - 1
+    # C# int/uint shift counts are mod-32 (reachable only via corrupt
+    # metadata bytes; conforming streams keep sent_bits/zeros/ones/dups
+    # well under 32): mask = (1U << sent_bits) - 1 wraps the count
+    mask = (jnp.int64(1) << (sb & 31)) - 1
     mw = max_width.astype(I64)
     zeros = int32_zod[:, 0].astype(I64)
     ones = int32_zod[:, 1].astype(I64)
@@ -189,17 +192,17 @@ def wvx_inject(out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc,
         win = peek(windows, bitpos)
         data = bits_of(win, jnp.minimum(bc_pre, 32)) & mask
         injected = wrap32(
-            wrap32(wrap32(v << (btr & 63)) | data)
-            << jnp.clip(sb - btr, 0, 63))
+            wrap32(wrap32(v << (btr & 31)) | data)
+            << ((sb - btr) & 31))
         no_read = valid & (sb > 0) & ~do_read
         v1 = jnp.where(do_read, injected,
-                       jnp.where(no_read, wrap32(v << (sb & 63)), v))
+                       jnp.where(no_read, wrap32(v << (sb & 31)), v))
         bitpos = jnp.where(do_read, bitpos + btr, bitpos)
         bc = jnp.where(do_read, bc_pre - btr, bc)
         # re-expansion (same loop in the reference)
-        vz = wrap32(v1 << (zeros & 63))
-        vo = wrap32(((v1 + 1) << (ones & 63)) - 1)
-        vd = wrap32(((v1 + (v1 & 1)) << (dups & 63)) - (v1 & 1))
+        vz = wrap32(v1 << (zeros & 31))
+        vo = wrap32(((v1 + 1) << (ones & 31)) - 1)
+        vd = wrap32(((v1 + (v1 & 1)) << (dups & 31)) - (v1 & 1))
         v2 = jnp.where(zeros != 0, vz,
                        jnp.where(ones != 0, vo,
                                  jnp.where(dups != 0, vd, v1)))

@@ -579,7 +579,10 @@ def fixup_samples(st: BlockState, buf: list[int], sample_count: int,
         count = sample_count if flags & consts.MONO_FLAG else sample_count * 2
         sent_bits, zeros = st.int32_sent_bits, st.int32_zeros
         ones, dups = st.int32_ones, st.int32_dups
-        mask = (1 << sent_bits) - 1
+        # C# int/uint shift counts are mod-32 — reachable only through
+        # corrupt metadata bytes (conforming encoders keep these < 32);
+        # every shift below masks its count for parity
+        mask = (1 << (sent_bits & 31)) - 1
         p = start
         if wvx is not None:
             max_width = st.int32_max_width
@@ -594,18 +597,19 @@ def fixup_samples(st: BlockState, buf: list[int], sample_count: int,
                             bits_to_read -= width - max_width
                         if width <= max_width or bits_to_read > 0:
                             data = wvx.getbits(bits_to_read) & mask
-                            v = i32((i32(v << bits_to_read) | data) << (sent_bits - bits_to_read))
+                            v = i32((i32(v << (bits_to_read & 31)) | data)
+                                    << ((sent_bits - bits_to_read) & 31))
                         else:
-                            v = i32(v << sent_bits)
+                            v = i32(v << (sent_bits & 31))
                     else:
                         data = wvx.getbits(sent_bits) & mask
-                        v = i32(i32(v << sent_bits) | data)
+                        v = i32(i32(v << (sent_bits & 31)) | data)
                 if zeros:
-                    v = i32(v << zeros)
+                    v = i32(v << (zeros & 31))
                 elif ones:
-                    v = i32(((v + 1) << ones) - 1)
+                    v = i32(((v + 1) << (ones & 31)) - 1)
                 elif dups:
-                    v = i32(((v + (v & 1)) << dups) - (v & 1))
+                    v = i32(((v + (v & 1)) << (dups & 31)) - (v & 1))
                 crc_x = i32(crc_x * 9 + (v & 0xFFFF) * 3 + ((v >> 16) & 0xFFFF))
                 buf[p] = v
                 p += 1
@@ -623,11 +627,11 @@ def fixup_samples(st: BlockState, buf: list[int], sample_count: int,
             for _ in range(count):
                 v = buf[p]
                 if zeros:
-                    v = i32(v << zeros)
+                    v = i32(v << (zeros & 31))
                 elif ones:
-                    v = i32(((v + 1) << ones) - 1)
+                    v = i32(((v + 1) << (ones & 31)) - 1)
                 elif dups:
-                    v = i32(((v + (v & 1)) << dups) - (v & 1))
+                    v = i32(((v + (v & 1)) << (dups & 31)) - (v & 1))
                 buf[p] = v
                 p += 1
         else:

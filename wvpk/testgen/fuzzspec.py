@@ -86,6 +86,12 @@ def random_pcm(rng: np.random.Generator, n: int, ch: int,
         # max_exp - norm_exp); mirror the fixed-case ranges
         lim = 1 << 23
     scale = min(lim // 4, 1 << int(rng.integers(3, 22)))
+    if spec.hybrid and bytes_stored <= 3 and rng.random() < 0.25:
+        # near-full-scale hybrid: lossy reconstruction overshoots the
+        # stored-byte range so the fixup clip (UnpackUtils.cs:1350-1393)
+        # fires (kept off bytes_stored=4 / lossless, whose full-scale
+        # residuals would enter the excluded median-wrap regime)
+        scale = int(lim * 0.7)
     if kind == 0:
         x = rng.normal(0, scale, (n, ch))
     elif kind == 1:
