@@ -56,3 +56,22 @@ def test_dsd_multi_block():
 
 def test_dsd_raw_multi_block():
     rt(dsd_bytes(800, 2, 7), 0, False, block_samples=256)
+
+
+def test_dsd_multiplier_byte_wraps_mod32():
+    """A corrupt multiplier-exponent byte > 31 wraps mod 32 like the C#
+    uint shift (DsdUtils.cs:34: 1U << data[0]) instead of erroring; the
+    payload decode is unaffected."""
+    from wvpk.container import parse_blocks
+    from wvpk.engine import decode_states
+    from wvpk.ref import decode_block
+    data = bytearray(encode_dsd_file(dsd_bytes(256, 2, 50), 1, mono=False,
+                                     history_bits=1))
+    idx = bytes(data).find(bytes([0x03, 0x01]))  # exponent 3, mode 1
+    assert idx > 0
+    data[idx] = 37  # 37 & 31 = 5
+    st = parse_blocks(bytes(data))[0].state
+    assert st.dsd.multiplier == 32
+    dev = decode_states([st])[0]
+    np.testing.assert_array_equal(dev.samples, decode_block(st).samples)
+    assert not dev.crc_error

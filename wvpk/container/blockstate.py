@@ -249,9 +249,11 @@ def _init_wvx(st: BlockState, item: MetadataItem) -> None:
 
 
 def _init_dsd(st: BlockState, data: bytes, updates: ContextUpdates) -> None:
-    if len(data) < 2 or data[0] > 31:
+    if len(data) < 2:
         raise BlockStateError("invalid DSD block")
-    multiplier = 1 << data[0]
+    # C#: dsd_multiplier = 1U << data[0] (DsdUtils.cs:34) — a uint shift,
+    # mod-32, so a corrupt byte > 31 wraps instead of erroring
+    multiplier = 1 << (data[0] & 31)
     updates.dsd_multiplier = multiplier
     mode = data[1]
     p = 2
