@@ -151,3 +151,33 @@ def test_cli_streaming_matches_eager(tmp_path):
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_streaming_multichannel_seek(tmp_path):
+    """Streaming mode composes with OPEN_ALL_CHANNELS multichannel
+    segments and mid-file SetSample seek (reference seek analog:
+    WavPackUtils.cs:504-594 over a 5.1 stream set)."""
+    from wvpk import consts
+    from wvpk.testgen import EncodeSpec, encode_multichannel
+    rng = np.random.default_rng(31)
+    pcm = np.round(rng.normal(0, 20000, (1200, 6))).astype(np.int64)
+    data = encode_multichannel(pcm, EncodeSpec(
+        block_samples=300, joint=True, bytes_stored=3,
+        terms=(18, 17, 2), deltas=(2, 2, 2)))
+    path = tmp_path / "mc.wv"
+    path.write_bytes(data)
+    wpc = api.WavpackOpenFileInput(str(path),
+                                   flags=consts.OPEN_ALL_CHANNELS,
+                                   streaming=True)
+    assert api.WavpackGetErrorMessage(wpc) == ""
+    assert wpc.streaming and api.WavpackGetNumChannels(wpc) == 6
+    buf = np.zeros(1200 * 6, np.int32)
+    assert api.WavpackUnpackSamples(wpc, buf, 1200) == 1200
+    np.testing.assert_array_equal(buf.reshape(-1, 6), pcm)
+    # seek into the third segment and re-decode the suffix
+    assert api.SetSample(wpc, 700)
+    tail = np.zeros(500 * 6, np.int32)
+    assert api.WavpackUnpackSamples(wpc, tail, 500) == 500
+    np.testing.assert_array_equal(tail.reshape(-1, 6), pcm[700:])
+    assert api.WavpackGetNumErrors(wpc) == 0
+    wpc.close()
