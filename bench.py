@@ -177,7 +177,8 @@ def main():
                     is_float=prof.is_float,
                     int32_expand=prof.is_int32 and not prof.has_wvx,
                     nsteps=prof.nsteps,
-                    num_terms_max=int(b.num_terms.max()))
+                    num_terms_max=int(b.num_terms.max()),
+                    static_terms=b.static_terms)
                 packed = pack_samples(out, bps=2)
                 # keep `packed` resident on device; fetch only CRC + mute
                 handles.append(jnp.stack([crc.astype(jnp.int32),
@@ -462,7 +463,8 @@ def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
                     is_float=prof.is_float,
                     int32_expand=prof.is_int32 and not prof.has_wvx,
                     nsteps=prof.nsteps,
-                    num_terms_max=int(b.num_terms.max()))
+                    num_terms_max=int(b.num_terms.max()),
+                    static_terms=b.static_terms)
                 handles.append(jnp.stack([crc.astype(jnp.int32),
                                           mute.astype(jnp.int32)]))
         # one cross-bucket fetch (fixed tunnel latency paid once)

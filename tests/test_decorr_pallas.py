@@ -101,3 +101,58 @@ def test_single_term_stereo(term):
         res, terms, deltas, wa, wb, ha, hb, nt, mono=False,
         num_terms_max=1, interpret=True))
     np.testing.assert_array_equal(want, got)
+
+
+def check_static(T, L, mono, seed, chain, big=False):
+    """Specialized (static_terms) kernel vs the XLA reference on a
+    uniform-chain bucket."""
+    rng = np.random.default_rng(seed)
+    C = 1 if mono else 2
+    rscale = 2**29 if big else 2**14
+    res = rng.integers(-rscale, rscale, (T, L, C)).astype(np.int32)
+    n = len(chain)
+    terms = np.zeros((L, 16), np.int32)
+    terms[:, :n] = chain
+    deltas = np.zeros((L, 16), np.int32)
+    deltas[:, :n] = rng.integers(0, 8, (L, n))
+    scale = 2**28 if big else 2**10
+    wa = rng.integers(-scale, scale, (L, 16)).astype(np.int32)
+    wb = rng.integers(-scale, scale, (L, 16)).astype(np.int32)
+    hscale = 2**30 if big else 2**15
+    ha = rng.integers(-hscale, hscale, (L, 16, 8)).astype(np.int64)
+    hb = rng.integers(-hscale, hscale, (L, 16, 8)).astype(np.int64)
+    nt = np.full(L, n, np.int32)
+    want = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb,
+                                    nt, mono=mono))
+    got = np.asarray(decorr_decode_pallas(
+        res, terms, deltas, wa, wb, ha, hb, nt, mono=mono,
+        num_terms_max=n, interpret=True, static_terms=tuple(chain)))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("term", ALL_TERMS)
+def test_static_single_term_stereo(term):
+    check_static(T=48, L=4, mono=False, seed=200 + term, chain=[term])
+
+
+def test_static_headline_chain():
+    check_static(T=96, L=5, mono=False, seed=300, chain=[18, 17, 2])
+
+
+def test_static_deep10_chain():
+    # the mc51 "high" preset shape: 10-term chain incl. a cross term
+    check_static(T=96, L=5, mono=False, seed=301,
+                 chain=[-1, 18, 18, 17, 17, 3, 2, 5, 1, 2])
+
+
+def test_static_mono_chain():
+    check_static(T=96, L=4, mono=True, seed=302, chain=[17, 17, 2, 1])
+
+
+def test_static_wraparound():
+    check_static(T=64, L=4, mono=False, seed=303,
+                 chain=[18, -2, 17, 5], big=True)
+
+
+def test_static_chunk_boundary():
+    check_static(T=1030, L=3, mono=False, seed=304, chain=[18, 17, 2])

@@ -37,6 +37,10 @@ class DecodeOptions:
     entropy_kernel: str = "auto"
     # decorrelation kernel selection, same scheme ("auto" = Pallas on TPU)
     decorr_kernel: str = "auto"
+    # compile a per-term-class specialized decorr unroll when all lanes
+    # of a bucket share one term chain (~2.6x decorr compute on deep
+    # chains; one compiled variant per distinct chain)
+    decorr_specialize: bool = True
     # DSD kernel selection (modes 1 and 3), same scheme
     dsd_kernel: str = "auto"
     # deliver PCM from the device as packed bytes (bytes_stored+1 wide)

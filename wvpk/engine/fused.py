@@ -28,21 +28,24 @@ from ..ops.post import fixup, joint_mute_crc, wvx_inject
 
 @partial(jax.jit, static_argnames=(
     "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
-    "is_float", "int32_expand", "nsteps", "num_terms_max"))
+    "is_float", "int32_expand", "nsteps", "num_terms_max",
+    "static_terms"))
 def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
                  terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
                  joint, mute_limit, shift, bytes_stored, float_shift_eff,
                  int32_zod, *,
                  mono: bool, hybrid: bool, hybrid_bitrate: bool,
                  hybrid_balance: bool, is_float: bool, int32_expand: bool,
-                 nsteps: int, num_terms_max: int | None = None):
+                 nsteps: int, num_terms_max: int | None = None,
+                 static_terms: tuple | None = None):
     residuals, broke, _ndec = entropy_decode_any(
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
     dec = decorr_decode_any(residuals, terms, deltas16, wa, wb, hist_a,
                             hist_b, num_terms, mono=mono,
-                            num_terms_max=num_terms_max)
+                            num_terms_max=num_terms_max,
+                            static_terms=static_terms)
     out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
                                     mono=mono)
     out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
@@ -52,7 +55,7 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
 
 @partial(jax.jit, static_argnames=(
     "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
-    "has_false_stereo", "nsteps", "num_terms_max"))
+    "has_false_stereo", "nsteps", "num_terms_max", "static_terms"))
 def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
                      terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
                      joint, mute_limit, shift, bytes_stored,
@@ -60,7 +63,8 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
                      wvx_start_bc, sent_bits, max_width, false_stereo, *,
                      mono: bool, hybrid: bool, hybrid_bitrate: bool,
                      hybrid_balance: bool, has_false_stereo: bool,
-                     nsteps: int, num_terms_max: int | None = None):
+                     nsteps: int, num_terms_max: int | None = None,
+                     static_terms: tuple | None = None):
     """Single-dispatch decode for INT32+wvx buckets: the wvx low-bit
     injection (with its own expansion + crc_x, UnpackUtils.cs:1271-1314)
     runs BETWEEN joint/CRC and the final fixup shift — the same ordering
@@ -72,7 +76,8 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
     dec = decorr_decode_any(residuals, terms, deltas16, wa, wb, hist_a,
                             hist_b, num_terms, mono=mono,
-                            num_terms_max=num_terms_max)
+                            num_terms_max=num_terms_max,
+                            static_terms=static_terms)
     out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
                                     mono=mono)
     out, crc_x = wvx_inject(
@@ -180,29 +185,32 @@ def _deliver(out, crc, mute, crc_x, pack_bps):
 
 @partial(jax.jit, static_argnames=(
     "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
-    "is_float", "int32_expand", "nsteps", "num_terms_max", "pack_bps"))
+    "is_float", "int32_expand", "nsteps", "num_terms_max", "pack_bps",
+    "static_terms"))
 def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                       hybrid_balance, is_float, int32_expand, nsteps,
-                      num_terms_max, pack_bps):
+                      num_terms_max, pack_bps, static_terms=None):
     args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute = fused_decode(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, is_float=is_float,
         int32_expand=int32_expand, nsteps=nsteps,
-        num_terms_max=num_terms_max)
+        num_terms_max=num_terms_max, static_terms=static_terms)
     crc_x = jnp.full(crc.shape, -1, jnp.int32)
     return _deliver(out, crc, mute, crc_x, pack_bps)
 
 
 @partial(jax.jit, static_argnames=(
     "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
-    "has_false_stereo", "nsteps", "num_terms_max", "pack_bps"))
+    "has_false_stereo", "nsteps", "num_terms_max", "pack_bps",
+    "static_terms"))
 def fused_decode_wvx_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                           hybrid_balance, has_false_stereo, nsteps,
-                          num_terms_max, pack_bps):
+                          num_terms_max, pack_bps, static_terms=None):
     args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute, crc_x = fused_decode_wvx(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, has_false_stereo=has_false_stereo,
-        nsteps=nsteps, num_terms_max=num_terms_max)
+        nsteps=nsteps, num_terms_max=num_terms_max,
+        static_terms=static_terms)
     return _deliver(out, crc, mute, crc_x, pack_bps)

@@ -86,6 +86,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         from .fused import build_blob, fused_decode_blob, \
             fused_decode_wvx_blob
         ntm = int(b.num_terms.max()) if len(b.states) else None
+        stt = b.static_terms if opts.decorr_specialize else None
         bps = _bucket_bps(b) if opts.packed_delivery else None
         names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
                  "delta", "terms", "deltas16", "wa", "wb", "hist_a",
@@ -114,7 +115,8 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 hybrid_bitrate=prof.hybrid_bitrate,
                 hybrid_balance=prof.hybrid_balance,
                 has_false_stereo=bool(fs.any()),
-                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps)
+                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps,
+                static_terms=stt)
         else:
             blob, metas = build_blob(arrays, narrow)
             payload, crcmute = fused_decode_blob(
@@ -124,7 +126,8 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 hybrid_balance=prof.hybrid_balance,
                 is_float=prof.is_float,
                 int32_expand=prof.is_int32,
-                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps)
+                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps,
+                static_terms=stt)
         return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
                               bps=bps)
 
@@ -141,7 +144,9 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         decorr_out = _sync(decorr_decode_any(
             residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
             b.num_terms, mono=prof.mono,
-            num_terms_max=int(b.num_terms.max()) if len(b.states) else None))
+            num_terms_max=int(b.num_terms.max()) if len(b.states) else None,
+            static_terms=(b.static_terms if opts.decorr_specialize
+                          else None)))
 
     with trace.stage("post"):
         out, crc, mute = joint_mute_crc(

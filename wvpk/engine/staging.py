@@ -90,6 +90,23 @@ class Bucket:
     wvx_start_bit: np.ndarray | None
     wvx_start_bc: np.ndarray | None
 
+    @property
+    def static_terms(self) -> tuple | None:
+        """The bucket's uniform decorr term chain, or None when lanes
+        differ. Uniform chains (one encoder preset per corpus — the
+        common case) let the Pallas decorr kernel compile a per-class
+        specialized unroll (~2.6x its generic compute on deep chains)."""
+        nt = np.asarray(self.num_terms)
+        if nt.size == 0 or not (nt == nt[0]).all():
+            return None
+        n = int(nt[0])
+        if n == 0:
+            return None
+        t = np.asarray(self.terms)[:, :n]
+        if not (t == t[0]).all():
+            return None
+        return tuple(int(x) for x in t[0])
+
 
 def _fixup_params(st: BlockState) -> tuple[int, tuple[int, int, int]]:
     """Host part of fixup_samples' parameter adjustment

@@ -25,15 +25,25 @@ def _on_tpu() -> bool:
 
 def decorr_decode_any(residuals, terms, deltas, w0_a, w0_b, hist0_a,
                       hist0_b, num_terms, *, mono: bool,
-                      num_terms_max: int | None):
-    """Returns (T, L, C) int32 decorrelated outputs."""
+                      num_terms_max: int | None,
+                      static_terms: tuple | None = None):
+    """Returns (T, L, C) int32 decorrelated outputs.
+
+    static_terms: the bucket's uniform term chain (or None) — forwarded
+    to the Pallas kernel for a per-class specialized unroll; invalid
+    tuples (empty, or cross-channel terms on a mono bucket) fall back to
+    the generic kernel."""
     mode = get_options().decorr_kernel
     use_pallas = (num_terms_max is not None
                   and (mode == "pallas" or (mode == "auto" and _on_tpu())))
+    if static_terms is not None and (
+            len(static_terms) == 0
+            or (mono and any(t < 0 for t in static_terms))):
+        static_terms = None
     if use_pallas:
         return decorr_decode_pallas(
             residuals, terms, deltas, w0_a, w0_b, hist0_a, hist0_b,
             num_terms, mono=mono, num_terms_max=num_terms_max,
-            interpret=not _on_tpu())
+            interpret=not _on_tpu(), static_terms=static_terms)
     return decorr_decode(residuals, terms, deltas, w0_a, w0_b, hist0_a,
                          hist0_b, num_terms, mono=mono)

@@ -79,6 +79,8 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     arrs, L = shard_bucket_arrays(b, mesh, names)
     args = [arrs[n] for n in names]
     ntm = int(np.asarray(b.num_terms).max())
+    from ..config import get_options
+    stt = b.static_terms if get_options().decorr_specialize else None
     if prof.has_wvx:
         from .. import consts
         fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
@@ -90,7 +92,8 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
                      hybrid_bitrate=prof.hybrid_bitrate,
                      hybrid_balance=prof.hybrid_balance,
                      has_false_stereo=bool(fs.any()),
-                     nsteps=prof.nsteps, num_terms_max=ntm)
+                     nsteps=prof.nsteps, num_terms_max=ntm,
+                     static_terms=stt)
         out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS),
                      P(LANE_AXIS))
     else:
@@ -100,7 +103,8 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
                      hybrid_balance=prof.hybrid_balance,
                      is_float=prof.is_float,
                      int32_expand=prof.is_int32,
-                     nsteps=prof.nsteps, num_terms_max=ntm)
+                     nsteps=prof.nsteps, num_terms_max=ntm,
+                     static_terms=stt)
         out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS))
     in_specs = tuple(P(LANE_AXIS, *([None] * (a.ndim - 1))) for a in args)
     sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
