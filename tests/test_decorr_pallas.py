@@ -156,3 +156,80 @@ def test_static_wraparound():
 
 def test_static_chunk_boundary():
     check_static(T=1030, L=3, mono=False, seed=304, chain=[18, 17, 2])
+
+
+def check_fold(T, L, mono, seed, joint_frac=0.5, tight_mute=False,
+               chain=None, broke_frac=0.0, huge_limit=False):
+    """Folded decorr+joint/mute/CRC vs the XLA decorr + joint_mute_crc
+    pair (the golden post implementation)."""
+    from wvpk.ops.post import joint_mute_crc
+    rng = np.random.default_rng(seed)
+    C = 1 if mono else 2
+    res = rng.integers(-2**14, 2**14, (T, L, C)).astype(np.int32)
+    if chain is None:
+        terms, deltas, wa, wb, ha, hb, nt = rand_state(rng, L, mono)
+        stt = None
+        ntm = int(nt.max())
+    else:
+        n = len(chain)
+        terms = np.zeros((L, 16), np.int32); terms[:, :n] = chain
+        deltas = np.zeros((L, 16), np.int32); deltas[:, :n] = 2
+        wa = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+        wb = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+        ha = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+        hb = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+        nt = np.full(L, n, np.int32)
+        stt = tuple(chain)
+        ntm = n
+    nsamples = rng.integers(max(1, T // 2), T + 1, L).astype(np.int32)
+    joint = (rng.random(L) < joint_frac) if not mono \
+        else np.zeros(L, bool)
+    if huge_limit:
+        ml = np.full(L, (1 << 32) + 2, np.int64)
+    elif tight_mute:
+        ml = rng.integers(4, 2000, L).astype(np.int64)
+    else:
+        ml = np.full(L, 1 << 24, np.int64)
+    broke = rng.random(L) < broke_frac
+    dec = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb,
+                                   nt, mono=mono))
+    w_out, w_crc, w_mute = (np.asarray(x) for x in joint_mute_crc(
+        dec, nsamples, joint, ml, broke, mono=mono))
+    from wvpk.ops.decorr_select import decorr_post_any
+    from wvpk import config
+    config.set_options(decorr_kernel="pallas")
+    try:
+        g_out, g_crc, g_mute = (np.asarray(x) for x in decorr_post_any(
+            res, terms, deltas, wa, wb, ha, hb, nt, nsamples, joint, ml,
+            broke, mono=mono, num_terms_max=ntm, static_terms=stt))
+    finally:
+        config.set_options(decorr_kernel="auto")
+    np.testing.assert_array_equal(w_out, g_out)
+    np.testing.assert_array_equal(w_crc, g_crc)
+    np.testing.assert_array_equal(w_mute, g_mute)
+
+
+def test_fold_post_stereo_joint_mix():
+    check_fold(T=96, L=8, mono=False, seed=400)
+
+
+def test_fold_post_mute_fires():
+    check_fold(T=96, L=8, mono=False, seed=401, tight_mute=True)
+
+
+def test_fold_post_mono():
+    check_fold(T=96, L=6, mono=True, seed=402, tight_mute=True)
+
+
+def test_fold_post_broke_and_huge_limit():
+    check_fold(T=64, L=6, mono=False, seed=403, broke_frac=0.5,
+               huge_limit=True)
+
+
+def test_fold_post_static_chain():
+    check_fold(T=96, L=5, mono=False, seed=404, chain=[18, 17, 2],
+               tight_mute=True)
+
+
+def test_fold_post_chunk_boundary():
+    check_fold(T=1030, L=3, mono=False, seed=405, tight_mute=True)

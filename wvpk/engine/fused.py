@@ -21,9 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.decorr_select import decorr_decode_any
+from ..ops.decorr_select import decorr_post_any
 from ..ops.entropy_select import entropy_decode_any
-from ..ops.post import fixup, joint_mute_crc, wvx_inject
+from ..ops.post import fixup, wvx_inject
 
 
 @partial(jax.jit, static_argnames=(
@@ -42,12 +42,10 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
-    dec = decorr_decode_any(residuals, terms, deltas16, wa, wb, hist_a,
-                            hist_b, num_terms, mono=mono,
-                            num_terms_max=num_terms_max,
-                            static_terms=static_terms)
-    out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
-                                    mono=mono)
+    out, crc, mute = decorr_post_any(
+        residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
+        nsamples, joint, mute_limit, broke, mono=mono,
+        num_terms_max=num_terms_max, static_terms=static_terms)
     out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
                 is_float=is_float, int32_expand=int32_expand, hybrid=hybrid)
     return out, crc, mute
@@ -74,12 +72,10 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, nsteps=nsteps)
-    dec = decorr_decode_any(residuals, terms, deltas16, wa, wb, hist_a,
-                            hist_b, num_terms, mono=mono,
-                            num_terms_max=num_terms_max,
-                            static_terms=static_terms)
-    out, crc, mute = joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
-                                    mono=mono)
+    out, crc, mute = decorr_post_any(
+        residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
+        nsamples, joint, mute_limit, broke, mono=mono,
+        num_terms_max=num_terms_max, static_terms=static_terms)
     out, crc_x = wvx_inject(
         out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc, sent_bits,
         max_width, int32_zod,

@@ -17,7 +17,7 @@ import numpy as np
 from .. import consts, trace
 from ..config import get_options
 from ..container.blockstate import BlockState
-from ..ops.decorr_select import decorr_decode_any
+from ..ops.decorr_select import decorr_decode_any, should_specialize
 from ..ops.entropy_select import entropy_decode_any
 from ..ops.post import fixup, joint_mute_crc, wvx_inject
 from .staging import Bucket, group_blocks
@@ -86,7 +86,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         from .fused import build_blob, fused_decode_blob, \
             fused_decode_wvx_blob
         ntm = int(b.num_terms.max()) if len(b.states) else None
-        stt = b.static_terms if opts.decorr_specialize else None
+        stt = b.static_terms if should_specialize() else None
         bps = _bucket_bps(b) if opts.packed_delivery else None
         names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
                  "delta", "terms", "deltas16", "wa", "wb", "hist_a",
@@ -145,7 +145,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
             residuals, b.terms, b.deltas16, b.wa, b.wb, b.hist_a, b.hist_b,
             b.num_terms, mono=prof.mono,
             num_terms_max=int(b.num_terms.max()) if len(b.states) else None,
-            static_terms=(b.static_terms if opts.decorr_specialize
+            static_terms=(b.static_terms if should_specialize()
                           else None)))
 
     with trace.stage("post"):

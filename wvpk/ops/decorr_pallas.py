@@ -99,9 +99,10 @@ def _ring_write(ring, pos, val, mask, iota8):
 
 
 def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
-                   out_a_ref, out_b_ref, st, *, mono: bool, npasses: int,
-                   chunk: int, lane_tile: int,
-                   static_terms: tuple | None = None):
+                   out_a_ref, out_b_ref, cf_ref, st, *, mono: bool,
+                   npasses: int, chunk: int, lane_tile: int,
+                   static_terms: tuple | None = None,
+                   fold_post: bool = False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -153,6 +154,13 @@ def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
             flat0 += [ws0[k], rings0[k]]
         else:
             flat0 += [ws0[k][0], ws0[k][1], rings0[k][0], rings0[k][1]]
+    ncore = nw + (8 if mono else 16) * npasses
+    if fold_post:
+        # folded joint/mute/CRC state rides in two extra scratch rows
+        flat0 += [st[ncore:ncore + 1, :], st[ncore + 1:ncore + 2, :]]
+        ns_row = meta_ref[3 * npasses:3 * npasses + 1, :]
+        joint_row = meta_ref[3 * npasses + 1:3 * npasses + 2, :] != 0
+        thr_row = meta_ref[3 * npasses + 2:3 * npasses + 3, :]
 
     def body(tt, carry):
         carry = list(carry)
@@ -326,6 +334,36 @@ def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
             carry[4 * k + 2] = jnp.where(act, ra_new, ring_a)
             carry[4 * k + 3] = jnp.where(act, rb_new, ring_b)
 
+        if fold_post:
+            # folded joint-stereo undo + mute check + CRC
+            # (ops/post.py::joint_mute_crc, UnpackUtils.cs:609-646): all
+            # i32 ops wrap like the reference; the per-lane threshold is
+            # min(mute_limit, 2^31-1) so limits past int32 never fire
+            # (|cabs| <= 2^31-1, and cabs(-2^31) stays negative), and
+            # C# unchecked abs falls out of the two's-complement negate
+            crc, fb = carry[-2], carry[-1]
+            valid = t < ns_row
+            if mono:
+                out_l = va
+                cab = jnp.where(out_l < 0, -out_l, out_l)
+                bad = valid & (cab > thr_row)
+                fb = jnp.where(bad & (fb == ns_row), t, fb)
+                crc = jnp.where(valid & (t < fb), crc * 3 + out_l, crc)
+            else:
+                l0, r0 = va, vb
+                r1 = r0 - (l0 >> 1)
+                l1 = l0 + r1
+                out_l = jnp.where(joint_row, l1, l0)
+                out_r = jnp.where(joint_row, r1, r0)
+                cab_l = jnp.where(out_l < 0, -out_l, out_l)
+                cab_r = jnp.where(out_r < 0, -out_r, out_r)
+                bad = valid & ((cab_l > thr_row) | (cab_r > thr_row))
+                fb = jnp.where(bad & (fb == ns_row), t, fb)
+                crc = jnp.where(valid & (t < fb),
+                                crc * 9 + out_l * 3 + out_r, crc)
+                vb = out_r
+            va = out_l
+            carry[-2], carry[-1] = crc, fb
         out_a_ref[pl.ds(tt, 1), :] = va
         if not mono:
             out_b_ref[pl.ds(tt, 1), :] = vb
@@ -343,6 +381,11 @@ def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
             ws.append((final[4 * k], final[4 * k + 1]))
             rings.append((final[4 * k + 2], final[4 * k + 3]))
     store(ws, rings)
+    if fold_post:
+        st[ncore:ncore + 1, :] = final[-2]
+        st[ncore + 1:ncore + 2, :] = final[-1]
+        cf_ref[0:1, :] = final[-2]
+        cf_ref[1:2, :] = final[-1]
 
 
 def _npasses_static(num_terms_max: int) -> int:
@@ -357,28 +400,31 @@ def _npasses_static(num_terms_max: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("mono", "npasses", "interpret",
-                                   "static_terms"))
+                                   "static_terms", "fold_post"))
 def _decorr_pallas_call(res_a, res_b, state0, meta, *, mono: bool,
                         npasses: int, interpret: bool,
-                        static_terms: tuple | None = None):
+                        static_terms: tuple | None = None,
+                        fold_post: bool = False):
     T, Lp = res_a.shape
     lane_tile = min(Lp, 512)
     chunk = min(T, 512)
     grid = (Lp // lane_tile, T // chunk)
     nstate = state0.shape[0]
+    nmeta = meta.shape[0]
     kernel = partial(_decorr_kernel, mono=mono, npasses=npasses,
                      chunk=chunk, lane_tile=lane_tile,
-                     static_terms=static_terms)
+                     static_terms=static_terms, fold_post=fold_post)
     out_shape = [jax.ShapeDtypeStruct((T, Lp), I32),
-                 jax.ShapeDtypeStruct((T, Lp), I32)]
+                 jax.ShapeDtypeStruct((T, Lp), I32),
+                 jax.ShapeDtypeStruct((2, Lp), I32)]
     with jax.enable_x64(False):
-        out_a, out_b = pl.pallas_call(
+        out_a, out_b, cf = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((nstate, lane_tile), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * npasses, lane_tile), lambda i, j: (0, i),
+                pl.BlockSpec((nmeta, lane_tile), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
@@ -390,18 +436,21 @@ def _decorr_pallas_call(res_a, res_b, state0, meta, *, mono: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, lane_tile), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((nstate, lane_tile), I32)],
             out_shape=out_shape,
             interpret=interpret,
         )(state0, meta, res_a, res_b)
-    return out_a, out_b
+    return out_a, out_b, cf
 
 
 def decorr_decode_pallas(residuals, terms, deltas, w0_a, w0_b, hist0_a,
                          hist0_b, num_terms, *, mono: bool,
                          num_terms_max: int, interpret: bool = False,
-                         static_terms: tuple | None = None):
+                         static_terms: tuple | None = None,
+                         fold_post_args: tuple | None = None):
     """Pallas decorrelation; same contract as decorr.decorr_decode.
 
     residuals (T, L, C) int32; terms/deltas (L, 16) int32; w0 (L, 16)
@@ -410,6 +459,12 @@ def decorr_decode_pallas(residuals, terms, deltas, w0_a, w0_b, hist0_a,
     static_terms: when every lane shares this exact term chain, compiles
     a specialized unroll (one term class per pass, npasses = the exact
     chain length, no per-class selects). Returns (T, L, C) int32.
+
+    fold_post_args = (nsamples (L,), joint (L,), mute_limit (L,) int64):
+    additionally folds the joint-stereo undo + mute-limit check + CRC
+    (ops/post.py::joint_mute_crc) into the same sample scan; outputs are
+    then POST-JOINT (not zeroed for mute/padding — the caller masks) and
+    the return becomes (out, crc (L,) i32, first_bad (L,) i32).
     """
     T, L, C = residuals.shape
     if static_terms is not None:
@@ -439,15 +494,28 @@ def decorr_decode_pallas(residuals, terms, deltas, w0_a, w0_b, hist0_a,
     hist0_b = pad_lanes(hist0_b.astype(I32))
     num_terms = pad_lanes(num_terms.astype(I32))
 
-    # meta rows: (term, delta, act) x npasses
-    meta = jnp.zeros((3 * npasses, Lp), I32)
+    fold = fold_post_args is not None
+    # meta rows: (term, delta, act) x npasses [+ ns, joint, mute_thr]
+    meta = jnp.zeros((3 * npasses + (3 if fold else 0), Lp), I32)
     for k in range(npasses):
         meta = meta.at[3 * k].set(terms[:, k])
         meta = meta.at[3 * k + 1].set(deltas[:, k])
         meta = meta.at[3 * k + 2].set((k < num_terms).astype(I32))
+    if fold:
+        ns_f, joint_f, mute_limit_f = fold_post_args
+        ns_pad = pad_lanes(jnp.asarray(ns_f).astype(I32))
+        meta = meta.at[3 * npasses].set(ns_pad)
+        meta = meta.at[3 * npasses + 1].set(
+            pad_lanes(jnp.asarray(joint_f).astype(I32)))
+        # clamp the limit to i32: |cabs| <= 2^31-1 so larger limits can
+        # never fire (and cabs(-2^31) stays negative) — exact vs the
+        # int64 compare in joint_mute_crc
+        thr = jnp.minimum(jnp.asarray(mute_limit_f).astype(jnp.int64),
+                          (1 << 31) - 1).astype(I32)
+        meta = meta.at[3 * npasses + 2].set(pad_lanes(thr))
 
     nw = npasses if mono else 2 * npasses
-    nstate = nw + (8 if mono else 16) * npasses
+    nstate = nw + (8 if mono else 16) * npasses + (2 if fold else 0)
     state0 = jnp.zeros((nstate, Lp), I32)
     for k in range(npasses):
         if mono:
@@ -460,10 +528,15 @@ def decorr_decode_pallas(residuals, terms, deltas, w0_a, w0_b, hist0_a,
             base = nw + 16 * k
             state0 = state0.at[base:base + 8].set(hist0_a[:, k, :].T)
             state0 = state0.at[base + 8:base + 16].set(hist0_b[:, k, :].T)
+    if fold:
+        state0 = state0.at[nstate - 2].set(I32(-1))          # crc init
+        state0 = state0.at[nstate - 1].set(ns_pad)           # first_bad
 
-    out_a, out_b = _decorr_pallas_call(
+    out_a, out_b, cf = _decorr_pallas_call(
         res_a, res_b, state0, meta, mono=mono, npasses=npasses,
-        interpret=interpret, static_terms=static_terms)
-    if mono:
-        return out_a[:T, :L, None]
-    return jnp.stack([out_a[:T, :L], out_b[:T, :L]], axis=2)
+        interpret=interpret, static_terms=static_terms, fold_post=fold)
+    out = (out_a[:T, :L, None] if mono
+           else jnp.stack([out_a[:T, :L], out_b[:T, :L]], axis=2))
+    if fold:
+        return out, cf[0, :L], cf[1, :L]
+    return out

@@ -23,6 +23,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def should_specialize() -> bool:
+    """Whether callers should thread a bucket's static term chain into
+    the (jit-static) kernel parameters. True only when the Pallas decorr
+    path will actually run: off-TPU the XLA kernel ignores the chain, so
+    keying jits on it would only multiply XLA:CPU compiles (every
+    distinct fuzz chain became its own heavyweight CPU compile — enough
+    to hit an in-process XLA:CPU compiler crash in the full suite)."""
+    if not get_options().decorr_specialize:
+        return False
+    mode = get_options().decorr_kernel
+    return mode == "pallas" or (mode == "auto" and _on_tpu())
+
+
 def decorr_decode_any(residuals, terms, deltas, w0_a, w0_b, hist0_a,
                       hist0_b, num_terms, *, mono: bool,
                       num_terms_max: int | None,
@@ -47,3 +60,43 @@ def decorr_decode_any(residuals, terms, deltas, w0_a, w0_b, hist0_a,
             interpret=not _on_tpu(), static_terms=static_terms)
     return decorr_decode(residuals, terms, deltas, w0_a, w0_b, hist0_a,
                          hist0_b, num_terms, mono=mono)
+
+
+def decorr_post_any(residuals, terms, deltas, w0_a, w0_b, hist0_a,
+                    hist0_b, num_terms, nsamples, joint, mute_limit,
+                    broke, *, mono: bool, num_terms_max: int | None,
+                    static_terms: tuple | None = None):
+    """Decorrelation + joint-stereo undo + mute check + CRC in one step.
+
+    On the Pallas path the post stage is FOLDED into the decorr sample
+    scan (a dozen extra (1, tile) ops per step, nearly free in the
+    latency-bound chain) instead of the separate associative-scan CRC
+    pass over the whole (T, L) buffer; off-TPU it is the XLA pair.
+    Returns (out, crc, mute) with joint_mute_crc's exact contract."""
+    import jax.numpy as jnp
+
+    from .post import joint_mute_crc
+
+    mode = get_options().decorr_kernel
+    use_pallas = (num_terms_max is not None
+                  and (mode == "pallas" or (mode == "auto" and _on_tpu())))
+    if static_terms is not None and (
+            len(static_terms) == 0
+            or (mono and any(t < 0 for t in static_terms))):
+        static_terms = None
+    if use_pallas:
+        out, crc, fb = decorr_decode_pallas(
+            residuals, terms, deltas, w0_a, w0_b, hist0_a, hist0_b,
+            num_terms, mono=mono, num_terms_max=num_terms_max,
+            interpret=not _on_tpu(), static_terms=static_terms,
+            fold_post_args=(nsamples, joint, mute_limit))
+        ns = jnp.asarray(nsamples).astype(jnp.int32)
+        mute = jnp.asarray(broke) | (fb < ns)
+        tidx = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
+        valid = tidx < ns[None, :]
+        out = jnp.where((valid & ~mute[None, :])[:, :, None], out, 0)
+        return out, crc, mute
+    dec = decorr_decode(residuals, terms, deltas, w0_a, w0_b, hist0_a,
+                        hist0_b, num_terms, mono=mono)
+    return joint_mute_crc(dec, nsamples, joint, mute_limit, broke,
+                          mono=mono)

@@ -79,8 +79,8 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     arrs, L = shard_bucket_arrays(b, mesh, names)
     args = [arrs[n] for n in names]
     ntm = int(np.asarray(b.num_terms).max())
-    from ..config import get_options
-    stt = b.static_terms if get_options().decorr_specialize else None
+    from ..ops.decorr_select import should_specialize
+    stt = b.static_terms if should_specialize() else None
     if prof.has_wvx:
         from .. import consts
         fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
