@@ -123,20 +123,28 @@ def test_fuzz_case_dsd(seed):
 
 @pytest.mark.parametrize("seed", range(min(N_CASES, 8)))
 def test_fuzz_case_pallas(seed):
-    """Same differential check with the Pallas kernel forced (interpret);
-    hybrid, int32/wvx and float families all run through it."""
+    """Same differential check with BOTH Pallas kernels forced
+    (interpret): the engine-level fused path with the post stage folded
+    into the decorr scan — the exact program the TPU runs — including
+    hybrid, int32/wvx, float families and corrupt-stream mute/CRC arms."""
     rng = np.random.default_rng(5000 + seed)
     spec = random_spec(rng)
     n = int(rng.integers(spec.block_samples // 2, spec.block_samples * 2 + 1))
     pcm = random_pcm(rng, n, spec.nch_data, spec)
     data = encode_file(pcm, spec)
+    if rng.random() < 0.3:  # pressure the folded mute/CRC arms
+        data = bytearray(data)
+        data[int(rng.integers(64, len(data)))] ^= int(rng.integers(1, 256))
+        data = bytes(data)
     blocks = parse_blocks(data)
-    config.set_options(entropy_kernel="pallas")
+    config.set_options(entropy_kernel="pallas", decorr_kernel="pallas")
     try:
         dev = decode_states([b.state for b in blocks])
     finally:
-        config.set_options(entropy_kernel="auto")
+        config.set_options(entropy_kernel="auto", decorr_kernel="auto")
     for blk, d in zip(blocks, dev):
         want = decode_block(blk.state)
         np.testing.assert_array_equal(d.samples, want.samples,
                                       err_msg=f"seed {seed} spec {spec}")
+        assert d.mute_error == want.mute_error, (seed, spec)
+        assert d.crc_error == want.crc_error, (seed, spec)
