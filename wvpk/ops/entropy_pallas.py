@@ -4,13 +4,15 @@ The XLA scan version (entropy.py) is bound by per-peek HBM gathers. This
 kernel keeps each lane tile's bitstreams RESIDENT IN VMEM, laid out
 grouped as (word_group, 32, lane), and reads them through a carried 64-bit
 bit window per lane fed from a double-buffered 32-word GROUP CACHE: a full
-select-reduce sweep over the streams runs only on a fixed 8-iteration
-schedule (refreshing every lane's current + next group at once), so common
-refills are 32-row cache extractions (~12 vector ops) instead of full-W
-sweeps. The cache cannot underrun between refreshes: a decode_word's
-common path consumes at most 17+34 bits (unary cap + value + sign), so 8
-stereo iterations consume <= 25.5 words while a refresh always leaves
->= 33 buffered.
+select-reduce sweep over the streams runs only on a fixed 10-iteration
+schedule — and that schedule needs just ONE sweep, because a lane crosses
+at most one group boundary between refreshes, so the cached next group
+shifts into current (a 32-row select) and only the new next group is
+fetched. Common refills are 32-row cache extractions (~12 vector ops)
+instead of full-W sweeps. The cache cannot underrun between refreshes: a
+decode_word's common path consumes at most 17+33 bits (unary cap + value
++ sign), so 10 stereo iterations consume <= 31.25 words while a refresh
+always leaves >= 33 buffered.
 
 Each iteration decodes SPECULATIVELY: both channels run the common path
 with no cross-lane reduces, collecting a per-lane `rare` flag (zero-run
@@ -171,6 +173,27 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
                                                bufs[B_CG:B_CG + 1, :])
             bufs[B_NG:B_NG + 1, :] = jnp.where(mask, nxt,
                                                bufs[B_NG:B_NG + 1, :])
+
+    def refresh_cache_shift(widx):
+        """Scheduled refresh in ONE full-W sweep instead of two: between
+        scheduled refreshes a lane consumes < 33 words from an offset
+        <= 31 inside its current group, so it crosses AT MOST ONE group
+        boundary — i.e. widx's group is either the cached current group
+        or the cached next group. Shift the next group's 32 cached words
+        into current for crossed lanes (a 32-row select, no sweep) and
+        fetch only the new next group. Lanes that re-centered mid-span
+        (gamma cond_refresh) re-established widx-in-current there, so the
+        bound holds from the most recent refresh of any kind."""
+        eff = jnp.minimum(widx >> 5, max_g)
+        nxt = jnp.minimum(eff + 1, max_g)
+        crossed = eff != bufs[B_CG:B_CG + 1, :]
+        bufs[B_CUR:B_CUR + 32, :] = jnp.where(
+            crossed, bufs[B_NXT:B_NXT + 32, :], bufs[B_CUR:B_CUR + 32, :])
+        # for uncrossed lanes nxt equals the cached next index, so the
+        # sweep rewrites identical rows; crossed lanes get the new group
+        bufs[B_NXT:B_NXT + 32, :] = fetch_group(nxt)
+        bufs[B_CG:B_CG + 1, :] = eff
+        bufs[B_NG:B_NG + 1, :] = nxt
 
     def cond_refresh(widx, mask):
         """Re-center the group cache for `mask` lanes whose remaining
@@ -564,17 +587,28 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
 
     carry0 = load_state()
 
-    # refresh cadence: every 8 decoded iterations regardless of unroll
-    # (8 stereo iterations consume <= 25.5 words; a refresh always leaves
-    # >= 33 buffered)
-    sched = max(1, 8 // unroll)
+    # refresh cadence: every 10 decoded iterations regardless of unroll.
+    # Budget: a common-path word consumes <= 50 bits (17 unary + 33
+    # value+sign, hybrid search included), so 10 stereo iterations consume
+    # <= 31.25 words while a refresh always leaves >= 33 buffered (widx
+    # offset <= 31 inside its group + the cached next group). Gamma paths
+    # re-center their own lanes inside the rare-repair body.
+    sched = max(1, 10 // unroll)
 
     def body(t0, carry):
-        # scheduled group-cache refresh: the only full-W sweeps on the
-        # common path (scalar condition, no cross-lane reduce)
-        @pl.when((t0 % sched) == 0)
-        def _sched_refresh():
+        # scheduled group-cache refresh: the only full-W sweep on the
+        # common path (scalar condition, no cross-lane reduce). The first
+        # refresh of the kernel must populate both cached groups (bufs is
+        # uninitialized scratch); every later one shifts + single-sweeps.
+        first = (j == 0) & (t0 == 0)
+
+        @pl.when(first)
+        def _first_refresh():
             refresh_cache(carry[R_WIDX])
+
+        @pl.when(jnp.logical_not(first) & ((t0 % sched) == 0))
+        def _sched_refresh():
+            refresh_cache_shift(carry[R_WIDX])
 
         state = carry
         limit = state0_ref[NSTATE:NSTATE + 1, :]  # samples per lane
