@@ -54,6 +54,7 @@ class WavpackContext:
     header: bytes | None = None
     trailer: bytes | None = None
     dsd_multiplier: int = 0
+    md5: bytes | None = None
     sample_index: int = 0
     open_flags: int = 0
     version: int = 0
@@ -222,6 +223,8 @@ def _apply_updates(wpc: WavpackContext, up) -> None:
         wpc.trailer = up.riff_trailer
     if up.dsd_multiplier is not None:
         wpc.dsd_multiplier = up.dsd_multiplier
+    if up.md5 is not None:
+        wpc.md5 = up.md5
 
 
 def _update_lossy(wpc: WavpackContext, st) -> None:
@@ -508,6 +511,26 @@ def WavpackGetVersion(wpc):
 
 def WavpackGetIsFloat(wpc):
     return bool(wpc.config.flags & consts.CONFIG_FLOAT_DATA)
+
+
+def WavpackGetMD5Sum(wpc) -> bytes | None:
+    """Stored MD5 of the source audio (ID_MD5_CHECKSUM sub-block), or
+    None when the file carries none.
+
+    EXTENSION beyond the C# reference, which skips the sub-block via the
+    optional-data fallthrough (MetadataUtils.cs:188-193); mirrors
+    libwavpack's getter of the same name. Writers store the digest in
+    the file's final block, so streaming mode parses that block lazily
+    on first call (eager mode saw it at open)."""
+    if wpc.md5 is None and wpc.streaming and len(wpc.blocks):
+        from .container.stream import BlockParseError
+        try:
+            b = wpc.blocks[len(wpc.blocks) - 1]
+        except BlockParseError:
+            return None
+        if b.updates.md5 is not None:
+            wpc.md5 = b.updates.md5
+    return wpc.md5
 
 
 # -- seek -------------------------------------------------------------------

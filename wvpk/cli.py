@@ -21,7 +21,8 @@ from .report import build_report
 
 def decode_one(path: str, out_path: str | None, quiet: bool = False,
                show_trace: bool = False, report_json: bool = False,
-               raw: bool = False, streaming: bool | None = None) -> int:
+               raw: bool = False, streaming: bool | None = None,
+               verify_md5: bool = False) -> int:
     t_open = time.perf_counter()
     # unlike the reference demo (first two channels only), decode every
     # stream of multichannel files
@@ -113,6 +114,22 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
     if crc_count > 0:
         print(f"{crc_count} CRC errors detected", file=sys.stderr)
         return 1
+    if verify_md5:
+        # whole-file integrity beyond per-block CRC (extension; the C#
+        # reference ignores ID_MD5_CHECKSUM): hash the decoded PCM byte
+        # image and compare with the digest the encoder stored
+        import hashlib
+        stored = api.WavpackGetMD5Sum(wpc)
+        if stored is None:
+            print("no MD5 checksum stored in file", file=sys.stderr)
+            return 1
+        actual = hashlib.md5(pcm).digest()
+        if actual != stored:
+            print(f"MD5 mismatch: stored {stored.hex()} != decoded "
+                  f"{actual.hex()}", file=sys.stderr)
+            return 1
+        if not quiet:
+            print(f"MD5 verified: {actual.hex()}")
     return 0
 
 
@@ -192,6 +209,9 @@ def main(argv=None) -> int:
                    help="force bounded-memory streaming decode (lazy "
                         "block parse + segment-cache eviction; automatic "
                         "for large files)")
+    p.add_argument("--verify-md5", action="store_true",
+                   help="verify decoded audio against the file's stored "
+                        "MD5 checksum (fails if the file carries none)")
     args = p.parse_args(argv)
 
     if args.batch:
@@ -205,14 +225,16 @@ def main(argv=None) -> int:
         return decode_one(args.inputs[0], out, args.quiet,
                           show_trace=args.trace, report_json=args.report,
                           raw=args.raw,
-                          streaming=True if args.streaming else None)
+                          streaming=True if args.streaming else None,
+                          verify_md5=args.verify_md5)
 
     rc = 0
     for path in args.inputs:
         out = (path[:-3] if path.endswith(".wv") else path) + ".wav"
         rc |= decode_one(path, out, args.quiet, show_trace=args.trace,
                          report_json=args.report, raw=args.raw,
-                         streaming=True if args.streaming else None)
+                         streaming=True if args.streaming else None,
+                         verify_md5=args.verify_md5)
     return rc
 
 

@@ -110,6 +110,12 @@ class ContextUpdates:
     riff_header: bytes | None = None
     riff_trailer: bytes | None = None
     dsd_multiplier: int | None = None
+    # stored MD5 of the source audio (ID_MD5_CHECKSUM). The reference
+    # ignores this sub-block entirely (MetadataUtils.cs:188-193
+    # optional-data fallthrough, no `five` update); wvpk keeps that exact
+    # decode behavior and additionally surfaces the digest through the
+    # WavpackGetMD5Sum extension getter.
+    md5: bytes | None = None
 
 
 def _read_decorr_terms(st: BlockState, data: bytes) -> None:
@@ -486,6 +492,11 @@ def decode_block_state(hdr: BlockHeader, items: list[MetadataItem]
             up.file_extension = data.decode("utf-8", errors="replace")
         elif mid == consts.ID_BLOCK_CHECKSUM:
             up.five = True
+        elif mid == consts.ID_MD5_CHECKSUM:
+            # surfaced for the getter extension; decode semantics are
+            # unchanged from the reference's optional-data skip
+            if len(data) == 16:
+                up.md5 = bytes(data)
         elif mid & consts.ID_OPTIONAL_DATA:
             continue
         else:

@@ -377,6 +377,7 @@ long wvpk_parse_block(const uint8_t *data, long n, long hpos, int64_t *st)
             break;
         case 0x21: case 0x22: case 0x23: case 0x24:   /* riff hdr/trailer */
         case 0x25: case 0x27: case 0x28: case 0x2A:   /* config/srate/... */
+        case 0x26:                      /* MD5 sum: surfaced via updates */
             return 1;                   /* context updates: fallback */
         default:
             if (mid & 0x20)             /* other optional ids: ignored */

@@ -64,6 +64,13 @@ class EncodeSpec:
     riff_header: bytes | None = None
     riff_trailer: bytes | None = None
     total_samples_override: int | None = None
+    # emit ID_MD5_CHECKSUM in the final block: the MD5 of the decoded
+    # audio's PCM byte image (format_samples layout). The C# reference
+    # ignores this sub-block (MetadataUtils.cs:188-193 optional-data
+    # fallthrough); real WavPack writers store it for integrity checks,
+    # which wvpk's WavpackGetMD5Sum / --verify-md5 extension consumes.
+    # Only meaningful for lossless specs (lossy decode != input).
+    md5: bool = False
 
     @property
     def nch_data(self) -> int:
@@ -573,7 +580,8 @@ def _stored_domain(pcm: np.ndarray, spec: EncodeSpec) -> np.ndarray:
 
 def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
                  carry: CarryState, block_index: int, total_samples: int,
-                 is_first: bool, is_last: bool) -> bytes:
+                 is_first: bool, is_last: bool,
+                 md5_digest: bytes | None = None) -> bytes:
     """Encode one block; `stored` is (n, ch_data) in the stored domain,
     `full_pcm` the original (for wvx low bits)."""
     n = stored.shape[0]
@@ -684,6 +692,8 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     mdl.append(mkmeta(consts.ID_WV_BITSTREAM, wv_payload))
     if wvx_md is not None:
         mdl.append(wvx_md)
+    if is_last and md5_digest is not None:
+        mdl.append(mkmeta(consts.ID_MD5_CHECKSUM, md5_digest))
     if is_last and spec.riff_trailer is not None:
         mdl.append(mkmeta(consts.ID_RIFF_TRAILER, spec.riff_trailer))
     body = b"".join(mdl)
@@ -830,6 +840,16 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
     if total is None:
         total = pcm.shape[0]
     medians = spec.initial_medians or _auto_medians(stored)
+    digest = None
+    if spec.md5:
+        import hashlib
+
+        from ..io.pcm import format_samples
+        out = pcm
+        if spec.false_stereo:   # decoder duplicates to 2 channels
+            out = np.repeat(pcm, 2, axis=1)
+        digest = hashlib.md5(format_samples(
+            out, spec.bytes_stored)).digest()
     carry = CarryState(
         passes=[EncPass(t, d) for t, d in zip(spec.terms, spec.deltas)],
         words=_make_words_state(spec, medians))
@@ -841,7 +861,8 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
         blocks.append(encode_block(
             stored[start:end], pcm[start:end], spec, carry,
             block_index=start, total_samples=total,
-            is_first=start == 0, is_last=end >= n))
+            is_first=start == 0, is_last=end >= n,
+            md5_digest=digest))
     return blocks
 
 

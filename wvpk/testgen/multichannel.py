@@ -53,6 +53,16 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
     chan_info = bytes([nch]) + channel_mask.to_bytes(
         max(1, (channel_mask.bit_length() + 7) // 8), "little")
 
+    digest = None
+    if spec.md5:
+        # digest covers the full interleaved output (all streams), stored
+        # once in the file's final block like single-stream encode_blocks
+        import hashlib
+
+        from ..io.pcm import format_samples
+        digest = hashlib.md5(format_samples(
+            pcm, spec.bytes_stored)).digest()
+
     out = bytearray()
     bs = spec.block_samples
     first_seg = True
@@ -62,7 +72,8 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
             blk = encode_block(stored[start:end], sub[start:end], sspec,
                                carry, block_index=start, total_samples=n,
                                is_first=(start == 0 and si == 0),
-                               is_last=(end >= n and si == len(streams) - 1))
+                               is_last=(end >= n and si == len(streams) - 1),
+                               md5_digest=digest)
             blk = _set_segment_flags(blk, initial=(si == 0),
                                      final=(si == len(streams) - 1))
             if first_seg and si == 0:
