@@ -121,15 +121,17 @@ def random_pcm(rng: np.random.Generator, n: int, ch: int,
 
 def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
                  corrupt: bool = True, verbose: bool = True,
-                 seed_base: int = 7000):
+                 seed_base: int = 7000, n_mc: int = 2):
     """Differential sweep of decode_states vs the scalar oracle on the
     CURRENT backend (real kernels on TPU). Returns (fails, blocks).
     `seed_base` selects a disjoint randomized case pool (soak runs use
-    fresh bases; PCM seeds are seed_base+i, DSD seeds seed_base+1000+i)."""
+    fresh bases; PCM seeds are seed_base+i, DSD seeds seed_base+1000+i,
+    multichannel seeds seed_base+2000+i)."""
     from ..container import parse_blocks
     from ..engine import decode_states
     from ..ref import decode_block
     from . import encode_dsd_file, encode_file
+    from .multichannel import encode_multichannel
 
     fails = blocks_checked = 0
     for seed in range(n_cases):
@@ -161,7 +163,7 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
         ch = 1 if mono else 2
         d = rng.integers(0, 256, (int(rng.integers(200, 800)), ch))
         data = encode_dsd_file(d.astype(np.int64), mode, mono=mono,
-                               history_bits=2)
+                               history_bits=int(rng.integers(1, 4)))
         blocks = parse_blocks(data)
         dev = decode_states([b.state for b in blocks])
         for blk, dd in zip(blocks, dev):
@@ -171,4 +173,24 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
                 fails += 1
                 if verbose:
                     print(f"DSD MISMATCH seed {seed} mode {mode}")
+    for seed in range(n_mc):
+        # multichannel segments (INITIAL..FINAL stream runs): every stream
+        # block is just another lane, asserted block-for-block vs oracle
+        rng = np.random.default_rng(seed_base + 2000 + seed)
+        spec = random_spec(rng, family="plain")
+        nch = int(rng.integers(3, 7))
+        n = int(rng.integers(spec.block_samples // 2,
+                             spec.block_samples + 1))
+        pcm = random_pcm(rng, n, nch, spec)
+        data = encode_multichannel(pcm, spec)
+        blocks = parse_blocks(data)
+        dev = decode_states([b.state for b in blocks])
+        for blk, dd in zip(blocks, dev):
+            want = decode_block(blk.state)
+            blocks_checked += 1
+            if not (np.array_equal(dd.samples, want.samples)
+                    and dd.crc_error == want.crc_error):
+                fails += 1
+                if verbose:
+                    print(f"MC MISMATCH seed {seed} nch {nch}: {spec}")
     return fails, blocks_checked
