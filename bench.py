@@ -149,7 +149,7 @@ def main():
     # 2026-08-17); if this session drew a degraded window, give the link
     # progressively longer rests and take the best sustained rate over up
     # to two more windows (~1 min worst case on a stuck link)
-    for rest in (8, 25):
+    for rest in (8, 25, 45):
         if host_samples / host_s / 1e6 >= 4.6:
             break
         time.sleep(rest)
