@@ -96,6 +96,23 @@ def test_dsd_getters():
     np.testing.assert_array_equal(buf.reshape(-1, 2), d)
 
 
+def test_dsd_seek_mid_block():
+    """SetSample works in the byte-sample domain on multi-block DSD files
+    (the reference seeks DSD like PCM; native x8 applies to getters only,
+    WavPackUtils.cs:346-350 vs 504-594)."""
+    rng = np.random.default_rng(6)
+    d = rng.integers(0, 256, (900, 2)).astype(np.int64)
+    data = encode_dsd_file(d, 1, mono=False, block_samples=300,
+                           history_bits=2)
+    wpc = api.WavpackOpenFileInput(data)
+    assert api.SetSample(wpc, 437)
+    buf = np.zeros(200 * 2, np.int32)
+    assert api.WavpackUnpackSamples(wpc, buf, 200) == 200
+    np.testing.assert_array_equal(buf.reshape(-1, 2), d[437:637])
+    assert api.WavpackGetNumErrors(wpc) == 0
+    assert not api.SetSample(wpc, 900)
+
+
 def test_garbage_file_error():
     wpc = api.WavpackOpenFileInput(b"\x00" * 1000)
     assert api.WavpackGetErrorMessage(wpc) != ""
