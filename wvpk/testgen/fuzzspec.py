@@ -164,12 +164,23 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
         d = rng.integers(0, 256, (int(rng.integers(200, 800)), ch))
         data = encode_dsd_file(d.astype(np.int64), mode, mono=mono,
                                history_bits=int(rng.integers(1, 4)))
+        if corrupt and rng.random() < 0.25:
+            # corrupt-stream differential: exercises the DSD concealment
+            # arms (mode-1 bad-index/err path, CRC -> 0x55 mute fill) on
+            # the real kernels; metadata hits drop the block at parse on
+            # both sides
+            data = bytearray(data)
+            data[int(rng.integers(64, len(data)))] ^= int(
+                rng.integers(1, 256))
+            data = bytes(data)
         blocks = parse_blocks(data)
         dev = decode_states([b.state for b in blocks])
         for blk, dd in zip(blocks, dev):
             want = decode_block(blk.state)
             blocks_checked += 1
-            if not np.array_equal(dd.samples, want.samples):
+            if not (np.array_equal(dd.samples, want.samples)
+                    and dd.mute_error == want.mute_error
+                    and dd.crc_error == want.crc_error):
                 fails += 1
                 if verbose:
                     print(f"DSD MISMATCH seed {seed} mode {mode}")
