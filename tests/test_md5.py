@@ -33,6 +33,16 @@ def test_md5_getter_eager():
     assert api.WavpackGetMD5Sum(wpc) == want
 
 
+def test_md5_mode_bit():
+    data = encode_file(_pcm(seed=9), EncodeSpec(block_samples=600,
+                                                md5=True))
+    wpc = api.WavpackOpenFileInput(data)
+    assert api.WavpackGetMode(wpc) & consts.MODE_MD5
+    plain = encode_file(_pcm(seed=9), EncodeSpec(block_samples=600))
+    assert not (api.WavpackGetMode(api.WavpackOpenFileInput(plain))
+                & consts.MODE_MD5)
+
+
 def test_md5_getter_none_when_absent():
     data = encode_file(_pcm(), EncodeSpec(block_samples=500))
     wpc = api.WavpackOpenFileInput(data)

@@ -167,6 +167,9 @@ class WavpackContext:
                                          & consts.MODE_XMODE)
         if self.dsd_multiplier > 0:
             mode |= consts.MODE_DSD
+        if self.md5 is not None or (self.config.flags
+                                    & consts.CONFIG_MD5_CHECKSUM):
+            mode |= consts.MODE_MD5   # extension (see consts.MODE_MD5)
         return mode
 
     def get_compression_level(self) -> str | None:
