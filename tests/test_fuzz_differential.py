@@ -148,3 +148,36 @@ def test_fuzz_case_pallas(seed):
                                       err_msg=f"seed {seed} spec {spec}")
         assert d.mute_error == want.mute_error, (seed, spec)
         assert d.crc_error == want.crc_error, (seed, spec)
+
+
+@pytest.mark.parametrize("seed", range(min(N_CASES, 2)))
+def test_fuzz_case_dsd_pallas_corrupt(seed):
+    """Corrupt-stream differential against the PALLAS DSD kernels
+    (interpret mode off-TPU): the concealment arms — mode-1 bad-index/err
+    latch, CRC mismatch -> 0x55 mute fill — must match the oracle
+    bit-for-bit. The plain dsd family runs the XLA kernels on CPU, so
+    without this the Pallas coders would meet corrupt input for the
+    first time inside bench.py's gated hardware sweep. Cases kept tiny:
+    interpret-mode per-bit loops cost ~seconds per hundred samples."""
+    from wvpk.testgen import encode_dsd_file
+    rng = np.random.default_rng(128100 + seed)
+    mode = int(rng.choice([1, 1, 3]))
+    mono = bool(rng.random() < 0.3)
+    ch = 1 if mono else 2
+    n = int(rng.integers(80, 200))
+    d = rng.integers(0, 256, (n, ch))
+    data = bytearray(encode_dsd_file(d.astype(np.int64), mode, mono=mono,
+                                     history_bits=int(rng.integers(1, 4))))
+    data[int(rng.integers(64, len(data)))] ^= int(rng.integers(1, 256))
+    blocks = parse_blocks(bytes(data))
+    config.set_options(dsd_kernel="pallas")
+    try:
+        dev = decode_states([b.state for b in blocks])
+    finally:
+        config.set_options(dsd_kernel="auto")
+    for blk, d_res in zip(blocks, dev):
+        want = decode_block(blk.state)
+        np.testing.assert_array_equal(d_res.samples, want.samples,
+                                      err_msg=f"seed {seed} mode {mode}")
+        assert d_res.mute_error == want.mute_error, (seed, mode)
+        assert d_res.crc_error == want.crc_error, (seed, mode)
