@@ -164,7 +164,7 @@ def test_fuzz_case_dsd_pallas_corrupt(seed):
     mode = int(rng.choice([1, 1, 3]))
     mono = bool(rng.random() < 0.3)
     ch = 1 if mono else 2
-    n = int(rng.integers(80, 200))
+    n = int(rng.integers(60, 140))
     d = rng.integers(0, 256, (n, ch))
     data = bytearray(encode_dsd_file(d.astype(np.int64), mode, mono=mono,
                                      history_bits=int(rng.integers(1, 4))))
