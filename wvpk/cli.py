@@ -212,7 +212,27 @@ def main(argv=None) -> int:
     p.add_argument("--verify-md5", action="store_true",
                    help="verify decoded audio against the file's stored "
                         "MD5 checksum (fails if the file carries none)")
+    p.add_argument("--verify-checksums", action="store_true",
+                   help="audit every block's stored ID_BLOCK_CHECKSUM "
+                        "(WavPack 5 extension; blocks without one are "
+                        "counted but not errors)")
     args = p.parse_args(argv)
+
+    if args.verify_checksums:
+        from .container import verify_file_checksums
+        rc = 0
+        for path in args.inputs:
+            with open(path, "rb") as f:
+                ok, bad, absent = verify_file_checksums(f.read())
+            if not args.quiet or bad:
+                print(f"{path}: {ok} block checksums ok, {bad} bad, "
+                      f"{absent} absent",
+                      file=sys.stderr if bad else sys.stdout)
+            if bad:
+                rc = 1
+        # audit-only unless the user also asked for decode output
+        if rc or not (args.output or args.batch):
+            return rc
 
     if args.batch:
         return decode_batch(args.inputs, args.quiet)

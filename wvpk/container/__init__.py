@@ -10,10 +10,13 @@ from .header import BlockHeader, read_next_header, scan_headers
 from .metadata import MetadataItem, iter_metadata
 from .blockstate import BlockState, DsdState, decode_block_state
 from .blocks import Block, parse_blocks
+from .checksum import (add_block_checksum, verify_block_checksum,
+                       verify_file_checksums)
 
 __all__ = [
     "BlockHeader", "read_next_header", "scan_headers",
     "MetadataItem", "iter_metadata",
     "BlockState", "DsdState", "decode_block_state",
     "Block", "parse_blocks",
+    "add_block_checksum", "verify_block_checksum", "verify_file_checksums",
 ]

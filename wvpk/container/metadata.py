@@ -19,6 +19,11 @@ from .header import HEADER_SIZE, BlockHeader
 class MetadataItem:
     id: int        # with ID_LARGE/ID_ODD_SIZE stripped
     data: bytes    # payload with odd-size pad byte removed
+    # byte offset of the item's id byte relative to the block start
+    # (always even: items are word-aligned). Used by the block-checksum
+    # audit (container/checksum.py), which must know how many leading
+    # block bytes the stored checksum covers.
+    offset: int = -1
 
 
 class MetadataError(ValueError):
@@ -37,6 +42,7 @@ def iter_metadata(data: bytes, hdr: BlockHeader) -> list[MetadataItem]:
     while pos < end:
         if pos + 2 > len(data):
             raise MetadataError("truncated metadata header")
+        item_off = pos - hdr.stream_position
         mid = data[pos]
         byte_length = data[pos + 1] << 1
         pos += 2
@@ -52,7 +58,8 @@ def iter_metadata(data: bytes, hdr: BlockHeader) -> list[MetadataItem]:
             byte_length -= 1
         if pos + stored > len(data):
             raise MetadataError("truncated metadata payload")
-        items.append(MetadataItem(id=mid, data=bytes(data[pos:pos + byte_length])))
+        items.append(MetadataItem(id=mid, data=bytes(data[pos:pos + byte_length]),
+                                  offset=item_off))
         pos += stored
     if pos != end:
         raise MetadataError("metadata does not fill block (ckSize mismatch)")

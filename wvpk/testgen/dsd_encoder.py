@@ -162,8 +162,12 @@ def _encode_high_stream(data: np.ndarray, filters_init: np.ndarray,
 
 def encode_dsd_file(data: np.ndarray, mode: int, mono: bool = False,
                     mult_log: int = 3, sample_rate: int = 44100,
-                    history_bits: int = 1, block_samples: int | None = None) -> bytes:
-    """Encode DSD byte data (n, ch) into a .wv file; mode in {0, 1, 3}."""
+                    history_bits: int = 1, block_samples: int | None = None,
+                    block_checksum: int = 0) -> bytes:
+    """Encode DSD byte data (n, ch) into a .wv file; mode in {0, 1, 3}.
+
+    block_checksum (0/2/4) appends a trailing ID_BLOCK_CHECKSUM item per
+    block (extension; see container/checksum.py)."""
     if data.ndim == 1:
         data = data[:, None]
     nch = data.shape[1]
@@ -174,9 +178,13 @@ def encode_dsd_file(data: np.ndarray, mode: int, mono: bool = False,
     out = bytearray()
     for start in range(0, n, block_samples):
         end = min(start + block_samples, n)
-        out += _encode_dsd_block(data[start:end], mode, mono, mult_log,
-                                 sample_rate, history_bits,
-                                 block_index=start, total_samples=n)
+        blk = _encode_dsd_block(data[start:end], mode, mono, mult_log,
+                                sample_rate, history_bits,
+                                block_index=start, total_samples=n)
+        if block_checksum:
+            from ..container.checksum import add_block_checksum
+            blk = add_block_checksum(blk, block_checksum)
+        out += blk
     return bytes(out)
 
 

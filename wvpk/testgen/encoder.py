@@ -71,6 +71,11 @@ class EncodeSpec:
     # which wvpk's WavpackGetMD5Sum / --verify-md5 extension consumes.
     # Only meaningful for lossless specs (lossy decode != input).
     md5: bool = False
+    # emit a trailing ID_BLOCK_CHECKSUM item (width 2 or 4, 0 = off) on
+    # every block. The C# reference parses the item only to set `five`
+    # (MetadataUtils.cs:184-186); wvpk's container/checksum.py audit
+    # extension verifies it (CLI --verify-checksums).
+    block_checksum: int = 0
 
     @property
     def nch_data(self) -> int:
@@ -714,6 +719,9 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
 
     # --- stamp CRCs by oracle-decoding the assembled block ---
     block = _stamp_crc(block)
+    if spec.block_checksum:
+        from ..container.checksum import add_block_checksum
+        block = add_block_checksum(block, spec.block_checksum)
     return block
 
 

@@ -37,6 +37,10 @@ def random_spec(rng: np.random.Generator,
         joint=bool(rng.random() < 0.6) and not mono and not false_stereo,
         terms=tuple(int(t) for t in terms),
         deltas=tuple(deltas),
+        # trailing ID_BLOCK_CHECKSUM item (decode-transparent per the
+        # reference; keeps the staging/native-parse paths honest about
+        # unknown optional items and feeds the --verify-checksums audit)
+        block_checksum=int(rng.choice([0, 0, 0, 0, 2, 4])),
     )
     if family == "int32":
         mode = str(rng.choice(["wvx", "wvx", "zeros", "ones", "dups"]))
