@@ -121,6 +121,21 @@ def test_five_flag_set_by_checksum_item():
     assert api.WavpackGetIsFive(wpc)
 
 
+def test_multichannel_checksums_stamped_last(tmp_path):
+    # segment-flag rewrite + channel-info injection happen after
+    # encode_block, so multichannel must stamp checksums last
+    from wvpk.testgen.multichannel import encode_multichannel
+    pcm = _pcm(n=700, ch=6, seed=13, scale=2000)
+    data = encode_multichannel(pcm, EncodeSpec(block_samples=256,
+                                               block_checksum=4))
+    ok, bad, absent = verify_file_checksums(data)
+    assert bad == 0 and absent == 0 and ok >= 9  # 3 segments x 3 blocks
+    # path-based (mmap) audit agrees with the in-memory one
+    p = tmp_path / "mc.wv"
+    p.write_bytes(data)
+    assert verify_file_checksums(str(p)) == (ok, bad, absent)
+
+
 def test_cli_verify_checksums(tmp_path, capsys):
     good = tmp_path / "good.wv"
     good.write_bytes(encode_file(_pcm(seed=2),

@@ -222,8 +222,7 @@ def main(argv=None) -> int:
         from .container import verify_file_checksums
         rc = 0
         for path in args.inputs:
-            with open(path, "rb") as f:
-                ok, bad, absent = verify_file_checksums(f.read())
+            ok, bad, absent = verify_file_checksums(path)  # mmap-streamed
             if not args.quiet or bad:
                 print(f"{path}: {ok} block checksums ok, {bad} bad, "
                       f"{absent} absent",

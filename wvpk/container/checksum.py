@@ -114,8 +114,16 @@ def add_block_checksum(block: bytes, width: int = 4) -> bytes:
     return bytes(blk)
 
 
-def verify_file_checksums(data: bytes) -> tuple[int, int, int]:
-    """Audit every block in a file image: (ok, bad, absent) counts."""
+def verify_file_checksums(data: bytes | str) -> tuple[int, int, int]:
+    """Audit every block in a file image: (ok, bad, absent) counts.
+
+    Accepts in-memory bytes or a path; a path is memory-mapped so the
+    audit streams multi-GB files at constant RSS."""
+    if isinstance(data, str):
+        import mmap
+        with open(data, "rb") as f:
+            with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                return verify_file_checksums(mm)
     ok = bad = absent = 0
     pos = 0
     while True:

@@ -40,7 +40,11 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
     streams = []
     off = 0
     for w in widths:
-        sspec = replace(spec, mono=(w == 1), false_stereo=False)
+        # block_checksum is stamped LAST below: the segment-flag rewrite
+        # and channel-info injection both change covered bytes, so a
+        # checksum from encode_block would be stale
+        sspec = replace(spec, mono=(w == 1), false_stereo=False,
+                        block_checksum=0)
         sub = pcm[:, off:off + w]
         stored = _stored_domain(sub, sspec)
         medians = sspec.initial_medians or _auto_medians(stored)
@@ -79,6 +83,9 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
             if first_seg and si == 0:
                 blk = _inject_metadata(
                     blk, mkmeta(consts.ID_CHANNEL_INFO, chan_info))
+            if spec.block_checksum:
+                from ..container.checksum import add_block_checksum
+                blk = add_block_checksum(blk, spec.block_checksum)
             out += blk
         first_seg = False
     return bytes(out)
