@@ -136,6 +136,18 @@ def test_multichannel_checksums_stamped_last(tmp_path):
     assert verify_file_checksums(str(p)) == (ok, bad, absent)
 
 
+def test_api_verify_block_checksums(tmp_path):
+    data = encode_file(_pcm(seed=21), EncodeSpec(block_samples=550,
+                                                 block_checksum=2))
+    assert api.WavpackVerifyBlockChecksums(data) == (2, 0, 0)
+    p = tmp_path / "a.wv"
+    p.write_bytes(data)
+    assert api.WavpackVerifyBlockChecksums(str(p)) == (2, 0, 0)
+    assert api.WavpackVerifyBlockChecksums(p) == (2, 0, 0)  # PathLike
+    with open(p, "rb") as f:  # file-like
+        assert api.WavpackVerifyBlockChecksums(f) == (2, 0, 0)
+
+
 def test_cli_verify_checksums(tmp_path, capsys):
     good = tmp_path / "good.wv"
     good.write_bytes(encode_file(_pcm(seed=2),

@@ -536,6 +536,24 @@ def WavpackGetMD5Sum(wpc) -> bytes | None:
     return wpc.md5
 
 
+def WavpackVerifyBlockChecksums(source) -> tuple[int, int, int]:
+    """Audit every block's stored ID_BLOCK_CHECKSUM in a .wv source
+    (bytes / path / file-like): returns (ok, bad, absent) counts.
+
+    EXTENSION beyond the C# reference, which reads the item only to set
+    the WavPack-5 flag (MetadataUtils.cs:184-186). Takes a source rather
+    than an open context because decode never retains raw block bytes;
+    path sources are memory-mapped (container/checksum.py)."""
+    import os
+
+    from .container import verify_file_checksums
+    if hasattr(source, "__fspath__"):
+        source = os.fspath(source)
+    if isinstance(source, (str, bytes, bytearray)):
+        return verify_file_checksums(source)
+    return verify_file_checksums(_read_source(source))
+
+
 # -- seek -------------------------------------------------------------------
 
 def SetSample(wpc: WavpackContext, sample: int) -> bool:
