@@ -100,9 +100,9 @@ def main():
         jax.devices()
     except RuntimeError:
         attempt = int(os.environ.get("WVPK_BENCH_TUNNEL_ATTEMPT", "0"))
-        if attempt < 3:
+        if attempt < 5:
             os.environ["WVPK_BENCH_TUNNEL_ATTEMPT"] = str(attempt + 1)
-            time.sleep((60, 120, 240)[attempt])
+            time.sleep((60, 120, 240, 480, 600)[attempt])
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise
 

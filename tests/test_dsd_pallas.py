@@ -114,3 +114,10 @@ def test_fast_mono_bins1():
 
 def test_fast_bins8_smooth():
     check_fast(400, mono=False, seed=6, history_bits=3, smooth=True)
+
+
+def test_fast_bins32():
+    # history_bits=5 is the reference cap (DsdUtils.cs:167); bins=32 takes
+    # the kernel's narrow lane_tile=128 branch (8192-row summed table),
+    # exercised nowhere else
+    check_fast(300, mono=False, seed=7, history_bits=5, lanes=2)

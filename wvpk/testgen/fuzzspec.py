@@ -23,7 +23,13 @@ def random_spec(rng: np.random.Generator,
     max_width) and float; every family randomizes channels/terms/joint."""
     mono = bool(rng.random() < 0.25)
     false_stereo = not mono and bool(rng.random() < 0.15)
-    nterms = int(rng.integers(1, 9))
+    # 25% deep chains (9..16 terms, MAX_NTERMS=Defines.cs:104): exercises
+    # the 10/12/16 decorr tier kernels + the term-chain-specialized unroll
+    # with randomized differential pressure, not just fixed cases
+    if rng.random() < 0.25:
+        nterms = int(rng.integers(9, 17))
+    else:
+        nterms = int(rng.integers(1, 9))
     terms = list(rng.choice(TERM_POOL, size=nterms))
     if not mono and not false_stereo and rng.random() < 0.3:
         terms[0] = int(rng.choice(NEG_TERMS))
@@ -167,7 +173,10 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
         ch = 1 if mono else 2
         d = rng.integers(0, 256, (int(rng.integers(200, 800)), ch))
         data = encode_dsd_file(d.astype(np.int64), mode, mono=mono,
-                               history_bits=int(rng.integers(1, 4)))
+                               # reference caps history_bits at 5
+                               # (DsdUtils.cs:167); big-bin tables stress
+                               # the mode-1 kernel's bins*256 lookup rows
+                               history_bits=int(rng.integers(1, 6)))
         if corrupt and rng.random() < 0.25:
             # corrupt-stream differential: exercises the DSD concealment
             # arms (mode-1 bad-index/err path, CRC -> 0x55 mute fill) on
@@ -193,7 +202,7 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
         # block is just another lane, asserted block-for-block vs oracle
         rng = np.random.default_rng(seed_base + 2000 + seed)
         spec = random_spec(rng, family="plain")
-        nch = int(rng.integers(3, 7))
+        nch = int(rng.integers(3, 9))
         n = int(rng.integers(spec.block_samples // 2,
                              spec.block_samples + 1))
         pcm = random_pcm(rng, n, nch, spec)

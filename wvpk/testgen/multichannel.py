@@ -45,6 +45,17 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
         # checksum from encode_block would be stale
         sspec = replace(spec, mono=(w == 1), false_stereo=False,
                         block_checksum=0)
+        if w == 1 and any(t < 0 for t in sspec.terms):
+            # cross-channel terms (-1/-2/-3) are stereo-only: the mono
+            # decode path has no branch for them (UnpackUtils.cs:1156-1240
+            # switches on 17/18/ring terms), so a conforming encoder never
+            # emits them on a mono tail stream
+            keep = [(t, d) for t, d in zip(sspec.terms, sspec.deltas)
+                    if t > 0]
+            if not keep:
+                keep = [(2, 2)]
+            sspec = replace(sspec, terms=tuple(t for t, _ in keep),
+                            deltas=tuple(d for _, d in keep))
         sub = pcm[:, off:off + w]
         stored = _stored_domain(sub, sspec)
         medians = sspec.initial_medians or _auto_medians(stored)
