@@ -1,0 +1,150 @@
+"""Public encode API (wvpk/encode.py) + WAV reader + CLI encode mode.
+
+Beyond reference parity (the reference is decode-only): every stream the
+public encoder emits must decode sample-exactly (lossless) or clean
+(hybrid) through the same paths the decoder tests gate.
+"""
+
+import numpy as np
+import pytest
+
+from wvpk import api, consts
+from wvpk.container import parse_blocks
+from wvpk.encode import PRESETS, build_spec, encode
+from wvpk.io.wav import make_wav_header, read_wav
+from wvpk.ref import decode_block
+
+
+def oracle_decode(data: bytes) -> np.ndarray:
+    outs = []
+    for b in parse_blocks(data):
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        outs.append(r.samples)
+    return np.concatenate(outs)
+
+
+def sig(n, ch, scale=6000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    x = scale * np.sin(2 * np.pi * t / 97.0) + rng.normal(0, scale / 40,
+                                                          (n, ch))
+    return np.round(x).astype(np.int64)
+
+
+def test_lossless_roundtrip_identity():
+    pcm = sig(5000, 2)
+    data = encode(pcm, block_samples=1000)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+
+
+@pytest.mark.parametrize("preset", sorted(PRESETS))
+def test_presets_roundtrip_mono_and_stereo(preset):
+    for ch in (1, 2):
+        pcm = sig(1200, ch, seed=ch)
+        data = encode(pcm, preset=preset, block_samples=512)
+        want = pcm if ch == 2 else pcm
+        np.testing.assert_array_equal(oracle_decode(data)[:, :ch], want)
+
+
+def test_false_stereo_autodetect():
+    one = sig(900, 1, seed=3)
+    pcm = np.repeat(one, 2, axis=1)
+    data = encode(pcm, block_samples=512)
+    blocks = parse_blocks(data)
+    assert all(b.header.flags & consts.FALSE_STEREO for b in blocks)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+
+
+def test_auto_shift_24bit():
+    pcm = sig(800, 2, scale=300000, seed=4) << 3
+    spec = build_spec(pcm, bytes_per_sample=3)
+    assert spec.shift == 3
+    data = encode(pcm, bytes_per_sample=3, block_samples=512)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+
+
+def test_auto_zeros_32bit():
+    pcm = sig(700, 2, scale=2_000_000, seed=5) << 4
+    spec = build_spec(pcm, bytes_per_sample=4)
+    assert spec.int32_mode == "zeros" and spec.int32_zeros == 4
+    data = encode(pcm, bytes_per_sample=4, block_samples=512)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+
+
+def test_multichannel_segment():
+    pcm = sig(600, 6, seed=6)
+    data = encode(pcm, block_samples=256)
+    blocks = parse_blocks(data)
+    # stream runs of 3 stereo blocks per time window
+    assert blocks[0].header.flags & consts.INITIAL_BLOCK
+    assert blocks[2].header.flags & consts.FINAL_BLOCK
+    from collections import defaultdict
+    seg = defaultdict(list)
+    for b in blocks:
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        seg[b.header.block_index].append(r.samples)
+    out = np.concatenate([np.concatenate(seg[k], 1) for k in sorted(seg)])
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_multichannel_high_preset_mono_tail():
+    # 5ch = 2 stereo streams (keep the high preset's cross-channel
+    # terms) + mono tail (stripped); all must roundtrip
+    pcm = sig(500, 5, seed=11)
+    data = encode(pcm, preset="high", block_samples=256)
+    from collections import defaultdict
+    seg = defaultdict(list)
+    for b in parse_blocks(data):
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        seg[b.header.block_index].append(r.samples)
+    out = np.concatenate([np.concatenate(seg[k], 1) for k in sorted(seg)])
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_hybrid_smaller_and_clean():
+    pcm = sig(4096, 2, scale=15000, seed=7)
+    lossless = encode(pcm, md5=False)
+    hybrid = encode(pcm, hybrid=True, bitrate=400, md5=False)
+    assert len(hybrid) < len(lossless)
+    got = oracle_decode(hybrid)     # asserts crc/mute clean
+    assert got.shape == pcm.shape
+    assert not np.array_equal(got, pcm)  # genuinely lossy at this rate
+
+
+def test_md5_stamp_verifies(tmp_path):
+    pcm = sig(3000, 2, seed=8)
+    p = tmp_path / "a.wv"
+    p.write_bytes(encode(pcm, block_samples=1024))
+    wpc = api.WavpackOpenFileInput(str(p))
+    assert api.WavpackGetMode(wpc) & consts.MODE_MD5
+    stored = api.WavpackGetMD5Sum(wpc)
+    import hashlib
+
+    from wvpk.io.pcm import format_samples
+    assert stored == hashlib.md5(format_samples(pcm, 2)).digest()
+
+
+def test_read_wav_8bit_and_header_passthrough():
+    pcm = (sig(400, 2, scale=90, seed=9)).clip(-128, 127)
+    raw = bytes((pcm.reshape(-1) + 128).astype(np.uint8))
+    hdr = make_wav_header(len(pcm), 2, 8000, 8, 1)
+    got, rate, bits, header, trailer = read_wav(hdr + raw + b"TAIL")
+    assert (rate, bits) == (8000, 8)
+    np.testing.assert_array_equal(got, pcm)
+    assert header == hdr and trailer == b"TAIL"
+
+
+def test_cli_wav_roundtrip_byte_exact(tmp_path):
+    from wvpk.cli import main
+    pcm = sig(2500, 2, seed=10)
+    wav = tmp_path / "in.wav"
+    raw = pcm.astype("<i2").tobytes()
+    wav.write_bytes(make_wav_header(len(pcm), 2, 44100, 16, 2) + raw)
+    wv = tmp_path / "out.wv"
+    assert main(["--encode", str(wav), "-o", str(wv), "-q"]) == 0
+    back = tmp_path / "back.wav"
+    assert main([str(wv), "-o", str(back), "-q", "--verify-md5"]) == 0
+    assert back.read_bytes() == wav.read_bytes()

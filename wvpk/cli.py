@@ -190,6 +190,33 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
     return rc
 
 
+def encode_one(path: str, out_path: str, *, preset: str, block: int,
+               hybrid_bitrate: int, quiet: bool = False) -> int:
+    """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
+    from .encode import encode
+    from .io.wav import read_wav
+
+    blob = open(path, "rb").read()
+    try:
+        pcm, rate, bits, header, trailer = read_wav(blob)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    t0 = time.perf_counter()
+    wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
+                block_samples=block, preset=preset,
+                hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
+                riff_header=header, riff_trailer=trailer)
+    dt = time.perf_counter() - t0
+    with open(out_path, "wb") as f:
+        f.write(wv)
+    if not quiet:
+        print(f"encoded {pcm.shape[0]} samples x {pcm.shape[1]} ch "
+              f"({bits}-bit) in {dt * 1000:.1f} ms: {len(blob)} -> "
+              f"{len(wv)} bytes ({len(wv) / max(len(blob), 1):.1%})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="wvpk", description="TPU-native WavPack decoder")
@@ -216,7 +243,29 @@ def main(argv=None) -> int:
                    help="audit every block's stored ID_BLOCK_CHECKSUM "
                         "(WavPack 5 extension; blocks without one are "
                         "counted but not errors)")
+    p.add_argument("--encode", action="store_true",
+                   help="encode mode: inputs are .wav files, output is "
+                        ".wv (lossless unless --hybrid-bitrate)")
+    p.add_argument("--preset", choices=("fast", "default", "high"),
+                   default="default", help="encode filter preset")
+    p.add_argument("--block-samples", type=int, default=4096,
+                   help="encode block size in samples")
+    p.add_argument("--hybrid-bitrate", type=int, default=0,
+                   help="encode hybrid-lossy with this bitrate value "
+                        "(WordsUtils.cs bitrate_acc>>16 units); 0 = "
+                        "lossless")
     args = p.parse_args(argv)
+
+    if args.encode:
+        rc = 0
+        for path in args.inputs:
+            out = args.output if len(args.inputs) == 1 and args.output \
+                else (path[:-4] if path.endswith(".wav") else path) + ".wv"
+            rc |= encode_one(path, out, preset=args.preset,
+                             block=args.block_samples,
+                             hybrid_bitrate=args.hybrid_bitrate,
+                             quiet=args.quiet)
+        return rc
 
     if args.verify_checksums:
         from .container import verify_file_checksums

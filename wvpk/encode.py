@@ -1,0 +1,126 @@
+"""Public PCM -> WavPack encode API.
+
+The reference (Quake4/WavPackDecoder) is decode-only; this module goes
+beyond parity by promoting the framework's heavily-fuzzed test-vector
+encoder (wvpk/testgen/encoder.py, multichannel.py) to a supported
+surface: ``wvpk.encode.encode(pcm, ...) -> bytes`` and a CLI encode mode
+(``python -m wvpk.cli --encode in.wav -o out.wv``).
+
+Every stream it emits is the same format the decoder's differential
+fuzzers exercise: lossless decode is sample-exact (roundtrip identity is
+asserted in tests), hybrid obeys the reference's error-limit semantics
+(WordsUtils.cs:195-261), and the optional MD5 / block-checksum
+extensions are stamped for the audit tooling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+
+from .testgen.encoder import EncodeSpec, encode_file
+from .testgen.multichannel import encode_multichannel
+
+# Decorrelation filter presets (decode order). These are this encoder's
+# own chains -- chosen to cover the kernel tiers (2/4-ish/10 unrolled
+# passes) -- not copies of any other encoder's tables. Negative
+# (cross-channel) terms are stereo-only and stripped for mono content.
+PRESETS = {
+    "fast": ((17, 17), (2, 2)),
+    "default": ((18, 18, 2, 17, 3), (2, 2, 2, 2, 2)),
+    "high": ((18, 18, 18, -2, 2, 3, 5, -1, 17, 4),
+             (2, 2, 2, 2, 2, 2, 2, 2, 2, 2)),
+}
+
+
+def _auto_shift(pcm: np.ndarray, bytes_per_sample: int) -> tuple[int, int]:
+    """Common trailing-zero count -> (shift, int32_zeros).
+
+    bytes <= 3 store it in the header SHIFT field; 4-byte content uses
+    the int32 zeros re-expansion (UnpackUtils.cs:1332-1342) instead, the
+    WavPack-native way to shrink wide residuals.
+    """
+    if not pcm.any():
+        return 0, 0
+    # common low zero bits across all samples (two's complement: v>>s<<s
+    # == v iff the low s bits of the bit pattern are zero)
+    acc = int(np.bitwise_or.reduce(
+        pcm.astype(np.int64).view(np.uint64), axis=None))
+    tz = min((acc & -acc).bit_length() - 1, 8)
+    if bytes_per_sample >= 4:
+        return 0, tz
+    return tz, 0
+
+
+def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
+               bytes_per_sample: int = 2, block_samples: int = 4096,
+               preset: str = "default", joint: bool = True,
+               hybrid: bool = False, bitrate: int = 512,
+               md5: bool = True, block_checksum: int = 0,
+               riff_header: bytes | None = None,
+               riff_trailer: bytes | None = None) -> EncodeSpec:
+    """Derive an EncodeSpec for `pcm` ((n,) or (n, ch) ints in the
+    signed `bytes_per_sample`-wide domain)."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if n == 0:
+        raise ValueError("empty PCM")
+    lim = 1 << (bytes_per_sample * 8 - 1)
+    if pcm.min() < -lim or pcm.max() >= lim:
+        raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
+    terms, deltas = PRESETS[preset]
+    mono = ch == 1
+    # false stereo: identical channels collapse to one encoded channel
+    # (the decoder re-duplicates, UnpackUtils.cs:668-680)
+    false_stereo = ch == 2 and bool(np.array_equal(pcm[:, 0], pcm[:, 1]))
+    if mono or false_stereo:
+        # cross-channel terms are stereo-only (multichannel mono tail
+        # streams are stripped inside encode_multichannel instead, so
+        # the segment's stereo pairs keep them)
+        kept = [(t, d) for t, d in zip(terms, deltas) if t > 0]
+        terms, deltas = tuple(t for t, _ in kept), tuple(d for _, d in kept)
+    shift, zeros = (0, 0) if hybrid else _auto_shift(pcm, bytes_per_sample)
+    return EncodeSpec(
+        block_samples=block_samples,
+        mono=mono,
+        false_stereo=false_stereo,
+        joint=joint and not mono and not false_stereo,
+        terms=terms,
+        deltas=deltas,
+        bytes_stored=bytes_per_sample,
+        shift=shift,
+        int32_mode="zeros" if zeros else None,
+        int32_zeros=zeros,
+        sample_rate=sample_rate,
+        hybrid=hybrid,
+        hybrid_bitrate=hybrid,
+        bitrate=bitrate,
+        md5=md5,
+        block_checksum=block_checksum,
+        riff_header=riff_header,
+        riff_trailer=riff_trailer,
+    )
+
+
+def encode(pcm: np.ndarray, **options) -> bytes:
+    """Encode integer PCM to a WavPack stream.
+
+    pcm: (n,) mono or (n, ch) interleaved ints, signed, within the
+    `bytes_per_sample` range. ch > 2 emits a multichannel segment
+    (INITIAL/FINAL stream runs + ID_CHANNEL_INFO) decodable with
+    OPEN_ALL_CHANNELS. Keyword options: see build_spec. Returns the
+    `.wv` byte stream.
+    """
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    spec = build_spec(pcm, **options)
+    if pcm.shape[1] > 2:
+        # segment encoder stamps checksums itself; strip false_stereo
+        return encode_multichannel(pcm, replace(spec, mono=False,
+                                                 false_stereo=False))
+    if spec.false_stereo:
+        pcm = pcm[:, :1]
+    return encode_file(pcm, spec)

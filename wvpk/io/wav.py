@@ -1,9 +1,13 @@
 """RIFF WAV emission (reference ChunkHeader.cs / RiffChunkHeader.cs /
-WaveHeader.cs and the demo's header synthesis WvDemo.cs:80-104)."""
+WaveHeader.cs and the demo's header synthesis WvDemo.cs:80-104) and a
+WAV reader for the encode path (no reference analog: the reference is
+decode-only)."""
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 
 def make_wav_header(total_samples: int, num_channels: int, sample_rate: int,
@@ -16,6 +20,58 @@ def make_wav_header(total_samples: int, num_channels: int, sample_rate: int,
         sample_rate * block_align, block_align, bits_per_sample)
     data = b"data" + struct.pack("<I", data_size)
     return riff + fmt + data
+
+
+def read_wav(blob: bytes):
+    """Parse an integer-PCM RIFF WAV file.
+
+    Returns (pcm, sample_rate, bits_per_sample, header, trailer):
+    pcm is (n, ch) int64 in the signed stored domain (8-bit content is
+    offset to signed, matching WavpackFormatSamples' +128 un-offset,
+    WavPackUtils.cs:300-307); header is the raw prefix through the data
+    chunk header and trailer the bytes after the payload -- both stored
+    verbatim in the .wv (ID_RIFF_HEADER/_TRAILER) so decode reproduces
+    the original file byte-exactly (WvDemo.cs:74-77,139-141).
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE file")
+    pos, fmt = 12, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", blob[body:body + 16])
+            if tag == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                tag = int.from_bytes(blob[body + 24:body + 26], "little")
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag}")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            ch, rate, bits = fmt
+            bps = (bits + 7) // 8
+            if bps not in (1, 2, 3, 4):
+                raise ValueError(f"unsupported bit depth {bits}")
+            nbytes = min(size, len(blob) - body)
+            n = nbytes // (bps * ch)
+            raw = np.frombuffer(blob[body:body + n * bps * ch], np.uint8)
+            raw = raw.reshape(n * ch, bps).astype(np.int64)
+            v = np.zeros(n * ch, np.int64)
+            for k in range(bps):
+                v |= raw[:, k] << (8 * k)
+            if bps == 1:
+                v -= 128  # u8 storage -> signed
+            else:
+                width = 8 * bps
+                v = (v ^ (1 << (width - 1))) - (1 << (width - 1))
+            end = body + size + (size & 1)
+            return (v.reshape(n, ch), rate, bits, blob[:body],
+                    blob[end:] if end < len(blob) else None)
+        pos = body + size + (size & 1)
+    raise ValueError("WAV file has no data chunk")
 
 
 def write_wav(path, pcm_bytes: bytes, *, total_samples: int,
