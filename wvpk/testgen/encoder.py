@@ -625,10 +625,10 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     if not mono and (flags & consts.JOINT_STEREO):
         left = targ[:, 0].copy()
         right = targ[:, 1].copy()
-        sdiff = np.vectorize(i32, otypes=[np.int64])(left - right)
+        # int32 truncation wraps like C# (i32 semantics), vectorized
+        sdiff = (left - right).astype(np.int32).astype(np.int64)
         targ[:, 0] = sdiff
-        targ[:, 1] = np.vectorize(i32, otypes=[np.int64])(
-            right + (sdiff >> 1))
+        targ[:, 1] = (right + (sdiff >> 1)).astype(np.int32)
 
     decoded_stored = np.zeros_like(targ)
 
@@ -717,8 +717,31 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     header[28:32] = b"\x00\x00\x00\x00"  # crc stamped below
     block = bytes(header) + body
 
-    # --- stamp CRCs by oracle-decoding the assembled block ---
-    block = _stamp_crc(block)
+    # --- stamp CRCs ---
+    if wvx_md is None:
+        # decoded_stored IS the decoder's pre-fixup output (that is the
+        # whole contract of reconstruct_*), so the header CRC
+        # (UnpackUtils.cs:577,626: crc = crc*3 + sample over the final
+        # joint-undone values) follows in closed form -- no oracle
+        # decode needed. Any encoder/decoder reconstruction divergence
+        # now surfaces as a CRC error in the differential suites
+        # instead of being masked by stamping the oracle's own value.
+        final = decoded_stored
+        if not mono and (flags & consts.JOINT_STEREO):
+            # the CRC runs over the joint-UNDONE values
+            # (UnpackUtils.cs:609-628: L += (R -= L>>1) happens before
+            # the crc*3 accumulation)
+            d = decoded_stored.astype(np.int64)
+            r = (d[:, 1] - (d[:, 0] >> 1)).astype(np.int32)
+            l = (d[:, 0] + r).astype(np.int32)
+            final = np.stack([l, r], 1)
+        blk = bytearray(block)
+        blk[28:32] = _crc_fast(final).to_bytes(4, "little")
+        block = bytes(blk)
+    else:
+        # wvx blocks also need crc_x over the post-injection values
+        # (width-truncation quirks included): oracle-decode to stamp
+        block = _stamp_crc(block)
     if spec.block_checksum:
         from ..container.checksum import add_block_checksum
         block = add_block_checksum(block, spec.block_checksum)
@@ -796,6 +819,21 @@ def _build_wvx(spec: EncodeSpec, decoded_stored: np.ndarray,
         payload += b"\x00"
     mid = (consts.ID_WVX_NEW_BITSTREAM if new_style else consts.ID_WVX_BITSTREAM)
     return mkmeta(mid, b"\x00\x00\x00\x00" + payload)  # crc_mvx stamped later
+
+
+def _crc_fast(decoded: np.ndarray, crc0: int = 0xFFFFFFFF) -> int:
+    """Closed-form block CRC: crc_M = 3^M*crc0 + sum 3^(M-1-j)*x_j mod 2^32
+    (the affine recurrence crc = crc*3 + x, UnpackUtils.cs:577,626, over
+    the interleaved final values; numpy uint32 arithmetic wraps like C#)."""
+    x = decoded.astype(np.int64).reshape(-1).astype(np.uint32)
+    m = x.size
+    if m == 0:
+        return crc0
+    p = np.full(m, 3, np.uint32)
+    p[0] = 1
+    p = np.multiply.accumulate(p)            # 3^j mod 2^32, j = 0..M-1
+    acc = int(np.add.reduce(p[::-1] * x, dtype=np.uint32))
+    return (acc + pow(3, m, 1 << 32) * crc0) & 0xFFFFFFFF
 
 
 def _stamp_crc(block: bytes) -> bytes:
