@@ -43,8 +43,7 @@ def test_presets_roundtrip_mono_and_stereo(preset):
     for ch in (1, 2):
         pcm = sig(1200, ch, seed=ch)
         data = encode(pcm, preset=preset, block_samples=512)
-        want = pcm if ch == 2 else pcm
-        np.testing.assert_array_equal(oracle_decode(data)[:, :ch], want)
+        np.testing.assert_array_equal(oracle_decode(data)[:, :ch], pcm)
 
 
 def test_false_stereo_autodetect():
@@ -135,6 +134,78 @@ def test_read_wav_8bit_and_header_passthrough():
     assert (rate, bits) == (8000, 8)
     np.testing.assert_array_equal(got, pcm)
     assert header == hdr and trailer == b"TAIL"
+
+
+def test_wide_32bit_routes_wvx():
+    # full-scale-ish 32-bit content with no trailing zeros must route
+    # the low bits through the wvx sidecar and stay lossless
+    rng = np.random.default_rng(12)
+    pcm = rng.integers(-(1 << 30), 1 << 30, (900, 2)).astype(np.int64)
+    spec = build_spec(pcm, bytes_per_sample=4)
+    assert spec.int32_mode == "wvx" and spec.int32_sent_bits >= 7
+    data = encode(pcm, bytes_per_sample=4, block_samples=512)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+
+
+def test_rejects_bad_inputs():
+    pcm = sig(100, 2)
+    with pytest.raises(ValueError, match="integer PCM"):
+        build_spec(pcm.astype(np.float64))
+    with pytest.raises(ValueError, match="block_samples"):
+        build_spec(pcm, block_samples=0)
+    with pytest.raises(ValueError, match="hybrid"):
+        build_spec(np.full((100, 2), 1 << 29, np.int64), bytes_per_sample=4,
+                   hybrid=True)
+
+
+def test_nonstandard_sample_rate_preserved(tmp_path):
+    p = tmp_path / "r.wv"
+    p.write_bytes(encode(sig(600, 2, seed=13), sample_rate=37800,
+                         block_samples=512))
+    wpc = api.WavpackOpenFileInput(str(p))
+    assert api.WavpackGetSampleRate(wpc) == 37800
+
+
+def test_hybrid_md5_defaults_off():
+    pcm = sig(800, 2, seed=14)
+    blocks = parse_blocks(encode(pcm, hybrid=True, block_samples=512))
+    assert all(b.updates.md5 is None for b in blocks)
+    # explicit True stamps the SOURCE digest (libwavpack semantics)
+    blocks = parse_blocks(encode(pcm, hybrid=True, md5=True,
+                                 block_samples=512))
+    assert blocks[-1].updates.md5 is not None
+
+
+def test_read_wav_odd_data_chunk_pad(tmp_path):
+    from wvpk.cli import main
+    pcm = sig(401, 1, scale=90, seed=15).clip(-128, 127)
+    raw = bytes((pcm.reshape(-1) + 128).astype(np.uint8))
+    assert len(raw) & 1
+    wav = tmp_path / "odd.wav"
+    wav.write_bytes(make_wav_header(len(pcm), 1, 8000, 8, 1)
+                    + raw + b"\x00" + b"LIST\x04\x00\x00\x00INFO")
+    wv = tmp_path / "odd.wv"
+    assert main(["--encode", str(wav), "-o", str(wv), "-q"]) == 0
+    back = tmp_path / "back.wav"
+    assert main([str(wv), "-o", str(back), "-q"]) == 0
+    assert back.read_bytes() == wav.read_bytes()
+
+
+def test_cli_encode_errors_clean(tmp_path):
+    from wvpk.cli import main
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF\x10\x00\x00\x00WAVEfmt \x08\x00\x00\x00"
+                    b"\x01\x00\x02\x00\x44\xac\x00\x00")
+    assert main(["--encode", str(bad), "-o", str(tmp_path / "x.wv")]) == 1
+    ok = tmp_path / "ok.wav"
+    pcm = sig(200, 2)
+    ok.write_bytes(make_wav_header(len(pcm), 2, 44100, 16, 2)
+                   + pcm.astype("<i2").tobytes())
+    assert main(["--encode", str(ok), "-o", str(tmp_path / "y.wv"),
+                 "--block-samples", "0"]) == 1
+    # -o with multiple inputs is an error, not a silent ignore
+    assert main(["--encode", str(ok), str(ok),
+                 "-o", str(tmp_path / "z.wv")]) == 2
 
 
 def test_cli_wav_roundtrip_byte_exact(tmp_path):

@@ -8,6 +8,7 @@ many files through the lane-parallel engine and reports throughput.
 from __future__ import annotations
 
 import argparse
+import struct
 import sys
 import time
 
@@ -197,16 +198,16 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
     from .io.wav import read_wav
 
     blob = open(path, "rb").read()
+    t0 = time.perf_counter()
     try:
         pcm, rate, bits, header, trailer = read_wav(blob)
-    except ValueError as e:
+        wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
+                    block_samples=block, preset=preset,
+                    hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
+                    riff_header=header, riff_trailer=trailer)
+    except (ValueError, struct.error) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-    t0 = time.perf_counter()
-    wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
-                block_samples=block, preset=preset,
-                hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
-                riff_header=header, riff_trailer=trailer)
     dt = time.perf_counter() - t0
     with open(out_path, "wb") as f:
         f.write(wv)
@@ -256,10 +257,15 @@ def main(argv=None) -> int:
                         "lossless")
     args = p.parse_args(argv)
 
+    if args.output and len(args.inputs) > 1 and not args.batch:
+        print("Error: -o/--output requires a single input file",
+              file=sys.stderr)
+        return 2
+
     if args.encode:
         rc = 0
         for path in args.inputs:
-            out = args.output if len(args.inputs) == 1 and args.output \
+            out = args.output if args.output \
                 else (path[:-4] if path.endswith(".wav") else path) + ".wv"
             rc |= encode_one(path, out, preset=args.preset,
                              block=args.block_samples,

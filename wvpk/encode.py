@@ -57,16 +57,25 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
                bytes_per_sample: int = 2, block_samples: int = 4096,
                preset: str = "default", joint: bool = True,
                hybrid: bool = False, bitrate: int = 512,
-               md5: bool = True, block_checksum: int = 0,
+               md5: bool | None = None, block_checksum: int = 0,
                riff_header: bytes | None = None,
                riff_trailer: bytes | None = None) -> EncodeSpec:
     """Derive an EncodeSpec for `pcm` ((n,) or (n, ch) ints in the
-    signed `bytes_per_sample`-wide domain)."""
+    signed `bytes_per_sample`-wide domain).
+
+    md5=None stamps the source digest for lossless only: like
+    libwavpack, a stored MD5 always covers the SOURCE audio, which a
+    hybrid-lossy decode legitimately won't match -- pass md5=True to
+    stamp it anyway."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     n, ch = pcm.shape
     if n == 0:
         raise ValueError("empty PCM")
+    if not np.issubdtype(pcm.dtype, np.integer):
+        raise ValueError(f"integer PCM required, got dtype {pcm.dtype}")
+    if block_samples <= 0:
+        raise ValueError(f"block_samples must be positive, got {block_samples}")
     lim = 1 << (bytes_per_sample * 8 - 1)
     if pcm.min() < -lim or pcm.max() >= lim:
         raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
@@ -82,6 +91,23 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
         kept = [(t, d) for t, d in zip(terms, deltas) if t > 0]
         terms, deltas = tuple(t for t, _ in kept), tuple(d for _, d in kept)
     shift, zeros = (0, 0) if hybrid else _auto_shift(pcm, bytes_per_sample)
+    # wide 32-bit content: the stored-domain magnitude must stay in the
+    # entropy coder's comfortable range (24-bit-audio scale; the log2
+    # tables and median adaptation degrade beyond ~2^28, per the
+    # reference's own "limited resolution" note). Route the low bits
+    # through the wvx raw-bit sidecar (UnpackUtils.cs:1271-1314), the
+    # WavPack-native lossless mechanism for that, when trailing zeros
+    # alone don't get us there.
+    int32_mode = "zeros" if zeros else None
+    sent_bits = 0
+    maxabs = int(np.abs(pcm.astype(np.int64)).max())
+    excess = maxabs.bit_length() - 23 - zeros
+    if bytes_per_sample >= 4 and excess > 0:
+        if hybrid:
+            raise ValueError(
+                "hybrid encoding supports up to ~24-bit magnitudes; "
+                f"content needs {maxabs.bit_length()} bits")
+        int32_mode, zeros, sent_bits = "wvx", 0, maxabs.bit_length() - 23
     return EncodeSpec(
         block_samples=block_samples,
         mono=mono,
@@ -91,13 +117,14 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
         deltas=deltas,
         bytes_stored=bytes_per_sample,
         shift=shift,
-        int32_mode="zeros" if zeros else None,
+        int32_mode=int32_mode,
         int32_zeros=zeros,
+        int32_sent_bits=sent_bits,
         sample_rate=sample_rate,
         hybrid=hybrid,
         hybrid_bitrate=hybrid,
         bitrate=bitrate,
-        md5=md5,
+        md5=(not hybrid) if md5 is None else md5,
         block_checksum=block_checksum,
         riff_header=riff_header,
         riff_trailer=riff_trailer,

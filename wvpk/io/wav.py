@@ -41,6 +41,8 @@ def read_wav(blob: bytes):
         size = int.from_bytes(blob[pos + 4:pos + 8], "little")
         body = pos + 8
         if cid == b"fmt ":
+            if size < 16 or body + 16 > len(blob):
+                raise ValueError("truncated WAV fmt chunk")
             tag, ch, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", blob[body:body + 16])
             if tag == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
@@ -67,7 +69,10 @@ def read_wav(blob: bytes):
             else:
                 width = 8 * bps
                 v = (v ^ (1 << (width - 1))) - (1 << (width - 1))
-            end = body + size + (size & 1)
+            # trailer starts right after the payload: an odd-size pad
+            # byte belongs to it so the decode-side rewrite stays
+            # byte-exact
+            end = body + size
             return (v.reshape(n, ch), rate, bits, blob[:body],
                     blob[end:] if end < len(blob) else None)
         pos = body + size + (size & 1)

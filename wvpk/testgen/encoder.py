@@ -692,6 +692,12 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
         mdl.append(mkmeta(consts.ID_INT32_INFO,
                           bytes([spec.int32_sent_bits, spec.int32_zeros,
                                  spec.int32_ones, spec.int32_dups])))
+    if spec.sample_rate not in consts.SAMPLE_RATES:
+        # non-standard rate: header srate field is 0xF (unknown), the
+        # real rate travels as ID_SAMPLE_RATE (3-byte LE; read at
+        # blockstate.py ID_SAMPLE_RATE / reference UnpackUtils.cs:461-472)
+        mdl.append(mkmeta(consts.ID_SAMPLE_RATE,
+                          (spec.sample_rate & 0xFFFFFF).to_bytes(3, "little")))
     if is_first and spec.riff_header is not None:
         mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
     mdl.append(mkmeta(consts.ID_WV_BITSTREAM, wv_payload))
