@@ -208,6 +208,20 @@ def test_cli_encode_errors_clean(tmp_path):
                  "-o", str(tmp_path / "z.wv")]) == 2
 
 
+def test_cli_encode_checksum_stamp(tmp_path):
+    from wvpk.cli import main
+    pcm = sig(900, 2, seed=16)
+    wav = tmp_path / "c.wav"
+    wav.write_bytes(make_wav_header(len(pcm), 2, 44100, 16, 2)
+                    + pcm.astype("<i2").tobytes())
+    wv = tmp_path / "c.wv"
+    assert main(["--encode", str(wav), "-o", str(wv),
+                 "--checksum-bytes", "2", "-q"]) == 0
+    from wvpk.container import verify_file_checksums
+    ok, bad, absent = verify_file_checksums(str(wv))
+    assert (ok, bad, absent) == (1, 0, 0)
+
+
 def test_cli_wav_roundtrip_byte_exact(tmp_path):
     from wvpk.cli import main
     pcm = sig(2500, 2, seed=10)

@@ -192,7 +192,8 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
 
 
 def encode_one(path: str, out_path: str, *, preset: str, block: int,
-               hybrid_bitrate: int, quiet: bool = False) -> int:
+               hybrid_bitrate: int, checksum_bytes: int = 0,
+               quiet: bool = False) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
     from .encode import encode
     from .io.wav import read_wav
@@ -204,6 +205,7 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
         wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
                     block_samples=block, preset=preset,
                     hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
+                    block_checksum=checksum_bytes,
                     riff_header=header, riff_trailer=trailer)
     except (ValueError, struct.error) as e:
         print(f"Error: {e}", file=sys.stderr)
@@ -255,6 +257,11 @@ def main(argv=None) -> int:
                    help="encode hybrid-lossy with this bitrate value "
                         "(WordsUtils.cs bitrate_acc>>16 units); 0 = "
                         "lossless")
+    p.add_argument("--checksum-bytes", type=int, choices=(0, 2, 4),
+                   default=0,
+                   help="stamp ID_BLOCK_CHECKSUM (WavPack 5) of this "
+                        "width on every encoded block (auditable with "
+                        "--verify-checksums)")
     args = p.parse_args(argv)
 
     if args.output and len(args.inputs) > 1 and not args.batch:
@@ -270,6 +277,7 @@ def main(argv=None) -> int:
             rc |= encode_one(path, out, preset=args.preset,
                              block=args.block_samples,
                              hybrid_bitrate=args.hybrid_bitrate,
+                             checksum_bytes=args.checksum_bytes,
                              quiet=args.quiet)
         return rc
 
