@@ -118,3 +118,84 @@ def pack_streams_native(payloads: list[bytes], stride: int) -> np.ndarray | None
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(payloads), out.ctypes.data_as(ctypes.c_void_p), stride)
     return out
+
+
+# ---------------------------------------------------------------------------
+# native lossless encode (csrc/wvpk_encode.c)
+# ---------------------------------------------------------------------------
+
+_ENC_SRC = os.path.join(os.path.dirname(__file__), "csrc", "wvpk_encode.c")
+_enc_lib = None
+_enc_tried = False
+
+PSTATE_INTS = 21  # term,delta,wa,wb,m,sa[8],sb[8] per pass
+
+
+def _build_encode() -> ctypes.CDLL | None:
+    src = open(_ENC_SRC, "rb").read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.environ.get("WVPK_NATIVE_CACHE",
+                           os.path.expanduser("~/.cache/wvpk-native"))
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"wvpk_encode_{tag}.so")
+    if not os.path.exists(so_path):
+        cc = os.environ.get("CC", "cc")
+        tmp = so_path + f".tmp{os.getpid()}"
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _ENC_SRC],
+                check=True, capture_output=True)
+            os.replace(tmp, so_path)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.wvpk_encode_lossless.restype = ctypes.c_long
+    lib.wvpk_encode_lossless.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64)]
+    return lib
+
+
+def get_encode_lib() -> ctypes.CDLL | None:
+    global _enc_lib, _enc_tried
+    if not _enc_tried:
+        _enc_tried = True
+        if os.environ.get("WVPK_NO_NATIVE"):
+            _enc_lib = None
+        else:
+            _enc_lib = _build_encode()
+    return _enc_lib
+
+
+def encode_lossless_native(targ: np.ndarray, mono: bool,
+                           pstate: np.ndarray, medians: np.ndarray):
+    """Run the C block encoder. targ (n, ch) int32 joint-domain targets;
+    pstate (npasses, 21) int32 and medians (6,) int32 are mutated in
+    place on success. Returns (payload_bytes, decoded (n, ch) int32) or
+    None (unavailable / degenerate regime -> Python fallback)."""
+    lib = get_encode_lib()
+    if lib is None:
+        return None
+    n, ch = targ.shape
+    targ = np.ascontiguousarray(targ, np.int32)
+    decoded = np.zeros((n, ch), np.int32)
+    cap = n * ch * 24 + 4096
+    buf = ctypes.create_string_buffer(cap)  # zero-initialized
+    bitlen = ctypes.c_int64(0)
+    zacc = ctypes.c_int64(0)                # reset at block start
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.wvpk_encode_lossless(
+        targ.ctypes.data_as(i32p), n, int(mono), pstate.shape[0],
+        pstate.ctypes.data_as(i32p), medians.ctypes.data_as(i32p),
+        ctypes.byref(zacc), decoded.ctypes.data_as(i32p),
+        buf, cap, ctypes.byref(bitlen))
+    if rc != 0:
+        return None
+    nbytes = (int(bitlen.value) + 7) // 8
+    return buf.raw[:nbytes], decoded

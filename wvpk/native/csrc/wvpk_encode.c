@@ -1,0 +1,561 @@
+/* Native lossless encode hot path.
+ *
+ * Bit-identical port of the pure-Python block encoder's per-sample
+ * machinery (wvpk/testgen/encoder.py: invert_*, reconstruct_*,
+ * EntropyEncoder.encode_word, BitWriter) for non-hybrid blocks, which
+ * covers the public encode() surface's lossless path. The entropy
+ * state machine mirrors the reference decoder's get_words
+ * (WordsUtils.cs:272-511) run in reverse; the decorrelation inversion /
+ * reconstruction mirror decorr_stereo_pass(_cont) / decorr_mono_pass
+ * (UnpackUtils.cs:688-1240) with exact C# int32 wrap semantics.
+ *
+ * Degenerate regimes (wrapped/negative medians, non-positive interval
+ * widths) return an error so the caller falls back to the Python
+ * encoder, whose bignum arithmetic matches the scalar oracle.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define MAX_TERM   8
+#define LIMIT_ONES 16
+#define DIV0 128
+#define DIV1 64
+#define DIV2 32
+
+typedef struct {
+    int32_t term, delta, wa, wb, m;
+    int32_t sa[8], sb[8];
+} encpass;
+
+#define PSTATE_INTS 21  /* term,delta,wa,wb,m,sa[8],sb[8] */
+#define MAX_PASSES 16
+
+/* ---------------- decorrelation ---------------- */
+
+static inline int64_t pred64(int32_t w, int32_t sam)
+{
+    return ((int64_t)w * sam + 512) >> 10;
+}
+
+static inline int32_t upd(int32_t w, int32_t delta, int32_t sam, int32_t v)
+{
+    if (sam != 0 && v != 0)
+        w += ((sam ^ v) >= 0) ? delta : -delta;
+    return w;
+}
+
+static inline int32_t upd_clamp(int32_t w, int32_t delta, int32_t sam,
+                                int32_t v)
+{
+    if ((sam ^ v) < 0) {
+        if (sam != 0 && v != 0) {
+            w -= delta;
+            if (w < -1024)
+                w = (w < 0) ? -1024 : 1024;
+        }
+    } else {
+        if (sam != 0 && v != 0) {
+            w += delta;
+            if (w > 1024)
+                w = (w < 0) ? -1024 : 1024;
+        }
+    }
+    return w;
+}
+
+static inline void sams(const encpass *p, int32_t va, int32_t vb,
+                        int32_t *a, int32_t *b)
+{
+    int32_t t = p->term;
+    if (t == 17) {
+        *a = (int32_t)(2 * (int64_t)p->sa[0] - p->sa[1]);
+        *b = (int32_t)(2 * (int64_t)p->sb[0] - p->sb[1]);
+    } else if (t == 18) {
+        *a = (int32_t)((3 * (int64_t)p->sa[0] - p->sa[1]) >> 1);
+        *b = (int32_t)((3 * (int64_t)p->sb[0] - p->sb[1]) >> 1);
+    } else if (t == -1) {
+        *a = p->sa[0]; *b = va;
+    } else if (t == -2) {
+        *a = vb; *b = p->sb[0];
+    } else if (t == -3) {
+        *a = p->sa[0]; *b = p->sb[0];
+    } else {
+        int m = p->m & (MAX_TERM - 1);
+        *a = p->sa[m]; *b = p->sb[m];
+    }
+}
+
+static void invert_stereo(const encpass *ps, int np, int32_t xa, int32_t xb,
+                          int32_t *ra, int32_t *rb)
+{
+    int32_t va = xa, vb = xb;
+    for (int i = np - 1; i >= 0; i--) {
+        int32_t sa_, sb_;
+        sams(&ps[i], va, vb, &sa_, &sb_);
+        va = (int32_t)((int64_t)va - pred64(ps[i].wa, sa_));
+        vb = (int32_t)((int64_t)vb - pred64(ps[i].wb, sb_));
+    }
+    *ra = va; *rb = vb;
+}
+
+static void reconstruct_stereo(encpass *ps, int np, int32_t ra, int32_t rb,
+                               int32_t *out_a, int32_t *out_b)
+{
+    int32_t va = ra, vb = rb, oa = ra, ob = rb;
+    for (int i = 0; i < np; i++) {
+        encpass *p = &ps[i];
+        int32_t t = p->term;
+        if (t == 17 || t == 18) {
+            int32_t sa_, sb_;
+            sams(p, 0, 0, &sa_, &sb_);
+            oa = (int32_t)(pred64(p->wa, sa_) + va);
+            p->wa = upd(p->wa, p->delta, sa_, va);
+            ob = (int32_t)(pred64(p->wb, sb_) + vb);
+            p->wb = upd(p->wb, p->delta, sb_, vb);
+            p->sa[1] = p->sa[0]; p->sa[0] = oa;
+            p->sb[1] = p->sb[0]; p->sb[0] = ob;
+        } else if (t == -1) {
+            oa = (int32_t)(pred64(p->wa, p->sa[0]) + va);
+            p->wa = upd_clamp(p->wa, p->delta, p->sa[0], va);
+            ob = (int32_t)(pred64(p->wb, oa) + vb);
+            p->wb = upd_clamp(p->wb, p->delta, oa, vb);
+            p->sa[0] = ob;
+        } else if (t == -2) {
+            ob = (int32_t)(pred64(p->wb, p->sb[0]) + vb);
+            p->wb = upd_clamp(p->wb, p->delta, p->sb[0], vb);
+            oa = (int32_t)(pred64(p->wa, ob) + va);
+            p->wa = upd_clamp(p->wa, p->delta, ob, va);
+            p->sb[0] = oa;
+        } else if (t == -3) {
+            oa = (int32_t)(pred64(p->wa, p->sa[0]) + va);
+            p->wa = upd_clamp(p->wa, p->delta, p->sa[0], va);
+            ob = (int32_t)(pred64(p->wb, p->sb[0]) + vb);
+            p->wb = upd_clamp(p->wb, p->delta, p->sb[0], vb);
+            p->sb[0] = oa;
+            p->sa[0] = ob;
+        } else {
+            int m = p->m & (MAX_TERM - 1);
+            int k = (p->m + t) & (MAX_TERM - 1);
+            int32_t sa_ = p->sa[m], sb_ = p->sb[m];
+            oa = (int32_t)(pred64(p->wa, sa_) + va);
+            p->wa = upd(p->wa, p->delta, sa_, va);
+            p->sa[k] = oa;
+            ob = (int32_t)(pred64(p->wb, sb_) + vb);
+            p->wb = upd(p->wb, p->delta, sb_, vb);
+            p->sb[k] = ob;
+        }
+        va = oa; vb = ob;
+    }
+    for (int i = 0; i < np; i++)
+        if (ps[i].term >= 1 && ps[i].term <= MAX_TERM)
+            ps[i].m++;
+    *out_a = va; *out_b = vb;
+}
+
+static int32_t invert_mono(const encpass *ps, int np, int32_t xa)
+{
+    int32_t va = xa;
+    for (int i = np - 1; i >= 0; i--) {
+        int32_t sa_, sb_;
+        sams(&ps[i], va, 0, &sa_, &sb_);
+        va = (int32_t)((int64_t)va - pred64(ps[i].wa, sa_));
+    }
+    return va;
+}
+
+static int32_t reconstruct_mono(encpass *ps, int np, int32_t ra)
+{
+    int32_t va = ra, oa = ra;
+    for (int i = 0; i < np; i++) {
+        encpass *p = &ps[i];
+        int32_t t = p->term;
+        if (t == 17 || t == 18) {
+            int32_t sa_, sb_;
+            sams(p, 0, 0, &sa_, &sb_);
+            oa = (int32_t)(pred64(p->wa, sa_) + va);
+            p->wa = upd(p->wa, p->delta, sa_, va);
+            p->sa[1] = p->sa[0]; p->sa[0] = oa;
+        } else {
+            int m = p->m & (MAX_TERM - 1);
+            int k = (p->m + t) & (MAX_TERM - 1);
+            int32_t sa_ = p->sa[m];
+            oa = (int32_t)(pred64(p->wa, sa_) + va);
+            p->wa = upd(p->wa, p->delta, sa_, va);
+            p->sa[k] = oa;
+        }
+        va = oa;
+    }
+    for (int i = 0; i < np; i++)
+        if (ps[i].term >= 1 && ps[i].term <= MAX_TERM)
+            ps[i].m++;
+    return va;
+}
+
+/* ---------------- bit writer (LSB-first) ---------------- */
+
+typedef struct {
+    uint8_t *buf;
+    int64_t cap_bits;
+    int64_t pos;
+    int err;
+} bw_t;
+
+static inline void putbit(bw_t *b, int v)
+{
+    if (b->pos >= b->cap_bits) { b->err = 1; return; }
+    if (v)
+        b->buf[b->pos >> 3] |= (uint8_t)(1u << (b->pos & 7));
+    b->pos++;
+}
+
+static void putbits(bw_t *b, uint64_t v, int n)
+{
+    for (int k = 0; k < n; k++)
+        putbit(b, (int)((v >> k) & 1));
+}
+
+static void put_unary_ones(bw_t *b, int64_t n)
+{
+    while (n-- > 0)
+        putbit(b, 1);
+    putbit(b, 0);
+}
+
+static inline int bitlen64(uint64_t v)
+{
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+static void put_gamma(bw_t *b, uint64_t v)
+{
+    if (v < 2) {
+        put_unary_ones(b, (int64_t)v);
+    } else {
+        int c = bitlen64(v);
+        put_unary_ones(b, c);
+        putbits(b, v, c - 1);   /* top bit implicit */
+    }
+}
+
+/* ---------------- entropy encoder state ---------------- */
+
+typedef struct {
+    int32_t med[2][3];
+    int64_t zeros_acc;
+    int clear;
+    int64_t csamples;
+    int mono;
+    /* deferred word: unary count + up to ~34 payload bits */
+    int pend_valid;
+    int64_t pend_oc_eff;
+    uint64_t pend_bits;
+    int pend_nbits;
+    int err;                    /* degenerate regime -> fallback */
+} ent_t;
+
+static void flush_pend(ent_t *e, bw_t *b, int bnext)
+{
+    if (!e->pend_valid)
+        return;
+    int64_t raw = 2 * e->pend_oc_eff + bnext;
+    if (raw < LIMIT_ONES) {
+        put_unary_ones(b, raw);
+    } else {
+        put_unary_ones(b, LIMIT_ONES);
+        put_gamma(b, (uint64_t)(raw - LIMIT_ONES));
+    }
+    putbits(b, e->pend_bits, e->pend_nbits);
+    e->pend_valid = 0;
+    e->pend_bits = 0;
+    e->pend_nbits = 0;
+}
+
+static inline int medians_tiny(const ent_t *e)
+{
+    return ((e->med[0][0] & ~1) == 0) && ((e->med[1][0] & ~1) == 0);
+}
+
+/* [low, high] interval for ones_count + 5/7-2/7 median adaptation
+ * (WordsUtils.cs:433-475). Returns 0 ok, -1 degenerate. */
+static int median_interval(ent_t *e, int ch, int64_t oc,
+                           int64_t *low_out, int64_t *high_out)
+{
+    int32_t m0 = e->med[ch][0], m1 = e->med[ch][1], m2 = e->med[ch][2];
+    if (m0 < 0 || m1 < 0 || m2 < 0)
+        return -1;              /* wrapped medians: Python handles */
+    int64_t g0 = (m0 >> 4) + 1, g1 = (m1 >> 4) + 1, g2 = (m2 >> 4) + 1;
+    int64_t low, high;
+    if (oc == 0) {
+        low = 0;
+        high = g0 - 1;
+        e->med[ch][0] = (int32_t)(m0 - (((int64_t)m0 + (DIV0 - 2)) >> 7) * 2);
+    } else {
+        low = g0;
+        e->med[ch][0] = (int32_t)(m0 + (((int64_t)m0 + DIV0) >> 7) * 5);
+        if (oc == 1) {
+            high = low + g1 - 1;
+            e->med[ch][1] = (int32_t)(m1 - (((int64_t)m1 + (DIV1 - 2)) >> 6) * 2);
+        } else {
+            low += g1;
+            e->med[ch][1] = (int32_t)(m1 + (((int64_t)m1 + DIV1) >> 6) * 5);
+            if (oc == 2) {
+                high = low + g2 - 1;
+                e->med[ch][2] = (int32_t)(m2 - (((int64_t)m2 + (DIV2 - 2)) >> 5) * 2);
+            } else {
+                low += (oc - 2) * g2;
+                high = low + g2 - 1;
+                e->med[ch][2] = (int32_t)(m2 + (((int64_t)m2 + DIV2) >> 5) * 5);
+            }
+        }
+    }
+    *low_out = low;
+    *high_out = high;
+    return 0;
+}
+
+/* encode one residual; zrun = precomputed zero-run length (only
+ * consulted when a run could start here, pass -1 if not computed: the
+ * caller must supply it whenever clear && medians_tiny && zeros_acc==0).
+ * Returns the reconstructed residual. */
+static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
+{
+    int ch = e->mono ? 0 : (int)(e->csamples & 1);
+
+    if (e->clear && medians_tiny(e)) {
+        if (e->zeros_acc > 0) {
+            e->zeros_acc--;
+            if (e->zeros_acc > 0) {
+                /* mid-run zero (slow_level stays 0 for lossless) */
+                e->csamples++;
+                return 0;
+            }
+            /* fell through: code this word normally */
+        } else {
+            if (e->pend_valid) { e->err = 1; return 0; }
+            if (zrun < 0) { e->err = 1; return 0; }
+            put_gamma(b, (uint64_t)zrun);
+            if (zrun > 0) {
+                e->zeros_acc = zrun;
+                for (int c2 = 0; c2 < 2; c2++)
+                    e->med[c2][0] = e->med[c2][1] = e->med[c2][2] = 0;
+                e->csamples++;
+                return 0;
+            }
+        }
+    }
+
+    int sign = r < 0;
+    int64_t av = sign ? ~(int64_t)r : (int64_t)r;
+
+    int32_t m0 = e->med[ch][0], m1 = e->med[ch][1], m2 = e->med[ch][2];
+    if (m0 < 0 || m1 < 0 || m2 < 0) { e->err = 1; return 0; }
+    int64_t g0 = (m0 >> 4) + 1, g1 = (m1 >> 4) + 1, g2 = (m2 >> 4) + 1;
+    int64_t oc;
+    if (av < g0)
+        oc = 0;
+    else if (av < g0 + g1)
+        oc = 1;
+    else
+        oc = 2 + (av - g0 - g1) / g2;
+
+    int h1_old, emit_unary;
+    if (e->clear) {
+        h1_old = 0;
+        emit_unary = 1;
+        e->clear = 0;
+    } else if (oc == 0) {
+        flush_pend(e, b, 0);
+        h1_old = 0;
+        emit_unary = 0;
+        e->clear = 1;
+    } else {
+        flush_pend(e, b, 1);
+        h1_old = 1;
+        emit_unary = 1;
+    }
+
+    int64_t low, high;
+    if (median_interval(e, ch, oc, &low, &high) != 0) {
+        e->err = 1;
+        return 0;
+    }
+
+    /* lossless tail: read_code inverse (WordsUtils.cs:546-570) */
+    uint64_t bits = 0;
+    int nbits = 0;
+    int64_t code = av - low;
+    int64_t maxcode = high - low;
+    if (maxcode < 0 || code < 0) { e->err = 1; return 0; }
+    int bitcount = bitlen64((uint64_t)maxcode);
+    if (bitcount) {
+        int64_t extras = ((int64_t)1 << bitcount) - maxcode - 1;
+        if (code < extras) {
+            bits = (uint64_t)code;
+            nbits = bitcount - 1;
+        } else {
+            int64_t cc = code + extras;
+            bits = (uint64_t)(cc >> 1);
+            nbits = bitcount - 1;
+            bits |= (uint64_t)(cc & 1) << nbits;
+            nbits += 1;
+        }
+    }
+    bits |= (uint64_t)(sign ? 1 : 0) << nbits;
+    nbits += 1;
+    if (nbits > 63) { e->err = 1; return 0; }
+
+    if (emit_unary) {
+        e->pend_valid = 1;
+        e->pend_oc_eff = oc - (h1_old ? 1 : 0);
+        e->pend_bits = bits;
+        e->pend_nbits = nbits;
+    } else {
+        putbits(b, bits, nbits);
+    }
+
+    e->csamples++;
+    int64_t mid = av;
+    return (int32_t)(sign ? ~mid : mid);
+}
+
+/* ---------------- zero-run lookahead ---------------- */
+
+static int64_t count_zero_run_mono(const encpass *ps, int np,
+                                   const int32_t *targ, int64_t n, int64_t t0)
+{
+    encpass sim[MAX_PASSES];
+    memcpy(sim, ps, sizeof(encpass) * np);
+    int64_t z = 0;
+    for (int64_t t = t0; t < n; t++) {
+        if (invert_mono(sim, np, targ[t]) != 0)
+            break;
+        reconstruct_mono(sim, np, 0);
+        z++;
+    }
+    return z;
+}
+
+static int64_t count_zero_run_stereo(const encpass *ps, int np,
+                                     const int32_t *targ, int64_t n,
+                                     int64_t t0, int ch0)
+{
+    encpass sim[MAX_PASSES];
+    memcpy(sim, ps, sizeof(encpass) * np);
+    int64_t z = 0, t = t0;
+    int first = 1;
+    while (t < n) {
+        int32_t ra, rb, oa, ob;
+        invert_stereo(sim, np, targ[2 * t], targ[2 * t + 1], &ra, &rb);
+        if (first && ch0 == 1) {
+            if (rb != 0)
+                break;
+            z++;
+            reconstruct_stereo(sim, np, 0, 0, &oa, &ob);
+            t++;
+            first = 0;
+            continue;
+        }
+        if (ra != 0)
+            break;
+        z++;
+        if (rb != 0)
+            break;
+        z++;
+        reconstruct_stereo(sim, np, 0, 0, &oa, &ob);
+        t++;
+        first = 0;
+    }
+    return z;
+}
+
+/* ---------------- block entry point ---------------- */
+
+/* targ: (n, ch) int32 joint-domain targets, row-major.
+ * pstate: (npasses, 21) int32 in/out.
+ * medians: 6 int32 in/out (ch0 m0..m2, ch1 m0..m2).
+ * zeros_acc_io: 1 int64 in/out.
+ * decoded: (n, ch) int32 out.
+ * bits_buf: zero-initialized output buffer, cap_bytes long.
+ * Returns bit length >= 0, or -1 (overflow / degenerate: caller falls
+ * back to the Python encoder). */
+long wvpk_encode_lossless(const int32_t *targ, long n, int mono,
+                          int npasses, int32_t *pstate, int32_t *medians,
+                          int64_t *zeros_acc_io, int32_t *decoded,
+                          uint8_t *bits_buf, long cap_bytes,
+                          int64_t *bitlen_out)
+{
+    if (npasses > MAX_PASSES)
+        return -1;
+    encpass ps[MAX_PASSES];
+    for (int i = 0; i < npasses; i++) {
+        const int32_t *s = pstate + i * PSTATE_INTS;
+        ps[i].term = s[0]; ps[i].delta = s[1];
+        ps[i].wa = s[2]; ps[i].wb = s[3]; ps[i].m = s[4];
+        memcpy(ps[i].sa, s + 5, 8 * sizeof(int32_t));
+        memcpy(ps[i].sb, s + 13, 8 * sizeof(int32_t));
+    }
+
+    ent_t e;
+    memset(&e, 0, sizeof(e));
+    memcpy(e.med[0], medians, 3 * sizeof(int32_t));
+    memcpy(e.med[1], medians + 3, 3 * sizeof(int32_t));
+    e.zeros_acc = *zeros_acc_io;
+    e.clear = 1;                /* block start: holding cleared */
+    e.mono = mono;
+
+    bw_t b;
+    b.buf = bits_buf;
+    b.cap_bits = (int64_t)cap_bytes * 8;
+    b.pos = 0;
+    b.err = 0;
+
+    if (mono) {
+        for (int64_t t = 0; t < n; t++) {
+            int32_t r = invert_mono(ps, npasses, targ[t]);
+            int64_t zrun = -1;
+            if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
+                zrun = count_zero_run_mono(ps, npasses, targ, n, t);
+            int32_t rhat = encode_word(&e, &b, r, zrun);
+            if (e.err || b.err)
+                return -1;
+            decoded[t] = reconstruct_mono(ps, npasses, rhat);
+        }
+    } else {
+        for (int64_t t = 0; t < n; t++) {
+            int32_t ra, rb, oa, ob;
+            invert_stereo(ps, npasses, targ[2 * t], targ[2 * t + 1],
+                          &ra, &rb);
+            int64_t zrun = -1;
+            if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
+                zrun = count_zero_run_stereo(ps, npasses, targ, n, t, 0);
+            int32_t ra_hat = encode_word(&e, &b, ra, zrun);
+            if (e.err || b.err)
+                return -1;
+            zrun = -1;
+            if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
+                zrun = count_zero_run_stereo(ps, npasses, targ, n, t, 1);
+            int32_t rb_hat = encode_word(&e, &b, rb, zrun);
+            if (e.err || b.err)
+                return -1;
+            reconstruct_stereo(ps, npasses, ra_hat, rb_hat, &oa, &ob);
+            decoded[2 * t] = oa;
+            decoded[2 * t + 1] = ob;
+        }
+    }
+    flush_pend(&e, &b, 0);      /* EntropyEncoder.finish() */
+    if (b.err)
+        return -1;
+
+    for (int i = 0; i < npasses; i++) {
+        int32_t *s = pstate + i * PSTATE_INTS;
+        s[2] = ps[i].wa; s[3] = ps[i].wb; s[4] = ps[i].m;
+        memcpy(s + 5, ps[i].sa, 8 * sizeof(int32_t));
+        memcpy(s + 13, ps[i].sb, 8 * sizeof(int32_t));
+    }
+    memcpy(medians, e.med[0], 3 * sizeof(int32_t));
+    memcpy(medians + 3, e.med[1], 3 * sizeof(int32_t));
+    *zeros_acc_io = e.zeros_acc;
+    *bitlen_out = b.pos;
+    return 0;
+}

@@ -632,7 +632,35 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
 
     decoded_stored = np.zeros_like(targ)
 
-    if mono:
+    # Native fast path (wvpk/native/csrc/wvpk_encode.c): bit-identical C
+    # port of the per-sample loops below for non-hybrid blocks (~50x).
+    # Degenerate regimes (wrapped medians) return None and fall through
+    # to the Python loops, whose bignum arithmetic matches the oracle.
+    native_payload = None
+    if not spec.hybrid and not spec.hybrid_bitrate and len(passes) <= 16:
+        from .. import native as _native
+        pstate = np.zeros((len(passes), _native.PSTATE_INTS), np.int32)
+        for pi, p in enumerate(passes):
+            pstate[pi, :5] = (p.term, p.delta, p.wa, p.wb, p.m)
+            pstate[pi, 5:13] = p.sa
+            pstate[pi, 13:21] = p.sb
+        meds = np.array(list(w.c[0].median) + list(w.c[1].median), np.int32)
+        res = _native.encode_lossless_native(
+            targ.astype(np.int32), mono, pstate, meds)
+        if res is not None:
+            native_payload, dec = res
+            for pi, p in enumerate(passes):
+                p.wa, p.wb, p.m = (int(pstate[pi, 2]), int(pstate[pi, 3]),
+                                   int(pstate[pi, 4]))
+                p.sa = [int(x) for x in pstate[pi, 5:13]]
+                p.sb = [int(x) for x in pstate[pi, 13:21]]
+            w.c[0].median = [int(x) for x in meds[:3]]
+            w.c[1].median = [int(x) for x in meds[3:]]
+            decoded_stored = dec.astype(np.int64)
+
+    if native_payload is not None:
+        pass
+    elif mono:
         t = 0
         while t < n:
             r = invert_mono(passes, int(targ[t, 0]))
@@ -666,11 +694,13 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
             decoded_stored[t, 1] = ob
             t += 1
 
-    enc.finish()
+    if native_payload is None:
+        enc.finish()
     for p in passes:
         _rotate_ring(p, n)
 
-    wv_payload = bw.getvalue()
+    wv_payload = native_payload if native_payload is not None \
+        else bw.getvalue()
 
     # --- wvx stream (int32 wvx mode) ---
     wvx_md = None
