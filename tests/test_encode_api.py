@@ -210,34 +210,37 @@ def test_cli_encode_errors_clean(tmp_path):
 
 def test_native_encoder_byte_identical():
     """The C fast path (wvpk/native/csrc/wvpk_encode.c) must produce
-    byte-identical streams to the pure-Python encoder across the
-    non-hybrid mode matrix (incl. zero-runs, false stereo, deep chains,
-    int32 re-expansion, float)."""
+    byte-identical streams to the pure-Python encoder across the whole
+    PCM mode matrix (zero-runs, false stereo, deep chains, int32
+    re-expansion, float, hybrid incl. bitrate/balance)."""
     import wvpk.native as nv
     from wvpk.testgen.encoder import encode_file
     from wvpk.testgen.fuzzspec import random_pcm, random_spec
     if nv.get_encode_lib() is None:
         pytest.skip("no C compiler available")
-    orig = nv.encode_lossless_native
-    checked = 0
+    orig = nv.encode_block_native
+    hybrids = 0
     try:
-        for seed in range(30):
+        for seed in range(26):
             rng = np.random.default_rng(410000 + seed)
             spec = random_spec(rng)
-            if spec.hybrid or spec.hybrid_bitrate:
-                continue
+            if seed >= 20:  # force hybrid coverage in the fixed pool
+                from dataclasses import replace
+                spec = replace(spec, hybrid=True, hybrid_bitrate=seed & 1,
+                               bitrate=200 + 37 * seed, int32_mode=None,
+                               float_data=False, bytes_stored=2, shift=0)
             n = int(rng.integers(spec.block_samples // 2,
                                  spec.block_samples * 2 + 1))
             pcm = random_pcm(rng, n, spec.nch_data, spec)
-            nv.encode_lossless_native = orig
+            nv.encode_block_native = orig
             a = encode_file(pcm, spec)
-            nv.encode_lossless_native = lambda *args: None
+            nv.encode_block_native = lambda *args: None
             b = encode_file(pcm, spec)
             assert a == b, f"seed {seed}: {spec}"
-            checked += 1
+            hybrids += int(spec.hybrid)
     finally:
-        nv.encode_lossless_native = orig
-    assert checked >= 15
+        nv.encode_block_native = orig
+    assert hybrids >= 6
 
 
 def test_cli_encode_checksum_stamp(tmp_path):

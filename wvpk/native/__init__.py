@@ -152,11 +152,12 @@ def _build_encode() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(so_path)
     except OSError:
         return None
-    lib.wvpk_encode_lossless.restype = ctypes.c_long
-    lib.wvpk_encode_lossless.argtypes = [
+    lib.wvpk_encode_block.restype = ctypes.c_long
+    lib.wvpk_encode_block.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int64)]
     return lib
@@ -173,12 +174,16 @@ def get_encode_lib() -> ctypes.CDLL | None:
     return _enc_lib
 
 
-def encode_lossless_native(targ: np.ndarray, mono: bool,
-                           pstate: np.ndarray, medians: np.ndarray):
-    """Run the C block encoder. targ (n, ch) int32 joint-domain targets;
-    pstate (npasses, 21) int32 and medians (6,) int32 are mutated in
-    place on success. Returns (payload_bytes, decoded (n, ch) int32) or
-    None (unavailable / degenerate regime -> Python fallback)."""
+def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
+                        pstate: np.ndarray, medians: np.ndarray,
+                        wstate: np.ndarray):
+    """Run the C block encoder (lossless AND hybrid). targ (n, ch) int32
+    joint-domain targets; pstate (npasses, 21) int32, medians (6,) int32
+    and wstate (6,) int64 [slow0, slow1, bacc0, bacc1, bdelta0, bdelta1]
+    are mutated in place on success. Returns (payload_bytes, decoded
+    (n, ch) int32) or None (unavailable / degenerate regime -> Python
+    fallback)."""
+    from ..tables import EXP2_NP, LOG2_NP
     lib = get_encode_lib()
     if lib is None:
         return None
@@ -188,13 +193,14 @@ def encode_lossless_native(targ: np.ndarray, mono: bool,
     cap = n * ch * 24 + 4096
     buf = ctypes.create_string_buffer(cap)  # zero-initialized
     bitlen = ctypes.c_int64(0)
-    zacc = ctypes.c_int64(0)                # reset at block start
     i32p = ctypes.POINTER(ctypes.c_int32)
-    rc = lib.wvpk_encode_lossless(
-        targ.ctypes.data_as(i32p), n, int(mono), pstate.shape[0],
-        pstate.ctypes.data_as(i32p), medians.ctypes.data_as(i32p),
-        ctypes.byref(zacc), decoded.ctypes.data_as(i32p),
-        buf, cap, ctypes.byref(bitlen))
+    rc = lib.wvpk_encode_block(
+        targ.ctypes.data_as(i32p), n, int(mono), int(flags),
+        pstate.shape[0], pstate.ctypes.data_as(i32p),
+        medians.ctypes.data_as(i32p),
+        wstate.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        LOG2_NP.ctypes.data_as(i32p), EXP2_NP.ctypes.data_as(i32p),
+        decoded.ctypes.data_as(i32p), buf, cap, ctypes.byref(bitlen))
     if rc != 0:
         return None
     nbytes = (int(bitlen.value) + 7) // 8

@@ -22,6 +22,13 @@
 #define DIV0 128
 #define DIV1 64
 #define DIV2 32
+#define SLS 8
+#define SLO (1 << (SLS - 1))
+
+/* header flags (Defines.cs) */
+#define F_HYBRID        0x8
+#define F_HYBRID_BITRATE 0x200
+#define F_HYBRID_BALANCE 0x400
 
 typedef struct {
     int32_t term, delta, wa, wb, m;
@@ -238,6 +245,41 @@ static void put_gamma(bw_t *b, uint64_t v)
     }
 }
 
+/* ---------------- fixed-point log2 / exp2 (WordsUtils.cs:588-646) ---- */
+
+static inline int nbits8(int64_t v)     /* bit_length for 0..255 */
+{
+    return v ? 32 - __builtin_clz((uint32_t)v) : 0;
+}
+
+static int64_t mylog2_c(int64_t av, const int32_t *log2tab)
+{
+    av += av >> 9;
+    int dbits;
+    if (av < 256) {
+        dbits = nbits8(av);
+        return ((int64_t)dbits << 8) + log2tab[(av << (9 - dbits)) & 0xFF];
+    }
+    if (av < ((int64_t)1 << 16))
+        dbits = nbits8(av >> 8) + 8;
+    else if (av < ((int64_t)1 << 24))
+        dbits = nbits8(av >> 16) + 16;
+    else
+        dbits = nbits8((av >> 24) & 0xFF) + 24;
+    return ((int64_t)dbits << 8) + log2tab[(av >> (dbits - 9)) & 0xFF];
+}
+
+static int32_t exp2s_c(int64_t log, const int32_t *exp2tab)
+{
+    if (log < 0)
+        return (int32_t)(-(int64_t)exp2s_c(-log, exp2tab));
+    int64_t value = exp2tab[log & 0xFF] | 0x100;
+    log >>= 8;
+    if (log <= 9)
+        return (int32_t)(value >> (9 - log));
+    return (int32_t)(value << (log - 9));   /* i32 wrap, like Python */
+}
+
 /* ---------------- entropy encoder state ---------------- */
 
 typedef struct {
@@ -246,6 +288,14 @@ typedef struct {
     int clear;
     int64_t csamples;
     int mono;
+    int flags;
+    /* hybrid state (WordsUtils.cs:195-261); int64 mirrors Python's
+     * unbounded ints (values stay small except bitrate_acc, a C# long) */
+    int64_t slow[2];
+    int64_t bitrate_acc[2];
+    int64_t bitrate_delta[2];
+    int64_t error_limit[2];
+    const int32_t *log2tab, *exp2tab;
     /* deferred word: unary count + up to ~34 payload bits */
     int pend_valid;
     int64_t pend_oc_eff;
@@ -253,6 +303,58 @@ typedef struct {
     int pend_nbits;
     int err;                    /* degenerate regime -> fallback */
 } ent_t;
+
+static void update_error_limit(ent_t *e)
+{
+    e->bitrate_acc[0] += e->bitrate_delta[0];   /* i64 wrap natural */
+    int64_t bitrate_0 = (int32_t)(e->bitrate_acc[0] >> 16);
+    if (e->mono) {
+        if (e->flags & F_HYBRID_BITRATE) {
+            int64_t slow_log_0 = (e->slow[0] + SLO) >> SLS;
+            if (slow_log_0 - bitrate_0 > -0x100)
+                e->error_limit[0] =
+                    exp2s_c(slow_log_0 - bitrate_0 + 0x100, e->exp2tab);
+            else
+                e->error_limit[0] = 0;
+        } else {
+            e->error_limit[0] = exp2s_c(bitrate_0, e->exp2tab);
+        }
+    } else {
+        e->bitrate_acc[1] += e->bitrate_delta[1];
+        int64_t bitrate_1 = (int32_t)(e->bitrate_acc[1] >> 16);
+        if (e->flags & F_HYBRID_BITRATE) {
+            int64_t slow_log_0 = (e->slow[0] + SLO) >> SLS;
+            int64_t slow_log_1 = (e->slow[1] + SLO) >> SLS;
+            if (e->flags & F_HYBRID_BALANCE) {
+                int64_t balance =
+                    (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1;
+                if (balance > bitrate_0) {
+                    bitrate_1 = bitrate_0 * 2;
+                    bitrate_0 = 0;
+                } else if (-balance > bitrate_0) {
+                    bitrate_0 = bitrate_0 * 2;
+                    bitrate_1 = 0;
+                } else {
+                    bitrate_1 = bitrate_0 + balance;
+                    bitrate_0 = bitrate_0 - balance;
+                }
+            }
+            if (slow_log_0 - bitrate_0 > -0x100)
+                e->error_limit[0] =
+                    exp2s_c(slow_log_0 - bitrate_0 + 0x100, e->exp2tab);
+            else
+                e->error_limit[0] = 0;
+            if (slow_log_1 - bitrate_1 > -0x100)
+                e->error_limit[1] =
+                    exp2s_c(slow_log_1 - bitrate_1 + 0x100, e->exp2tab);
+            else
+                e->error_limit[1] = 0;
+        } else {
+            e->error_limit[0] = exp2s_c(bitrate_0, e->exp2tab);
+            e->error_limit[1] = exp2s_c(bitrate_1, e->exp2tab);
+        }
+    }
+}
 
 static void flush_pend(ent_t *e, bw_t *b, int bnext)
 {
@@ -326,7 +428,7 @@ static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
         if (e->zeros_acc > 0) {
             e->zeros_acc--;
             if (e->zeros_acc > 0) {
-                /* mid-run zero (slow_level stays 0 for lossless) */
+                e->slow[ch] -= (e->slow[ch] + SLO) >> SLS;
                 e->csamples++;
                 return 0;
             }
@@ -337,6 +439,7 @@ static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
             put_gamma(b, (uint64_t)zrun);
             if (zrun > 0) {
                 e->zeros_acc = zrun;
+                e->slow[ch] -= (e->slow[ch] + SLO) >> SLS;
                 for (int c2 = 0; c2 < 2; c2++)
                     e->med[c2][0] = e->med[c2][1] = e->med[c2][2] = 0;
                 e->csamples++;
@@ -375,30 +478,55 @@ static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
         emit_unary = 1;
     }
 
+    if ((e->flags & F_HYBRID)
+            && (e->mono || (e->csamples & 1) == 0))
+        update_error_limit(e);
+
     int64_t low, high;
     if (median_interval(e, ch, oc, &low, &high) != 0) {
         e->err = 1;
         return 0;
     }
 
-    /* lossless tail: read_code inverse (WordsUtils.cs:546-570) */
     uint64_t bits = 0;
     int nbits = 0;
-    int64_t code = av - low;
-    int64_t maxcode = high - low;
-    if (maxcode < 0 || code < 0) { e->err = 1; return 0; }
-    int bitcount = bitlen64((uint64_t)maxcode);
-    if (bitcount) {
-        int64_t extras = ((int64_t)1 << bitcount) - maxcode - 1;
-        if (code < extras) {
-            bits = (uint64_t)code;
-            nbits = bitcount - 1;
-        } else {
-            int64_t cc = code + extras;
-            bits = (uint64_t)(cc >> 1);
-            nbits = bitcount - 1;
-            bits |= (uint64_t)(cc & 1) << nbits;
-            nbits += 1;
+    int64_t mid;
+    if (e->error_limit[ch] == 0) {
+        /* lossless tail: read_code inverse (WordsUtils.cs:546-570) */
+        int64_t code = av - low;
+        int64_t maxcode = high - low;
+        if (maxcode < 0 || code < 0) { e->err = 1; return 0; }
+        int bitcount = bitlen64((uint64_t)maxcode);
+        if (bitcount) {
+            int64_t extras = ((int64_t)1 << bitcount) - maxcode - 1;
+            if (code < extras) {
+                bits = (uint64_t)code;
+                nbits = bitcount - 1;
+            } else {
+                int64_t cc = code + extras;
+                bits = (uint64_t)(cc >> 1);
+                nbits = bitcount - 1;
+                bits |= (uint64_t)(cc & 1) << nbits;
+                nbits += 1;
+            }
+        }
+        mid = av;
+    } else {
+        /* hybrid tail: binary search to error_limit
+         * (WordsUtils.cs:486-492) */
+        int64_t err_lim = e->error_limit[ch];
+        if (err_lim < 0 || high < low) { e->err = 1; return 0; }
+        mid = (high + low + 1) >> 1;
+        while (high - low > err_lim) {
+            if (nbits > 62) { e->err = 1; return 0; }
+            if (av >= mid) {
+                bits |= (uint64_t)1 << nbits;
+                low = mid;
+            } else {
+                high = mid - 1;
+            }
+            nbits++;
+            mid = (high + low + 1) >> 1;
         }
     }
     bits |= (uint64_t)(sign ? 1 : 0) << nbits;
@@ -414,8 +542,11 @@ static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
         putbits(b, bits, nbits);
     }
 
+    if (e->flags & F_HYBRID_BITRATE)
+        e->slow[ch] = e->slow[ch] - ((e->slow[ch] + SLO) >> SLS)
+            + mylog2_c(mid, e->log2tab);
+
     e->csamples++;
-    int64_t mid = av;
     return (int32_t)(sign ? ~mid : mid);
 }
 
@@ -472,18 +603,22 @@ static int64_t count_zero_run_stereo(const encpass *ps, int np,
 /* ---------------- block entry point ---------------- */
 
 /* targ: (n, ch) int32 joint-domain targets, row-major.
+ * flags: header flags (hybrid bits matter; mono passed separately).
  * pstate: (npasses, 21) int32 in/out.
  * medians: 6 int32 in/out (ch0 m0..m2, ch1 m0..m2).
- * zeros_acc_io: 1 int64 in/out.
+ * wstate: 6 int64 in/out: slow[2], bitrate_acc[2], bitrate_delta[2]
+ *         (hybrid; zeros for lossless).
+ * log2tab/exp2tab: the format's 256-entry tables (from wvpk/tables.py).
  * decoded: (n, ch) int32 out.
  * bits_buf: zero-initialized output buffer, cap_bytes long.
- * Returns bit length >= 0, or -1 (overflow / degenerate: caller falls
- * back to the Python encoder). */
-long wvpk_encode_lossless(const int32_t *targ, long n, int mono,
-                          int npasses, int32_t *pstate, int32_t *medians,
-                          int64_t *zeros_acc_io, int32_t *decoded,
-                          uint8_t *bits_buf, long cap_bytes,
-                          int64_t *bitlen_out)
+ * Returns 0 ok, or -1 (overflow / degenerate: caller falls back to the
+ * Python encoder). */
+long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
+                       int npasses, int32_t *pstate, int32_t *medians,
+                       int64_t *wstate, const int32_t *log2tab,
+                       const int32_t *exp2tab, int32_t *decoded,
+                       uint8_t *bits_buf, long cap_bytes,
+                       int64_t *bitlen_out)
 {
     if (npasses > MAX_PASSES)
         return -1;
@@ -500,9 +635,14 @@ long wvpk_encode_lossless(const int32_t *targ, long n, int mono,
     memset(&e, 0, sizeof(e));
     memcpy(e.med[0], medians, 3 * sizeof(int32_t));
     memcpy(e.med[1], medians + 3, 3 * sizeof(int32_t));
-    e.zeros_acc = *zeros_acc_io;
-    e.clear = 1;                /* block start: holding cleared */
+    e.clear = 1;                /* block start: holding + zeros cleared */
     e.mono = mono;
+    e.flags = flags;
+    e.slow[0] = wstate[0]; e.slow[1] = wstate[1];
+    e.bitrate_acc[0] = wstate[2]; e.bitrate_acc[1] = wstate[3];
+    e.bitrate_delta[0] = wstate[4]; e.bitrate_delta[1] = wstate[5];
+    e.log2tab = log2tab;
+    e.exp2tab = exp2tab;
 
     bw_t b;
     b.buf = bits_buf;
@@ -555,7 +695,8 @@ long wvpk_encode_lossless(const int32_t *targ, long n, int mono,
     }
     memcpy(medians, e.med[0], 3 * sizeof(int32_t));
     memcpy(medians + 3, e.med[1], 3 * sizeof(int32_t));
-    *zeros_acc_io = e.zeros_acc;
+    wstate[0] = e.slow[0]; wstate[1] = e.slow[1];
+    wstate[2] = e.bitrate_acc[0]; wstate[3] = e.bitrate_acc[1];
     *bitlen_out = b.pos;
     return 0;
 }

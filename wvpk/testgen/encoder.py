@@ -633,11 +633,11 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     decoded_stored = np.zeros_like(targ)
 
     # Native fast path (wvpk/native/csrc/wvpk_encode.c): bit-identical C
-    # port of the per-sample loops below for non-hybrid blocks (~50x).
+    # port of the per-sample loops below, lossless AND hybrid (~50x).
     # Degenerate regimes (wrapped medians) return None and fall through
     # to the Python loops, whose bignum arithmetic matches the oracle.
     native_payload = None
-    if not spec.hybrid and not spec.hybrid_bitrate and len(passes) <= 16:
+    if len(passes) <= 16:
         from .. import native as _native
         pstate = np.zeros((len(passes), _native.PSTATE_INTS), np.int32)
         for pi, p in enumerate(passes):
@@ -645,8 +645,12 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
             pstate[pi, 5:13] = p.sa
             pstate[pi, 13:21] = p.sb
         meds = np.array(list(w.c[0].median) + list(w.c[1].median), np.int32)
-        res = _native.encode_lossless_native(
-            targ.astype(np.int32), mono, pstate, meds)
+        wstate = np.array([w.c[0].slow_level, w.c[1].slow_level,
+                           w.bitrate_acc[0], w.bitrate_acc[1],
+                           w.bitrate_delta[0], w.bitrate_delta[1]],
+                          np.int64)
+        res = _native.encode_block_native(
+            targ.astype(np.int32), mono, flags, pstate, meds, wstate)
         if res is not None:
             native_payload, dec = res
             for pi, p in enumerate(passes):
@@ -656,6 +660,9 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
                 p.sb = [int(x) for x in pstate[pi, 13:21]]
             w.c[0].median = [int(x) for x in meds[:3]]
             w.c[1].median = [int(x) for x in meds[3:]]
+            w.c[0].slow_level = int(wstate[0])
+            w.c[1].slow_level = int(wstate[1])
+            w.bitrate_acc = [int(wstate[2]), int(wstate[3])]
             decoded_stored = dec.astype(np.int64)
 
     if native_payload is not None:
