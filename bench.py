@@ -257,6 +257,18 @@ def main():
     else:
         hw_sweep_ok, sweep_blocks = None, 0
 
+    # host-side encode rate (native C path; no device involvement)
+    from wvpk.encode import encode as _encode
+    rng = np.random.default_rng(7)
+    tgrid = np.arange(44100 * 4)
+    esig = 8000 * np.sin(2 * np.pi * 440 * tgrid / 44100) \
+        + rng.normal(0, 300, tgrid.size)
+    epcm = np.clip(np.round(np.stack([esig, esig * 0.7], 1)),
+                   -32768, 32767).astype(np.int64)
+    t_enc = time.perf_counter()
+    _encode(epcm, md5=False)
+    enc_rt = 4.0 / (time.perf_counter() - t_enc)
+
     msamples = total_samples / best / 1e6
     realtime = (total_samples / 44100) / best
     print(json.dumps({
@@ -272,6 +284,7 @@ def main():
         "float_msamples": flt,
         "dsd_fast_realtime_x": dsd_fast,
         "dsd_high_realtime_x": dsd_high,
+        "encode_realtime_x": round(enc_rt, 1),
         "hw_sweep_ok": hw_sweep_ok,
         "hw_sweep_blocks": sweep_blocks,
         "corpus_samples": total_samples,
