@@ -80,9 +80,17 @@ def test_odd_block_sizes_mixed_bucket():
 def test_nonstandard_sample_rate_metadata():
     pcm = noise(200, 2, 800, 9)
     data = encode_file(pcm, EncodeSpec(block_samples=200, sample_rate=12345))
-    # srate index 0xF in flags; without ID_SAMPLE_RATE metadata the API
-    # reports the 44100 default (reference WavPackUtils.cs:82-88)
+    # the encoder emits ID_SAMPLE_RATE for non-table rates; the decoder
+    # honors it (UnpackUtils.cs:461-472)
     wpc = api.WavpackOpenFileInput(data)
+    assert api.WavpackGetSampleRate(wpc) == 12345
+
+    # srate index 0xF in flags WITHOUT ID_SAMPLE_RATE metadata falls
+    # back to the 44100 default (reference WavPackUtils.cs:82-88)
+    data = bytearray(encode_file(pcm, EncodeSpec(block_samples=200)))
+    flags = int.from_bytes(data[24:28], "little") | (0xF << 23)
+    data[24:28] = flags.to_bytes(4, "little")
+    wpc = api.WavpackOpenFileInput(bytes(data))
     assert api.WavpackGetSampleRate(wpc) == 44100
 
 
