@@ -243,6 +243,44 @@ def test_native_encoder_byte_identical():
     assert hybrids >= 6
 
 
+def test_native_encoder_rare_paths():
+    """Crafted stress for the C encoder's rare arms: LIMIT_ONES gamma
+    escape (tiny medians + huge residuals), long zero-runs, run churn
+    with h0 chains, hybrid with spiky silence. Byte-identity + CRC."""
+    import wvpk.native as nv
+    from wvpk.testgen.encoder import EncodeSpec, encode_file
+    if nv.get_encode_lib() is None:
+        pytest.skip("no C compiler available")
+    orig = nv.encode_block_native
+    rng = np.random.default_rng(1)
+
+    def both(pcm, spec):
+        try:
+            nv.encode_block_native = orig
+            a = encode_file(pcm, spec)
+            nv.encode_block_native = lambda *args: None
+            b = encode_file(pcm, spec)
+        finally:
+            nv.encode_block_native = orig
+        assert a == b
+        oracle_decode(a)    # asserts crc/mute clean
+
+    both(rng.integers(-30000, 30000, (600, 2)).astype(np.int64),
+         EncodeSpec(block_samples=300, terms=(2,), deltas=(0,),
+                    initial_medians=((3, 3, 3), (3, 3, 3))))
+    pcm = np.zeros((12000, 2), np.int64)
+    pcm[11000:] = rng.integers(-500, 500, (1000, 2))
+    both(pcm, EncodeSpec(block_samples=12000, joint=True))
+    both(np.where(rng.random((3000, 2)) < 0.8, 0,
+                  rng.integers(-4, 4, (3000, 2))).astype(np.int64),
+         EncodeSpec(block_samples=1000, terms=(18, 17), deltas=(2, 2)))
+    pcm = np.zeros((5000, 1), np.int64)
+    pcm[::97] = 20000
+    both(pcm, EncodeSpec(block_samples=1000, mono=True, terms=(17,),
+                         deltas=(2,), hybrid=True, bitrate=300,
+                         initial_medians=((1, 1, 1), (0, 0, 0))))
+
+
 def test_cli_encode_checksum_stamp(tmp_path):
     from wvpk.cli import main
     pcm = sig(900, 2, seed=16)
