@@ -1,0 +1,143 @@
+"""Device (TPU) lossless encoder: kernels + block assembly + public API.
+
+Validation strategy: (a) decorr_invert is the exact inverse of the
+device decode kernel; (b) device-encoded streams decode bit-exactly on
+BOTH decoder paths (scalar oracle + device engine) and lossless
+roundtrip is the identity; (c) a single-block file is byte-identical to
+the host encoder (per-block seeding coincides there).
+"""
+
+import numpy as np
+import pytest
+
+from wvpk.container import parse_blocks
+from wvpk.encode import encode_device
+from wvpk.engine import decode_states
+from wvpk.engine.device_encoder import encode_blocks_device
+from wvpk.ref import decode_block
+from wvpk.testgen.encoder import EncodeSpec, encode_file
+
+TERMPOOL = [1, 2, 3, 4, 5, 6, 7, 8, 17, 18]
+
+
+def oracle_roundtrip(data, pcm, false_stereo=False, lossless=True):
+    outs = []
+    blocks = parse_blocks(data)
+    for b in blocks:
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        outs.append(r.samples)
+    got = np.concatenate(outs)
+    if lossless:
+        src = pcm if not false_stereo else np.repeat(pcm, 2, 1)
+        np.testing.assert_array_equal(got, src)
+    # device decode must agree block-for-block
+    dev = decode_states([b.state for b in blocks])
+    for d, o in zip(dev, outs):
+        np.testing.assert_array_equal(d.samples, o)
+    return got
+
+
+def test_invert_is_decode_inverse():
+    from wvpk.ops.decorr import decorr_decode
+    from wvpk.ops.encode_kernels import decorr_invert
+    rng = np.random.default_rng(0)
+    for mono in (False, True):
+        L, T, C = 4, 150, 1 if mono else 2
+        terms = np.zeros((L, 16), np.int32)
+        deltas = np.zeros((L, 16), np.int32)
+        nt = rng.integers(0, 17, L).astype(np.int32)
+        for i in range(L):
+            terms[i, :nt[i]] = rng.choice(TERMPOOL, nt[i])
+            if not mono and nt[i] and rng.random() < 0.5:
+                terms[i, 0] = rng.choice([-1, -2, -3])
+            deltas[i, :nt[i]] = rng.integers(0, 8, nt[i])
+        targ = rng.integers(-60000, 60000, (T, L, C)).astype(np.int32)
+        res = np.asarray(decorr_invert(targ, terms, deltas, nt, mono=mono))
+        z = np.zeros((L, 16), np.int32)
+        h = np.zeros((L, 16, 8), np.int64)
+        back = np.asarray(decorr_decode(res, terms, deltas, z, z, h, h,
+                                        nt, mono=mono))
+        np.testing.assert_array_equal(back, targ)
+
+
+def sig(n, ch, scale=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    return np.round(scale * np.sin(2 * np.pi * t / 89.0)
+                    + rng.normal(0, scale / 30, (n, ch))).astype(np.int64)
+
+
+def test_multiblock_identity_and_device_decode():
+    pcm = sig(3000, 2, seed=1)
+    spec = EncodeSpec(block_samples=700, joint=True, terms=(18, 17, 2),
+                      deltas=(2, 2, 2))
+    oracle_roundtrip(b"".join(encode_blocks_device(pcm, spec)), pcm)
+
+
+def test_single_block_byte_identical_to_host():
+    pcm = sig(800, 2, seed=2)
+    spec = EncodeSpec(block_samples=800, joint=True, terms=(18, 17, 2),
+                      deltas=(2, 2, 2), md5=True)
+    assert encode_blocks_device(pcm, spec)[0] == encode_file(pcm, spec)
+
+
+@pytest.mark.parametrize("case", ["mono", "nojoint", "neg", "deep",
+                                  "shift24", "zeros32", "silence", "spiky"])
+def test_mode_matrix(case):
+    kw = dict(block_samples=400, joint=True, terms=(18, 17, 2),
+              deltas=(2, 2, 2))
+    pcm = sig(1100, 2, seed=hash(case) % 1000)
+    if case == "mono":
+        kw.update(mono=True, joint=False)
+        pcm = pcm[:, :1]
+    elif case == "nojoint":
+        kw.update(joint=False)
+    elif case == "neg":
+        kw.update(terms=(-2, 17, 3), deltas=(1, 2, 2))
+    elif case == "deep":
+        kw.update(terms=(18, 18, 17, 17, 3, 2, 5, 1, 2, 18, 17, 2),
+                  deltas=(2,) * 12)
+    elif case == "shift24":
+        kw.update(bytes_stored=3, shift=3)
+        pcm = (pcm * 40) << 3
+    elif case == "zeros32":
+        kw.update(bytes_stored=4, int32_mode="zeros", int32_zeros=5)
+        pcm = pcm << 5
+    elif case == "silence":
+        pcm[100:900] = 0
+    elif case == "spiky":
+        pcm[:] = 0
+        pcm[::61] = 9000
+    spec = EncodeSpec(**kw)
+    oracle_roundtrip(b"".join(encode_blocks_device(pcm, spec)), pcm)
+
+
+def test_correlated_channels_mag_and_odd_payload():
+    """Regressions: (a) the header MAG field must come from the
+    pre-joint stored values (strongly correlated channels make the joint
+    difference much smaller — a joint-domain MAG trips the decoder's
+    mute limit); (b) odd-length payloads are padded by mkmeta with
+    ID_ODD_SIZE, not pre-padded (double padding shifted the length)."""
+    rng = np.random.default_rng(42)
+    t = np.arange(4096)
+    s = 8000 * np.sin(2 * np.pi * 440 * t / 44100) \
+        + rng.normal(0, 300, t.size)
+    pcm = np.clip(np.round(np.stack([s, s * 0.7], 1)),
+                  -32768, 32767).astype(np.int64)
+    data = encode_device(pcm, block_samples=512)
+    oracle_roundtrip(data, pcm)
+    from wvpk.encode import build_spec
+    spec = build_spec(pcm[:512], block_samples=512)
+    assert encode_blocks_device(pcm[:512], spec)[0] \
+        == encode_file(pcm[:512], spec)
+
+
+def test_public_encode_device():
+    pcm = sig(1500, 2, seed=5)
+    data = encode_device(pcm, block_samples=512, preset="high")
+    oracle_roundtrip(data, pcm)
+    with pytest.raises(ValueError):
+        encode_device(pcm, hybrid=True)
+    with pytest.raises(ValueError):
+        encode_device(sig(300, 4, seed=6))

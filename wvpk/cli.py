@@ -193,10 +193,12 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
 
 def encode_one(path: str, out_path: str, *, preset: str, block: int,
                hybrid_bitrate: int, checksum_bytes: int = 0,
-               quiet: bool = False) -> int:
+               quiet: bool = False, device: bool = False) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
-    from .encode import encode
+    from .encode import encode, encode_device
     from .io.wav import read_wav
+    if device:
+        encode = encode_device
 
     blob = open(path, "rb").read()
     t0 = time.perf_counter()
@@ -262,6 +264,9 @@ def main(argv=None) -> int:
                    help="stamp ID_BLOCK_CHECKSUM (WavPack 5) of this "
                         "width on every encoded block (auditable with "
                         "--verify-checksums)")
+    p.add_argument("--device", action="store_true",
+                   help="encode on the accelerator (lane-parallel over "
+                        "blocks; lossless <= 2ch)")
     args = p.parse_args(argv)
 
     if args.output and len(args.inputs) > 1 and not args.batch:
@@ -278,7 +283,7 @@ def main(argv=None) -> int:
                              block=args.block_samples,
                              hybrid_bitrate=args.hybrid_bitrate,
                              checksum_bytes=args.checksum_bytes,
-                             quiet=args.quiet)
+                             quiet=args.quiet, device=args.device)
         return rc
 
     if args.verify_checksums:

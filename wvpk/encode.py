@@ -131,6 +131,31 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
     )
 
 
+def encode_device(pcm: np.ndarray, **options) -> bytes:
+    """Encode integer PCM to a WavPack stream ON DEVICE (TPU).
+
+    The two hot loops (decorrelation inversion, entropy word coding) run
+    lane-parallel over the file's blocks (`ops/encode_kernels.py`);
+    every block is seeded fresh so blocks are independent lanes. Output
+    decodes bit-exactly on all decoder paths; single-block files are
+    byte-identical to the host `encode`.
+
+    Lossless <= 2 channels only (hybrid couples the scans; wide-32bit
+    wvx routing and >2ch segments stay on the host path) — those
+    options raise ValueError here; use `encode` instead.
+    """
+    from .engine.device_encoder import encode_blocks_device
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.shape[1] > 2:
+        raise ValueError("device encoder: <= 2 channels (use encode())")
+    spec = build_spec(pcm, **options)
+    if spec.false_stereo:
+        pcm = pcm[:, :1]
+    return b"".join(encode_blocks_device(pcm, spec))
+
+
 def encode(pcm: np.ndarray, **options) -> bytes:
     """Encode integer PCM to a WavPack stream.
 

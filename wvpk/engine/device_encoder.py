@@ -1,0 +1,245 @@
+"""Device (TPU) lossless encode: block assembly around the encode kernels.
+
+`encode_blocks_device(pcm, spec)` produces standard WavPack block byte
+strings like `testgen.encoder.encode_blocks`, but runs the two hot loops
+(decorrelation inversion + entropy word coding) lane-parallel on device
+(ops/encode_kernels.py) with blocks as lanes. Each block is seeded fresh
+(zero decorr weights/history, block-local quantized medians), so blocks
+are independent — the same self-seeding property decode exploits
+(SURVEY §2.3). Output streams decode bit-exactly on every decoder path
+(oracle + device), and lossless roundtrip is the identity; the byte
+stream differs from the host encoders only through the per-block
+seeding choice (both are conforming WavPack).
+
+Container assembly (header, metadata quantization, CRC stamp) reuses
+the host encoder's helpers so the two encoders cannot drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import consts
+from ..testgen.encoder import (EncodeSpec, EncPass, WordsState, _auto_medians,
+                               _crc_fast, _make_words_state, _quantize_decorr,
+                               _quantize_entropy, _stored_domain, mkmeta)
+
+SEG_SLOTS = 2   # segment A (flush/run gamma) + segment B (immediate)
+
+
+def pack_segments(seg_lo, seg_hi, seg_len, segb_bits, segb_len,
+                  tail_bits_list):
+    """Scatter per-step variable-length segments into per-lane payloads.
+
+    seg_lo/seg_hi (W, L) uint64 + seg_len (W, L) int32: 128-bit segment A
+    per step; segb_bits/segb_len: <=64-bit segment B (emitted after A
+    within the step). tail_bits_list: per-lane (bits_bytes, nbits) final
+    flush appended at the end. Returns list of payload bytes per lane.
+    """
+    W, L = seg_len.shape
+    lens = np.stack([seg_len, segb_len], axis=1).astype(np.int64)  # (W,2,L)
+    flat = lens.transpose(2, 0, 1).reshape(L, W * 2)               # (L, 2W)
+    offs = np.zeros_like(flat)
+    np.cumsum(flat[:, :-1], axis=1, out=offs[:, 1:])
+    total = flat.sum(axis=1)                                       # (L,)
+
+    out = []
+    lo_t = seg_lo.T.astype(np.uint64)        # (L, W)
+    hi_t = seg_hi.T.astype(np.uint64)
+    bb_t = segb_bits.T.astype(np.uint64)
+    offs_a = offs[:, 0::2]
+    offs_b = offs[:, 1::2]
+    len_a = seg_len.T
+    len_b = segb_len.T
+    for lane in range(L):
+        tail_bytes, tail_nbits = tail_bits_list[lane]
+        nbits = int(total[lane]) + tail_nbits
+        nwords = (nbits + 63) // 64 + 2
+        buf = np.zeros(nwords, np.uint64)
+        for offs_l, lo_l, hi_l, ln_l in (
+                (offs_a[lane], lo_t[lane], hi_t[lane], len_a[lane]),
+                (offs_b[lane], bb_t[lane],
+                 np.zeros(W, np.uint64), len_b[lane])):
+            m = ln_l > 0
+            if not m.any():
+                continue
+            pos = offs_l[m]
+            lo = lo_l[m]
+            hi = hi_l[m]
+            wi = (pos >> 6).astype(np.int64)
+            sh = (pos & 63).astype(np.uint64)
+            inv = np.where(sh > 0, np.uint64(64) - sh, np.uint64(0))
+            np.bitwise_or.at(buf, wi, lo << sh)
+            carry1 = np.where(sh > 0, lo >> inv, np.uint64(0)) | (hi << sh)
+            np.bitwise_or.at(buf, wi + 1, carry1)
+            np.bitwise_or.at(buf, wi + 2,
+                             np.where(sh > 0, hi >> inv, np.uint64(0)))
+        # append the final pending flush bit-by-byte (host BitWriter bits)
+        base = int(total[lane])
+        for k in range(tail_nbits):
+            if (tail_bytes[k >> 3] >> (k & 7)) & 1:
+                p = base + k
+                buf[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        out.append(buf.tobytes()[:(nbits + 7) // 8])
+    return out
+
+
+def _final_flush(pvalid, poc, pbits, pnb):
+    """EntropyEncoder.finish(): flush the pending word with b = 0, per
+    lane, via the host BitWriter (exact same emission code)."""
+    from ..testgen.bits import BitWriter
+    tails = []
+    for v, oc, bits, nb in zip(np.asarray(pvalid), np.asarray(poc),
+                               np.asarray(pbits), np.asarray(pnb)):
+        bw = BitWriter()
+        if v:
+            raw = 2 * int(oc)
+            if raw < consts.LIMIT_ONES:
+                bw.put_unary_ones(raw)
+            else:
+                bw.put_unary_ones(consts.LIMIT_ONES)
+                bw.put_gamma(raw - consts.LIMIT_ONES)
+            bw.putbits(int(bits), int(nb))
+        tails.append((bw.getvalue(), bw.bit_length()))
+    return tails
+
+
+def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
+    """Encode PCM into WavPack blocks with the device kernels.
+
+    Restrictions (fall back to the host encoders otherwise): lossless
+    plain/float/int32-zeros content (no hybrid, no wvx sidecar), stored
+    magnitudes < 2^27 (keeps medians in the non-wrapping regime the
+    kernels contract on).
+    """
+    from ..ops.encode_kernels import decorr_invert, entropy_encode_words
+
+    if spec.hybrid or spec.hybrid_bitrate or spec.int32_mode == "wvx":
+        raise ValueError("device encoder: lossless non-wvx only")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    assert pcm.shape[1] == spec.nch_data
+    mono = spec.nch_data == 1
+    stored = _stored_domain(pcm, spec)
+    if stored.size and int(np.abs(stored).max()) >= (1 << 27):
+        raise ValueError("device encoder: stored magnitude >= 2^27")
+    n = pcm.shape[0]
+    bs = spec.block_samples
+    starts = list(range(0, n, bs))
+    L = len(starts)
+    C = 1 if mono else 2
+    T = min(bs, n)
+
+    # joint transform per block (vectorized; encoder.py semantics)
+    targ = np.zeros((L, T, C), np.int64)
+    nsamp = np.zeros(L, np.int32)
+    for i, s0 in enumerate(starts):
+        blk = stored[s0:s0 + bs].astype(np.int64)
+        nsamp[i] = blk.shape[0]
+        if not mono and (spec.flags() & consts.JOINT_STEREO):
+            sd = (blk[:, 0] - blk[:, 1]).astype(np.int32).astype(np.int64)
+            blk = np.stack([sd, (blk[:, 1] + (sd >> 1)).astype(np.int32)], 1)
+        targ[i, :blk.shape[0]] = blk
+
+    # fresh per-block seeds: metadata + the quantized medians the
+    # entropy kernel must use (exactly what the decoder will derive)
+    terms16 = np.zeros((L, 16), np.int32)
+    deltas16 = np.zeros((L, 16), np.int32)
+    nt = np.full(L, len(spec.terms), np.int32)
+    terms16[:, :len(spec.terms)] = spec.terms
+    deltas16[:, :len(spec.terms)] = spec.deltas
+    med0 = np.zeros((L, 2, 3), np.int64)
+    metas = []
+    for i, s0 in enumerate(starts):
+        passes = [EncPass(t, d) for t, d in zip(spec.terms, spec.deltas)]
+        w = _make_words_state(spec, _auto_medians(
+            _stored_domain(pcm[s0:s0 + bs], spec)))
+        tmd, wmd, smd = _quantize_decorr(passes, mono)
+        emd = _quantize_entropy(w, mono)      # quantizes w's medians too
+        med0[i, 0] = w.c[0].median
+        med0[i, 1] = w.c[1].median
+        metas.append((tmd, wmd, smd, emd))
+
+    # device: residuals, then the entropy word automaton
+    res = np.asarray(decorr_invert(
+        np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32)),
+        terms16, deltas16, nt, mono=mono))            # (T, L, C)
+    words = res.transpose(0, 2, 1).reshape(T * C, L)  # interleaved words
+    nvals = nsamp * C
+    (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
+     pnb) = (np.asarray(x) for x in entropy_encode_words(
+         words, med0, nvals, mono=mono))
+
+    payloads = pack_segments(sa_lo, sa_hi, sa_len, sb_bits, sb_len,
+                             _final_flush(pvalid, poc, pbits, pnb))
+
+    # container assembly (mirrors encoder.py::encode_block)
+    total = spec.total_samples_override
+    if total is None:
+        total = n
+    out = []
+    for i, s0 in enumerate(starts):
+        tmd, wmd, smd, emd = metas[i]
+        nb = int(nsamp[i])
+        blk_targ = targ[i, :nb]
+        # MAG from the PRE-joint stored values: the decoder's mute limit
+        # (2^mag + 2, UnpackUtils.cs:517) checks the joint-UNDONE values
+        blk_stored = stored[s0:s0 + nb]
+        maxabs = int(np.max(np.abs(blk_stored))) if nb else 0
+        flags = (spec.flags() | consts.INITIAL_BLOCK | consts.FINAL_BLOCK
+                 | (min(maxabs.bit_length(), 30) << consts.MAG_LSB))
+        mdl = [mkmeta(consts.ID_DECORR_TERMS, tmd),
+               mkmeta(consts.ID_DECORR_WEIGHTS, wmd),
+               mkmeta(consts.ID_DECORR_SAMPLES, smd),
+               mkmeta(consts.ID_ENTROPY_VARS, emd)]
+        if spec.float_data:
+            mdl.append(mkmeta(consts.ID_FLOAT_INFO,
+                              bytes([spec.float_flags, spec.float_shift,
+                                     spec.float_max_exp,
+                                     spec.float_norm_exp])))
+        if spec.int32_mode is not None:
+            mdl.append(mkmeta(consts.ID_INT32_INFO,
+                              bytes([spec.int32_sent_bits, spec.int32_zeros,
+                                     spec.int32_ones, spec.int32_dups])))
+        if spec.sample_rate not in consts.SAMPLE_RATES:
+            mdl.append(mkmeta(consts.ID_SAMPLE_RATE,
+                              (spec.sample_rate & 0xFFFFFF)
+                              .to_bytes(3, "little")))
+        if i == 0 and spec.riff_header is not None:
+            mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
+        mdl.append(mkmeta(consts.ID_WV_BITSTREAM, payloads[i]))
+        if i == L - 1 and spec.md5:
+            import hashlib
+
+            from ..io.pcm import format_samples
+            outp = pcm if not spec.false_stereo else np.repeat(pcm, 2, 1)
+            mdl.append(mkmeta(consts.ID_MD5_CHECKSUM, hashlib.md5(
+                format_samples(outp, spec.bytes_stored)).digest()))
+        if i == L - 1 and spec.riff_trailer is not None:
+            mdl.append(mkmeta(consts.ID_RIFF_TRAILER, spec.riff_trailer))
+        body = b"".join(mdl)
+        from ..container.header import HEADER_SIZE
+        header = bytearray(HEADER_SIZE)
+        header[0:4] = b"wvpk"
+        header[4:8] = (HEADER_SIZE + len(body) - 8).to_bytes(4, "little")
+        header[8:10] = spec.version.to_bytes(2, "little")
+        header[10] = (s0 >> 32) & 0xFF
+        header[11] = (total >> 32) & 0xFF
+        header[12:16] = (total & 0xFFFFFFFF).to_bytes(4, "little")
+        header[16:20] = (s0 & 0xFFFFFFFF).to_bytes(4, "little")
+        header[20:24] = nb.to_bytes(4, "little")
+        header[24:28] = flags.to_bytes(4, "little")
+        # lossless: decoded == targets, so the CRC is closed-form over
+        # the joint-undone targets (same as encoder.py's fast stamp)
+        final = blk_targ
+        if not mono and (flags & consts.JOINT_STEREO):
+            r = (blk_targ[:, 1] - (blk_targ[:, 0] >> 1)).astype(np.int32)
+            left = (blk_targ[:, 0] + r).astype(np.int32)
+            final = np.stack([left, r], 1)
+        header[28:32] = _crc_fast(final).to_bytes(4, "little")
+        block = bytes(header) + body
+        if spec.block_checksum:
+            from ..container.checksum import add_block_checksum
+            block = add_block_checksum(block, spec.block_checksum)
+        out.append(block)
+    return out

@@ -1,0 +1,438 @@
+"""Device-side (TPU) lossless ENCODE kernels.
+
+The reference has no encoder at all; this goes beyond parity with a
+lane-parallel encode path built on the same two hot loops as decode,
+run in reverse:
+
+- `decorr_invert`: peel the decorrelation passes off the target samples
+  (the exact inverse of `ops/decorr.py::decorr_decode`; per-term
+  semantics mirror UnpackUtils.cs:688-1240). For lossless streams the
+  reconstructed values equal the targets, so the carried pass state
+  evolves identically to decode-of-the-residuals — one forward scan
+  computes residuals AND advances state.
+- `entropy_encode_words`: the word state machine of the reference
+  decoder's get_words (WordsUtils.cs:272-511) run in reverse — the same
+  automaton as the host encoders (testgen/encoder.py::EntropyEncoder,
+  native/csrc/wvpk_encode.c), producing per-word variable-length bit
+  segments that a host-side scatter packs into the block payload.
+
+Parallel structure: blocks are lanes (the device encoder seeds every
+block fresh — zero weights/history, block-local medians — so blocks are
+independent, mirroring how decode's blocks are self-seeded). Zero-run
+lengths need no lookahead simulation: for lossless, residuals are
+independent of entropy decisions, so run lengths are a vectorized
+suffix run-length over the residual array.
+
+Lossless only: hybrid feeds the lossy reconstruction back into the
+decorr state, which couples the two scans; hybrid encoding stays on the
+host paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts
+from .bitio import wrap32
+from .decorr import _pred, _upd, _upd_clamp
+
+I64 = jnp.int64
+U64 = jnp.uint64
+
+
+@partial(jax.jit, static_argnames=("mono",))
+def decorr_invert(targets, terms, deltas, num_terms, *, mono: bool):
+    """Peel all passes off joint-domain targets -> entropy residuals.
+
+    targets: (T, L, C) int32 scan-major; C = 1 (mono) or 2.
+    terms/deltas: (L, 16) int32; num_terms: (L,) int32.
+    State seeds fresh (zero weights, zero history, m=0) — the device
+    encoder's per-block contract. Returns (T, L, C) int32 residuals.
+    """
+    T, L, C = targets.shape
+    terms_t = terms.astype(I64).T                      # (16, L)
+    deltas_t = deltas.astype(I64).T
+    iota8 = jnp.arange(8, dtype=jnp.int32)
+
+    cst = dict(
+        term=terms_t,
+        delta=deltas_t,
+        is17=terms_t == 17,
+        is18=terms_t == 18,
+        n1=terms_t == -1,
+        n2=terms_t == -2,
+        n3=terms_t == -3,
+        pos=(terms_t >= 1) & (terms_t <= consts.MAX_TERM),
+        act=(jnp.arange(16, dtype=jnp.int32)[:, None]
+             < num_terms[None, :]),                    # (16, L)
+    )
+
+    def sam_pair(ring_a, ring_b, m_slot, j):
+        """Predictor inputs at pass j from history state (terms 17/18,
+        ring, -3; -1/-2 handled by the caller from peel values)."""
+        s17a = wrap32(2 * ring_a[:, 0] - ring_a[:, 1])
+        s18a = wrap32(3 * ring_a[:, 0] - ring_a[:, 1]) >> 1
+        sra = jax.lax.dynamic_index_in_dim(ring_a, m_slot, axis=1,
+                                           keepdims=False)
+        sa = jnp.where(cst["is17"][j], s17a,
+                       jnp.where(cst["is18"][j], s18a,
+                                 jnp.where(cst["pos"][j], sra,
+                                           ring_a[:, 0])))
+        s17b = wrap32(2 * ring_b[:, 0] - ring_b[:, 1])
+        s18b = wrap32(3 * ring_b[:, 0] - ring_b[:, 1]) >> 1
+        srb = jax.lax.dynamic_index_in_dim(ring_b, m_slot, axis=1,
+                                           keepdims=False)
+        sb = jnp.where(cst["is17"][j], s17b,
+                       jnp.where(cst["is18"][j], s18b,
+                                 jnp.where(cst["pos"][j], srb,
+                                           ring_b[:, 0])))
+        return sa, sb
+
+    def step_stereo(carry, xs):
+        step_idx, targ = xs
+        m_slot = step_idx & 7
+        wa, wb, sa_r, sb_r = carry
+        xa = targ[:, 0].astype(I64)
+        xb = targ[:, 1].astype(I64)
+
+        # --- reverse peel (encoder.py::invert_stereo): pass j reads the
+        # values peeled of passes above it; -1 uses the CURRENT va, -2
+        # the current vb (equal to that pass's reconstruct outputs) ---
+        def peel(vals, j):
+            va, vb = vals
+            jj = 15 - j
+            sa_, sb_ = sam_pair(sa_r[jj], sb_r[jj], m_slot, jj)
+            sa_eff = jnp.where(cst["n2"][jj], vb, sa_)
+            sb_eff = jnp.where(cst["n1"][jj], va, sb_)
+            va2 = wrap32(va - _pred(wa[jj], sa_eff))
+            vb2 = wrap32(vb - _pred(wb[jj], sb_eff))
+            act = cst["act"][jj]
+            return (jnp.where(act, va2, va), jnp.where(act, vb2, vb)), None
+
+        (ra, rb), _ = jax.lax.scan(peel, (xa, xb),
+                                   jnp.arange(16, dtype=jnp.int32))
+
+        # --- forward update (decode semantics over the residual; mirrors
+        # decorr.py::one_pass_stereo) ---
+        def apply(vals, xs2):
+            va, vb = vals
+            waj, wbj, ring_a, ring_b, j = xs2
+            sa_, sb_ = sam_pair(ring_a, ring_b, m_slot, j)
+            oa1 = wrap32(_pred(waj, sa_) + va)
+            sb_eff = jnp.where(cst["n1"][j], oa1, sb_)
+            ob1 = wrap32(_pred(wbj, sb_eff) + vb)
+            ob2 = wrap32(_pred(wbj, ring_b[:, 0]) + vb)
+            oa2 = wrap32(_pred(waj, ob2) + va)
+            n2 = cst["n2"][j]
+            oa = jnp.where(n2, oa2, oa1)
+            ob = jnp.where(n2, ob2, ob1)
+            sa_eff = jnp.where(n2, ob2, sa_)
+            neg = cst["n1"][j] | n2 | cst["n3"][j]
+            dj = cst["delta"][j]
+            wa_u = jnp.where(neg, _upd_clamp(waj, dj, sa_eff, va),
+                             _upd(waj, dj, sa_eff, va))
+            wb_u = jnp.where(neg, _upd_clamp(wbj, dj, sb_eff, vb),
+                             _upd(wbj, dj, sb_eff, vb))
+            onehot = iota8[None, :] == ((m_slot + cst["term"][j]) & 7)[:, None]
+            sa_pos = jnp.where(onehot, oa[:, None], ring_a)
+            sb_pos = jnp.where(onehot, ob[:, None], ring_b)
+            sa_1718 = jnp.concatenate(
+                [oa[:, None], ring_a[:, 0:1], ring_a[:, 2:]], axis=1)
+            sb_1718 = jnp.concatenate(
+                [ob[:, None], ring_b[:, 0:1], ring_b[:, 2:]], axis=1)
+            sa0n = jnp.where(cst["n1"][j] | cst["n3"][j], ob, ring_a[:, 0])
+            sb0n = jnp.where(n2 | cst["n3"][j], oa, ring_b[:, 0])
+            sa_neg = jnp.concatenate([sa0n[:, None], ring_a[:, 1:]], axis=1)
+            sb_neg = jnp.concatenate([sb0n[:, None], ring_b[:, 1:]], axis=1)
+            t1718 = (cst["is17"][j] | cst["is18"][j])[:, None]
+            sa_new = jnp.where(cst["pos"][j][:, None], sa_pos,
+                               jnp.where(t1718, sa_1718,
+                                         jnp.where(neg[:, None], sa_neg,
+                                                   ring_a)))
+            sb_new = jnp.where(cst["pos"][j][:, None], sb_pos,
+                               jnp.where(t1718, sb_1718,
+                                         jnp.where(neg[:, None], sb_neg,
+                                                   ring_b)))
+            act, am = cst["act"][j], cst["act"][j][:, None]
+            va = jnp.where(act, oa, va)
+            vb = jnp.where(act, ob, vb)
+            return ((va, vb),
+                    (jnp.where(act, wa_u, waj), jnp.where(act, wb_u, wbj),
+                     jnp.where(am, sa_new, ring_a),
+                     jnp.where(am, sb_new, ring_b)))
+
+        _, (wa, wb, sa_r, sb_r) = jax.lax.scan(
+            apply, (ra, rb),
+            (wa, wb, sa_r, sb_r, jnp.arange(16, dtype=jnp.int32)))
+        return ((wa, wb, sa_r, sb_r),
+                jnp.stack([ra, rb], axis=1).astype(jnp.int32))
+
+    def step_mono(carry, xs):
+        step_idx, targ = xs
+        m_slot = step_idx & 7
+        wa, sa_r = carry
+        xa = targ[:, 0].astype(I64)
+
+        def peel(va, j):
+            jj = 15 - j
+            sa_, _ = sam_pair(sa_r[jj], sa_r[jj], m_slot, jj)
+            va2 = wrap32(va - _pred(wa[jj], sa_))
+            return jnp.where(cst["act"][jj], va2, va), None
+
+        ra, _ = jax.lax.scan(peel, xa, jnp.arange(16, dtype=jnp.int32))
+
+        def apply(va, xs2):
+            waj, ring_a, j = xs2
+            sa_, _ = sam_pair(ring_a, ring_a, m_slot, j)
+            oa = wrap32(_pred(waj, sa_) + va)
+            wa_u = _upd(waj, cst["delta"][j], sa_, va)
+            onehot = iota8[None, :] == ((m_slot + cst["term"][j]) & 7)[:, None]
+            sa_pos = jnp.where(onehot, oa[:, None], ring_a)
+            sa_1718 = jnp.concatenate(
+                [oa[:, None], ring_a[:, 0:1], ring_a[:, 2:]], axis=1)
+            t1718 = (cst["is17"][j] | cst["is18"][j])[:, None]
+            sa_new = jnp.where(cst["pos"][j][:, None], sa_pos,
+                               jnp.where(t1718, sa_1718, ring_a))
+            act = cst["act"][j]
+            va = jnp.where(act, oa, va)
+            return va, (jnp.where(act, wa_u, waj),
+                        jnp.where(act[:, None], sa_new, ring_a))
+
+        _, (wa, sa_r) = jax.lax.scan(
+            apply, ra, (wa, sa_r, jnp.arange(16, dtype=jnp.int32)))
+        return (wa, sa_r), ra[:, None].astype(jnp.int32)
+
+    w0 = jnp.zeros((16, L), I64)
+    h0 = jnp.zeros((16, L, 8), I64)
+    xs = (jnp.arange(T, dtype=jnp.int32), targets)
+    if mono:
+        _, res = jax.lax.scan(step_mono, (w0, h0), xs)
+    else:
+        _, res = jax.lax.scan(step_stereo, (w0, w0, h0, h0), xs)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# entropy encode (lossless get_words in reverse, WordsUtils.cs:272-511)
+# ---------------------------------------------------------------------------
+
+_U64_1 = np.uint64(1)
+
+
+def _safe_shl(x, s):
+    """x << s, yielding 0 outside 0 <= s < 64 — XLA shifts >= width are
+    undefined and negative amounts must contribute nothing."""
+    return jnp.where((s >= 64) | (s < 0), U64(0),
+                     x << jnp.clip(s, 0, 63).astype(U64))
+
+
+def _safe_shr(x, s):
+    return jnp.where((s >= 64) | (s < 0), U64(0),
+                     x >> jnp.clip(s, 0, 63).astype(U64))
+
+
+def _seg_append(lo, hi, ln, bits, nb):
+    """Append nb bits (LSB-first, in a u64) to a 128-bit (lo, hi, ln)
+    segment. nb == 0 is a no-op; caller guarantees ln + nb <= 128."""
+    bits = jnp.where(nb > 0, bits, U64(0))
+    lo2 = lo | _safe_shl(bits, ln)
+    hi2 = hi | _safe_shr(bits, 64 - ln) | _safe_shl(bits, ln - 64)
+    return lo2, hi2, ln + nb
+
+
+def _bitlen(v):
+    """bit_length of a non-negative int64 (== count_bits)."""
+    return (64 - jax.lax.clz(v.astype(jnp.int64))).astype(jnp.int32) \
+        * (v > 0).astype(jnp.int32)
+
+
+def _ones(n):
+    """(1 << n) - 1 as u64 for n <= 63."""
+    return _safe_shl(U64(1), n) - _U64_1
+
+
+def _gamma_slots(v):
+    """The WavPack Elias-style escape code of v (WordsUtils.cs:321-335)
+    as two append slots: (bits1, len1, bits2, len2). v < 2 -> unary only;
+    else unary(c) then the low c-1 bits (top bit implicit)."""
+    v64 = v.astype(jnp.int64)
+    c = _bitlen(v64)
+    small = v64 < 2
+    b1 = jnp.where(small, _ones(v.astype(jnp.int32)),
+                   _ones(c))                      # ones then terminator 0
+    l1 = jnp.where(small, v.astype(jnp.int32) + 1, c + 1)
+    b2 = jnp.where(small, U64(0),
+                   v64.astype(U64) & _ones(jnp.maximum(c - 1, 0)))
+    l2 = jnp.where(small, 0, c - 1)
+    return b1, l1, b2, l2
+
+
+@partial(jax.jit, static_argnames=("mono",))
+def entropy_encode_words(res_words, med0, nvals, *, mono: bool):
+    """Encode residual words -> variable-length bit segments.
+
+    res_words: (W, L) int32, channel-interleaved per sample (stereo) in
+    word order; padded arbitrarily beyond nvals.
+    med0: (L, 2, 3) int64 initial medians (ALREADY log16-quantized so
+    they match what the block metadata stores; mono leaves channel 1 at
+    zero like the decoder does). Non-negative (the encoder's operating
+    contract; wrapped-median content must use the host encoders).
+    nvals: (L,) int32 valid word count per lane.
+
+    Returns (segA_lo, segA_hi, segA_len, segB_bits, segB_len) each
+    (W, L) — per step, segment A (flushed previous word's unary+payload,
+    OR a zero-run gamma) precedes segment B (h0-consumed immediate
+    payload) — plus the final pending word (pend_valid, pend_oc_eff,
+    pend_bits, pend_nbits), each (L,), which the caller flushes with
+    b = 0 (EntropyEncoder.finish()).
+    """
+    W, L = res_words.shape
+    med0 = jnp.transpose(med0.astype(I64), (1, 2, 0))      # (2, 3, L)
+
+    # suffix zero-run lengths over VALID words (no lookahead simulation
+    # needed: lossless residuals are entropy-independent)
+    iota_w = jnp.arange(W, dtype=jnp.int32)[:, None]
+    iszero = (res_words == 0) & (iota_w < nvals[None, :])
+
+    def zrl(carry, z):
+        run = jnp.where(z, carry + 1, 0)
+        return run, run
+
+    _, zlen = jax.lax.scan(zrl, jnp.zeros(L, jnp.int64), iszero,
+                           reverse=True)
+
+    def step(carry, xs):
+        med, zacc, clear, pvalid, poc, pbits, pnb = carry
+        w_idx, r32, z = xs
+        valid = w_idx < nvals
+        r = r32.astype(I64)
+        ch = 0 if mono else (w_idx & 1)
+        medc = med[ch]                                    # (3, L)
+
+        tiny = ((med[0, 0] & ~I64(1)) == 0) & ((med[1, 0] & ~I64(1)) == 0)
+        gate = clear & tiny & valid
+
+        z1 = gate & (zacc > 0)
+        zacc1 = jnp.where(z1, zacc - 1, zacc)
+        midrun = z1 & (zacc1 > 0)
+        z2 = gate & (zacc == 0)
+        start = z2 & (z > 0)
+        zacc2 = jnp.where(start, z, zacc1)
+        normal = valid & ~midrun & ~start
+
+        # --- ones_count from pre-update medians ---
+        sign = r < 0
+        av = jnp.where(sign, ~r, r)
+        g0 = (medc[0] >> 4) + 1
+        g1 = (medc[1] >> 4) + 1
+        g2 = jnp.maximum((medc[2] >> 4) + 1, 1)
+        oc = jnp.where(av < g0, I64(0),
+                       jnp.where(av < g0 + g1, I64(1),
+                                 2 + (av - g0 - g1) // g2))
+
+        # --- holding resolution ---
+        fromclear = normal & clear
+        h0 = normal & ~clear & (oc == 0)
+        h1 = normal & ~clear & (oc != 0)
+        do_flush = (h0 | h1) & pvalid
+        flush_raw = 2 * poc + jnp.where(h1, 1, 0).astype(I64)
+
+        # --- segment A: flush (unary or escape+gamma, then pended
+        # payload) XOR run gamma(z) — mutually exclusive by clear ---
+        lo = jnp.zeros(L, U64)
+        hi = jnp.zeros(L, U64)
+        ln = jnp.zeros(L, jnp.int32)
+        esc = flush_raw >= consts.LIMIT_ONES
+        g = jnp.maximum(flush_raw - consts.LIMIT_ONES, 0)
+        gb1, gl1, gb2, gl2 = _gamma_slots(g)
+        zb1, zl1, zb2, zl2 = _gamma_slots(jnp.where(z2, z, 0))
+        raw32 = flush_raw.astype(jnp.int32)
+        # slot 1: plain unary | escape prefix | run-gamma unary part
+        s1b = jnp.where(do_flush,
+                        jnp.where(esc, _ones(jnp.full(L, consts.LIMIT_ONES,
+                                                      jnp.int32)),
+                                  _ones(raw32)),
+                        zb1)
+        s1l = jnp.where(do_flush,
+                        jnp.where(esc, consts.LIMIT_ONES + 1, raw32 + 1),
+                        jnp.where(z2, zl1, 0))
+        lo, hi, ln = _seg_append(lo, hi, ln, s1b, s1l)
+        # slots 2+3: escape gamma | run-gamma value part
+        s2b = jnp.where(do_flush, jnp.where(esc, gb1, U64(0)), zb2)
+        s2l = jnp.where(do_flush, jnp.where(esc, gl1, 0),
+                        jnp.where(z2, zl2, 0))
+        lo, hi, ln = _seg_append(lo, hi, ln, s2b, s2l)
+        s3b = jnp.where(do_flush & esc, gb2, U64(0))
+        s3l = jnp.where(do_flush & esc, gl2, 0)
+        lo, hi, ln = _seg_append(lo, hi, ln, s3b, s3l)
+        # slot 4: the flushed word's pended payload bits
+        lo, hi, ln = _seg_append(lo, hi, ln,
+                                 jnp.where(do_flush, pbits, U64(0)),
+                                 jnp.where(do_flush, pnb, 0))
+
+        # --- median interval + 5/7-2/7 adaptation (normal lanes) ---
+        m0, m1, m2 = medc[0], medc[1], medc[2]
+        m0n = jnp.where(oc == 0, wrap32(m0 - ((m0 + (consts.DIV0 - 2)) >> 7) * 2),
+                        wrap32(m0 + ((m0 + consts.DIV0) >> 7) * 5))
+        m1n = jnp.where(oc <= 0, m1,
+                        jnp.where(oc == 1,
+                                  wrap32(m1 - ((m1 + (consts.DIV1 - 2)) >> 6) * 2),
+                                  wrap32(m1 + ((m1 + consts.DIV1) >> 6) * 5)))
+        m2n = jnp.where(oc <= 1, m2,
+                        jnp.where(oc == 2,
+                                  wrap32(m2 - ((m2 + (consts.DIV2 - 2)) >> 5) * 2),
+                                  wrap32(m2 + ((m2 + consts.DIV2) >> 5) * 5)))
+        low = jnp.where(oc == 0, I64(0),
+                        g0 + jnp.where(oc == 1, I64(0),
+                                       g1 + (oc - 2) * g2))
+        high = low + jnp.where(oc == 0, g0,
+                               jnp.where(oc == 1, g1, g2)) - 1
+
+        # --- value payload: read_code inverse + sign ---
+        code = av - low
+        maxcode = high - low
+        bitcount = _bitlen(maxcode)
+        extras = _safe_shl(U64(1), bitcount).astype(I64) - maxcode - 1
+        small = code < extras
+        cc = code + extras
+        vb = jnp.where(small, code.astype(U64),
+                       (cc >> 1).astype(U64)
+                       | _safe_shl((cc & 1).astype(U64),
+                                   jnp.maximum(bitcount - 1, 0)))
+        vl = jnp.where(bitcount == 0, 0,
+                       jnp.where(small, bitcount - 1, bitcount))
+        wbits = vb | _safe_shl(sign.astype(U64), vl)
+        wnb = vl + 1
+
+        # --- segment B: h0-consumed immediate payload ---
+        segB_bits = jnp.where(h0, wbits, U64(0))
+        segB_len = jnp.where(h0, wnb, 0)
+
+        # --- state updates ---
+        med_norm = jnp.stack([m0n, m1n, m2n])             # (3, L)
+        medc_new = jnp.where(normal, med_norm, medc)
+        med = med.at[ch].set(medc_new)  # ch traced for stereo: dynamic slice
+        med = jnp.where(start[None, None, :], I64(0), med)
+
+        emit_unary = fromclear | h1
+        pvalid = jnp.where(emit_unary, True,
+                           jnp.where(do_flush, False, pvalid))
+        poc = jnp.where(emit_unary, oc - jnp.where(h1, 1, 0), poc)
+        pbits = jnp.where(emit_unary, wbits, pbits)
+        pnb = jnp.where(emit_unary, wnb, pnb)
+        clear = jnp.where(h0, True,
+                          jnp.where(emit_unary, False, clear))
+        return ((med, zacc2, clear, pvalid, poc, pbits, pnb),
+                (lo, hi, ln, segB_bits, segB_len))
+
+    carry0 = (med0, jnp.zeros(L, I64), jnp.ones(L, bool),
+              jnp.zeros(L, bool), jnp.zeros(L, I64), jnp.zeros(L, U64),
+              jnp.zeros(L, jnp.int32))
+    xs = (jnp.arange(W, dtype=jnp.int32), res_words, zlen)
+    (med, zacc, clear, pvalid, poc, pbits, pnb), segs = jax.lax.scan(
+        step, carry0, xs)
+    return segs + (pvalid, poc, pbits, pnb)
