@@ -1,0 +1,108 @@
+"""Device-encode throughput on the real chip (slope methodology).
+
+Measures the two encode scans (decorr_invert + entropy_encode_words)
+device-side with inputs staged in HBM and only scalar-sized fetches in
+the timed region; the tunnel's ~27 ms per-dispatch/fetch latency is
+removed by taking the slope between two lane counts (NOTES.md
+"corrected methodology"). Host packing is timed separately (it overlaps
+device work in a real pipeline).
+
+Usage: python tools/encode_device_profile.py [n_lanes] [block_samples]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def stage(L, T):
+    import jax
+
+    from wvpk.encode import build_spec
+    from wvpk.testgen.encoder import (EncPass, _make_words_state,
+                                      _auto_medians, _quantize_entropy,
+                                      _stored_domain)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(T * L)
+    sig = 8000 * np.sin(2 * np.pi * 440 * t / 44100) \
+        + rng.normal(0, 300, t.size)
+    pcm = np.clip(np.round(np.stack([sig, sig * 0.7], 1)),
+                  -32768, 32767).astype(np.int64)
+    spec = build_spec(pcm, block_samples=T)
+    stored = _stored_domain(pcm, spec)
+    targ = np.zeros((T, L, 2), np.int32)
+    med0 = np.zeros((L, 2, 3), np.int64)
+    for i in range(L):
+        blk = stored[i * T:(i + 1) * T].astype(np.int64)
+        sd = (blk[:, 0] - blk[:, 1]).astype(np.int32).astype(np.int64)
+        targ[:, i, 0] = sd
+        targ[:, i, 1] = (blk[:, 1] + (sd >> 1)).astype(np.int32)
+        w = _make_words_state(spec, _auto_medians(blk))
+        _quantize_entropy(w, False)
+        med0[i, 0] = w.c[0].median
+        med0[i, 1] = w.c[1].median
+    terms16 = np.zeros((L, 16), np.int32)
+    deltas16 = np.zeros((L, 16), np.int32)
+    terms16[:, :len(spec.terms)] = spec.terms
+    deltas16[:, :len(spec.terms)] = spec.deltas
+    nt = np.full(L, len(spec.terms), np.int32)
+    nvals = np.full(L, 2 * T, np.int32)
+    dev = [jax.device_put(x) for x in
+           (targ, terms16, deltas16, nt, med0, nvals)]
+    jax.block_until_ready(dev)
+    return dev
+
+
+def run(L, T, repeats=3):
+    from wvpk.ops.encode_kernels import decorr_invert, entropy_encode_words
+
+    targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
+
+    def full():
+        res = decorr_invert(targ, terms16, deltas16, nt, mono=False)
+        words = res.transpose(0, 2, 1).reshape(2 * T, L)
+        segs = entropy_encode_words(words, med0, nvals, mono=False)
+        # scalar-sized sync (np.asarray is the only real sync on axon)
+        return int(np.asarray(segs[2][-1]).sum())
+
+    full()                      # compile
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        full()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    t_small = run(L // 4, T)
+    t_big = run(L, T)
+    slope = (t_big - t_small) / (L - L // 4) / T  # s per frame
+    ms = 1.0 / slope / 1e6
+    print(f"L={L} T={T}: t_small={t_small*1e3:.1f} ms t_big={t_big*1e3:.1f} "
+          f"ms slope={slope*1e9:.2f} ns/frame -> {ms:.1f} Mframes/s "
+          f"({ms*2:.1f} Mvalues/s) device encode")
+
+    # host packing cost for scale (not on the device critical path)
+    from wvpk.engine.device_encoder import _final_flush, pack_segments
+    from wvpk.ops.encode_kernels import decorr_invert, entropy_encode_words
+    targ, terms16, deltas16, nt, med0, nvals = stage(L // 4, T)
+    res = decorr_invert(targ, terms16, deltas16, nt, mono=False)
+    words = res.transpose(0, 2, 1).reshape(2 * T, L // 4)
+    segs = [np.asarray(x) for x in
+            entropy_encode_words(words, med0, nvals, mono=False)]
+    t0 = time.perf_counter()
+    pack_segments(*segs[:5], _final_flush(*segs[5:]))
+    dt = time.perf_counter() - t0
+    print(f"host packing: {dt*1e3:.1f} ms for {L//4}x{T} frames "
+          f"({(L//4)*T/dt/1e6:.1f} Mframes/s)")
+
+
+if __name__ == "__main__":
+    main()
