@@ -139,5 +139,34 @@ def test_public_encode_device():
     oracle_roundtrip(data, pcm)
     with pytest.raises(ValueError):
         encode_device(pcm, hybrid=True)
-    with pytest.raises(ValueError):
-        encode_device(sig(300, 4, seed=6))
+
+
+def test_encode_device_multichannel():
+    from collections import defaultdict
+    pcm = sig(900, 5, seed=6)
+    data = encode_device(pcm, block_samples=400, preset="high")
+    blocks = parse_blocks(data)
+    from wvpk import consts
+    assert blocks[0].header.flags & consts.INITIAL_BLOCK
+    assert blocks[2].header.flags & consts.FINAL_BLOCK
+    seg = defaultdict(list)
+    for b in blocks:
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        seg[b.header.block_index].append(r.samples)
+    out = np.concatenate([np.concatenate(seg[k], 1) for k in sorted(seg)])
+    np.testing.assert_array_equal(out, pcm)
+    # whole API surface: open + unpack all channels + md5
+    import tempfile
+    from wvpk import api
+    with tempfile.NamedTemporaryFile(suffix=".wv") as f:
+        f.write(data)
+        f.flush()
+        wpc = api.WavpackOpenFileInput(f.name,
+                                       flags=consts.OPEN_ALL_CHANNELS)
+        assert api.WavpackGetNumChannels(wpc) == 5
+        n = api.WavpackGetNumSamples(wpc)
+        buf = np.zeros(n * 5, np.int32)
+        assert api.WavpackUnpackSamples(wpc, buf, n) == n
+        np.testing.assert_array_equal(buf.reshape(n, 5), pcm)
+        assert api.WavpackGetMD5Sum(wpc) is not None

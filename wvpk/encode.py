@@ -140,17 +140,22 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     decodes bit-exactly on all decoder paths; single-block files are
     byte-identical to the host `encode`.
 
-    Lossless <= 2 channels only (hybrid couples the scans; wide-32bit
-    wvx routing and >2ch segments stay on the host path) — those
-    options raise ValueError here; use `encode` instead.
+    Lossless only (hybrid couples the scans, and wide-32bit wvx routing
+    stays on the host path) — those options raise ValueError here; use
+    `encode` instead. >2ch emits a multichannel segment with each
+    stream's blocks as one lane batch.
     """
-    from .engine.device_encoder import encode_blocks_device
+    from dataclasses import replace
+
+    from .engine.device_encoder import (encode_blocks_device,
+                                        encode_multichannel_device)
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
-    if pcm.shape[1] > 2:
-        raise ValueError("device encoder: <= 2 channels (use encode())")
     spec = build_spec(pcm, **options)
+    if pcm.shape[1] > 2:
+        return encode_multichannel_device(
+            pcm, replace(spec, mono=False, false_stereo=False))
     if spec.false_stereo:
         pcm = pcm[:, :1]
     return b"".join(encode_blocks_device(pcm, spec))

@@ -243,3 +243,66 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
             block = add_block_checksum(block, spec.block_checksum)
         out.append(block)
     return out
+
+
+def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
+                               channel_mask: int | None = None) -> bytes:
+    """Device encode of a >2ch segment (INITIAL..FINAL stream runs with
+    ID_CHANNEL_INFO, like testgen.multichannel.encode_multichannel).
+    Each stream's blocks are one device lane batch; streams are encoded
+    independently (self-seeded) and their blocks interleaved per time
+    window."""
+    from ..container.header import HEADER_SIZE
+    from ..testgen.multichannel import (_inject_metadata,
+                                        _set_segment_flags, split_streams)
+
+    n, nch = pcm.shape
+    assert nch > 2
+    widths = split_streams(nch)
+    if channel_mask is None:
+        channel_mask = (1 << nch) - 1
+
+    from dataclasses import replace
+    stream_blocks = []
+    off = 0
+    for w in widths:
+        sspec = replace(spec, mono=(w == 1), false_stereo=False,
+                        block_checksum=0, md5=False)
+        if w == 1 and any(t < 0 for t in sspec.terms):
+            keep = [(t, d) for t, d in zip(sspec.terms, sspec.deltas)
+                    if t > 0] or [(2, 2)]
+            sspec = replace(sspec, terms=tuple(t for t, _ in keep),
+                            deltas=tuple(d for _, d in keep))
+        stream_blocks.append(encode_blocks_device(
+            pcm[:, off:off + w], sspec))
+        off += w
+
+    chan_info = bytes([nch]) + channel_mask.to_bytes(
+        max(1, (channel_mask.bit_length() + 7) // 8), "little")
+    digest = None
+    if spec.md5:
+        import hashlib
+
+        from ..io.pcm import format_samples
+        digest = hashlib.md5(format_samples(
+            pcm, spec.bytes_stored)).digest()
+
+    out = bytearray()
+    nwin = len(stream_blocks[0])
+    for win in range(nwin):
+        for si in range(len(widths)):
+            blk = stream_blocks[si][win]
+            blk = _set_segment_flags(blk, initial=(si == 0),
+                                     final=(si == len(widths) - 1))
+            if win == 0 and si == 0:
+                blk = _inject_metadata(
+                    blk, mkmeta(consts.ID_CHANNEL_INFO, chan_info))
+            if digest is not None and win == nwin - 1 \
+                    and si == len(widths) - 1:
+                blk = _inject_metadata(
+                    blk, mkmeta(consts.ID_MD5_CHECKSUM, digest))
+            if spec.block_checksum:
+                from ..container.checksum import add_block_checksum
+                blk = add_block_checksum(blk, spec.block_checksum)
+            out += blk
+    return bytes(out)
