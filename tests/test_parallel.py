@@ -165,3 +165,22 @@ def test_sharded_decode_states_matches_single_chip():
         assert s.crc == m.crc
         assert s.mute_error == m.mute_error
         assert s.crc_error == m.crc_error
+
+
+def test_sharded_device_encode():
+    """Device ENCODE lane-sharded over the mesh: identical blocks to the
+    unsharded path (and therefore oracle-exact), uneven lane count."""
+    from wvpk.encode import build_spec
+    from wvpk.engine.device_encoder import encode_blocks_device
+    from wvpk.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    t = np.arange(11 * 300)          # 11 blocks: 11 % 8 != 0
+    s = 4000 * np.sin(2 * np.pi * t / 83.0)
+    pcm = np.round(np.stack([s, s * 0.6], 1)
+                   + rng.normal(0, 100, (t.size, 2))).astype(np.int64)
+    spec = build_spec(pcm, block_samples=300)
+    mesh = make_mesh(8)
+    sharded = encode_blocks_device(pcm, spec, mesh=mesh)
+    plain = encode_blocks_device(pcm, spec)
+    assert sharded == plain

@@ -104,7 +104,8 @@ def _final_flush(pvalid, poc, pbits, pnb):
     return tails
 
 
-def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
+def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
+                         mesh=None) -> list[bytes]:
     """Encode PCM into WavPack blocks with the device kernels.
 
     Restrictions (fall back to the host encoders otherwise): lossless
@@ -160,15 +161,20 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
         med0[i, 1] = w.c[1].median
         metas.append((tmd, wmd, smd, emd))
 
-    # device: residuals, then the entropy word automaton
-    res = np.asarray(decorr_invert(
-        np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32)),
-        terms16, deltas16, nt, mono=mono))            # (T, L, C)
-    words = res.transpose(0, 2, 1).reshape(T * C, L)  # interleaved words
+    # device: residuals, then the entropy word automaton (optionally
+    # lane-sharded over a jax.sharding.Mesh — pure data parallelism)
+    targ_d = np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32))
     nvals = nsamp * C
+    if mesh is not None:
+        from ..parallel.mesh import sharded_encode_scans
+        segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
+                                    nvals, mesh, mono=mono)
+    else:
+        res = decorr_invert(targ_d, terms16, deltas16, nt, mono=mono)
+        words = res.transpose(0, 2, 1).reshape(T * C, L)
+        segs = entropy_encode_words(words, med0, nvals, mono=mono)
     (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
-     pnb) = (np.asarray(x) for x in entropy_encode_words(
-         words, med0, nvals, mono=mono))
+     pnb) = (np.asarray(x) for x in segs)
 
     payloads = pack_segments(sa_lo, sa_hi, sa_len, sb_bits, sb_len,
                              _final_flush(pvalid, poc, pbits, pnb))

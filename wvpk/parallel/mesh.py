@@ -196,3 +196,48 @@ def shard_lanes_call(fn, args, mesh: Mesh, out_lane_axes: tuple[int, ...]):
                     for d in range(r.ndim))
         out.append(r[idx])
     return tuple(out)
+
+
+def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
+                         mesh: Mesh, *, mono: bool):
+    """Run the device ENCODE scans (ops/encode_kernels.py) lane-sharded
+    over the mesh: pure data parallelism like decode — blocks are
+    independent lanes (fresh-seeded), zero hot-path collectives. Lanes
+    padded to a mesh multiple by replicating lane 0; outputs unpadded.
+    Returns the same 9-tuple as entropy_encode_words (segments + final
+    pending state)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.encode_kernels import decorr_invert, entropy_encode_words
+
+    n = mesh.devices.size
+    T, L, C = targ.shape
+    L_pad = ((L + n - 1) // n) * n
+
+    def padl(a, axis):
+        a = np.asarray(a)
+        if L_pad == L:
+            return a
+        reps = np.repeat(np.take(a, [0], axis=axis), L_pad - L, axis=axis)
+        return np.concatenate([a, reps], axis=axis)
+
+    args = (padl(targ, 1), padl(terms, 0), padl(deltas, 0),
+            padl(num_terms, 0), padl(med0, 0), padl(nvals, 0))
+    specs = (P(None, LANE_AXIS, None), P(LANE_AXIS, None),
+             P(LANE_AXIS, None), P(LANE_AXIS),
+             P(LANE_AXIS, None, None), P(LANE_AXIS))
+    args = [jax.device_put(a, NamedSharding(mesh, s))
+            for a, s in zip(args, specs)]
+
+    def fn(tg, tm, dl, nt, md, nv):
+        res = decorr_invert(tg, tm, dl, nt, mono=mono)
+        words = res.transpose(0, 2, 1).reshape(T * C, tg.shape[1])
+        return entropy_encode_words(words, md, nv, mono=mono)
+
+    out_specs = tuple([P(None, LANE_AXIS)] * 5 + [P(LANE_AXIS)] * 4)
+    sharded = shard_map(partial(fn), mesh=mesh, in_specs=specs,
+                        out_specs=out_specs, check_rep=False)
+    res = jax.jit(sharded)(*args)
+    return tuple(r[:, :L] if r.ndim == 2 else r[:L] for r in res)
