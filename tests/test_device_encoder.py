@@ -133,6 +133,27 @@ def test_correlated_channels_mag_and_odd_payload():
         == encode_file(pcm[:512], spec)
 
 
+def test_warmup_seeding_roundtrip_and_smaller():
+    """Warm seeding (adapt decorr state over the block's first K
+    samples, store the quantized state in metadata) must roundtrip
+    exactly and compress better than fresh seeds."""
+    from wvpk.encode import build_spec
+    rng = np.random.default_rng(21)
+    t = np.arange(6000)
+    s = 6000 * np.sin(2 * np.pi * t / 101.0) + rng.normal(0, 150, t.size)
+    pcm = np.round(np.stack([s, s * 0.7], 1)).astype(np.int64)
+    spec = build_spec(pcm, block_samples=1000, preset="high", md5=False)
+    cold = b"".join(encode_blocks_device(pcm, spec, warmup=0))
+    warm = b"".join(encode_blocks_device(pcm, spec, warmup=256))
+    assert len(warm) < len(cold)
+    oracle_roundtrip(warm, pcm)
+    # mono + negative-term-free chain through the warm path too
+    mono = pcm[:, :1]
+    mspec = build_spec(mono, block_samples=1000, preset="high", md5=False)
+    oracle_roundtrip(b"".join(encode_blocks_device(mono, mspec,
+                                                   warmup=256)), mono)
+
+
 def test_public_encode_device():
     pcm = sig(1500, 2, seed=5)
     data = encode_device(pcm, block_samples=512, preset="high")

@@ -144,21 +144,29 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     stays on the host path) — those options raise ValueError here; use
     `encode` instead. >2ch emits a multichannel segment with each
     stream's blocks as one lane batch.
+
+    warmup (default 512, 0 disables): adapt each block's decorr state
+    over its own first `warmup` samples on device, then seed the block
+    with the quantized warm state — recovers the fresh-seed compression
+    cost (within ~0.1% of the host encoder's carried-state ratio at
+    512) while keeping blocks independent lanes.
     """
     from dataclasses import replace
 
     from .engine.device_encoder import (encode_blocks_device,
                                         encode_multichannel_device)
+    warmup = options.pop("warmup", 512)
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     spec = build_spec(pcm, **options)
     if pcm.shape[1] > 2:
         return encode_multichannel_device(
-            pcm, replace(spec, mono=False, false_stereo=False))
+            pcm, replace(spec, mono=False, false_stereo=False),
+            warmup=warmup)
     if spec.false_stereo:
         pcm = pcm[:, :1]
-    return b"".join(encode_blocks_device(pcm, spec))
+    return b"".join(encode_blocks_device(pcm, spec, warmup=warmup))
 
 
 def encode(pcm: np.ndarray, **options) -> bytes:

@@ -104,8 +104,20 @@ def _final_flush(pvalid, poc, pbits, pnb):
     return tails
 
 
+def _zero_underived_slots(p) -> None:
+    """Zero the ring slots the decoder does NOT derive from metadata.
+    They are write-before-read in the scan (ring terms read slot k at
+    sample k, which is written at sample k-term for k >= term), so this
+    only normalizes state — outputs are unchanged."""
+    t = p.term
+    keep = 2 if t > consts.MAX_TERM else (1 if t < 0 else t)
+    for k in range(keep, consts.MAX_TERM):
+        p.sa[k] = 0
+        p.sb[k] = 0
+
+
 def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
-                         mesh=None) -> list[bytes]:
+                         mesh=None, warmup: int = 0) -> list[bytes]:
     """Encode PCM into WavPack blocks with the device kernels.
 
     Restrictions (fall back to the host encoders otherwise): lossless
@@ -142,35 +154,76 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
             blk = np.stack([sd, (blk[:, 1] + (sd >> 1)).astype(np.int32)], 1)
         targ[i, :blk.shape[0]] = blk
 
-    # fresh per-block seeds: metadata + the quantized medians the
-    # entropy kernel must use (exactly what the decoder will derive)
     terms16 = np.zeros((L, 16), np.int32)
     deltas16 = np.zeros((L, 16), np.int32)
     nt = np.full(L, len(spec.terms), np.int32)
     terms16[:, :len(spec.terms)] = spec.terms
     deltas16[:, :len(spec.terms)] = spec.deltas
+    targ_d = np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32))
+
+    # per-block seeds: fresh (zeros) or WARM — adapt the decorr state
+    # over the block's own first `warmup` samples on device, quantize it
+    # exactly like the metadata stores it, and seed the main scan with
+    # the decoder-derived values (a lookahead-adaptation strategy that
+    # recovers most of the fresh-seed compression cost while keeping
+    # blocks independent lanes)
+    np_ = len(spec.terms)
+    wfa = wfb = np.zeros((L, 16), np.int64)
+    hfa = hfb = np.zeros((L, 16, 8), np.int64)
+    if warmup > 0 and mesh is None and np_ > 0:
+        from ..ops.encode_kernels import decorr_invert_warm
+        K = min(warmup, T)
+        _, (wa_f, wb_f, ha_f, hb_f) = decorr_invert_warm(
+            targ_d[:K], terms16, deltas16, nt,
+            wfa, wfb, hfa, hfb, mono=mono, with_state=True)
+        m_fin = K & 7
+        rot = (np.arange(8) + m_fin) & 7          # _rotate_ring order
+        wfa, wfb = np.asarray(wa_f), np.asarray(wb_f)
+        hfa = np.asarray(ha_f)[:, :, rot]
+        hfb = np.asarray(hb_f)[:, :, rot]
+        warm = True
+    else:
+        warm = False
+
     med0 = np.zeros((L, 2, 3), np.int64)
+    w0a = np.zeros((L, 16), np.int64)
+    w0b = np.zeros((L, 16), np.int64)
+    h0a = np.zeros((L, 16, 8), np.int64)
+    h0b = np.zeros((L, 16, 8), np.int64)
     metas = []
     for i, s0 in enumerate(starts):
         passes = [EncPass(t, d) for t, d in zip(spec.terms, spec.deltas)]
+        if warm:
+            for j, p in enumerate(passes):
+                p.wa, p.wb = int(wfa[i, j]), int(wfb[i, j])
+                p.sa = [int(x) for x in hfa[i, j]]
+                p.sb = [int(x) for x in hfb[i, j]]
         w = _make_words_state(spec, _auto_medians(
             _stored_domain(pcm[s0:s0 + bs], spec)))
         tmd, wmd, smd = _quantize_decorr(passes, mono)
         emd = _quantize_entropy(w, mono)      # quantizes w's medians too
+        if warm:
+            for j, p in enumerate(passes):
+                _zero_underived_slots(p)
+                w0a[i, j], w0b[i, j] = p.wa, p.wb
+                h0a[i, j] = p.sa
+                h0b[i, j] = p.sb
         med0[i, 0] = w.c[0].median
         med0[i, 1] = w.c[1].median
         metas.append((tmd, wmd, smd, emd))
 
     # device: residuals, then the entropy word automaton (optionally
-    # lane-sharded over a jax.sharding.Mesh — pure data parallelism)
-    targ_d = np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32))
+    # lane-sharded over a jax.sharding.Mesh — pure data parallelism;
+    # the sharded path encodes fresh-seeded, warmup needs mesh=None)
     nvals = nsamp * C
     if mesh is not None:
         from ..parallel.mesh import sharded_encode_scans
         segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
                                     nvals, mesh, mono=mono)
     else:
-        res = decorr_invert(targ_d, terms16, deltas16, nt, mono=mono)
+        from ..ops.encode_kernels import decorr_invert_warm
+        res = decorr_invert_warm(targ_d, terms16, deltas16, nt,
+                                 w0a, w0b, h0a, h0b, mono=mono)
         words = res.transpose(0, 2, 1).reshape(T * C, L)
         segs = entropy_encode_words(words, med0, nvals, mono=mono)
     (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
@@ -252,7 +305,8 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
 
 
 def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
-                               channel_mask: int | None = None) -> bytes:
+                               channel_mask: int | None = None,
+                               warmup: int = 0) -> bytes:
     """Device encode of a >2ch segment (INITIAL..FINAL stream runs with
     ID_CHANNEL_INFO, like testgen.multichannel.encode_multichannel).
     Each stream's blocks are one device lane batch; streams are encoded
@@ -280,7 +334,7 @@ def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
             sspec = replace(sspec, terms=tuple(t for t, _ in keep),
                             deltas=tuple(d for _, d in keep))
         stream_blocks.append(encode_blocks_device(
-            pcm[:, off:off + w], sspec))
+            pcm[:, off:off + w], sspec, warmup=warmup))
         off += w
 
     chan_info = bytes([nch]) + channel_mask.to_bytes(

@@ -44,7 +44,6 @@ I64 = jnp.int64
 U64 = jnp.uint64
 
 
-@partial(jax.jit, static_argnames=("mono",))
 def decorr_invert(targets, terms, deltas, num_terms, *, mono: bool):
     """Peel all passes off joint-domain targets -> entropy residuals.
 
@@ -53,6 +52,30 @@ def decorr_invert(targets, terms, deltas, num_terms, *, mono: bool):
     State seeds fresh (zero weights, zero history, m=0) — the device
     encoder's per-block contract. Returns (T, L, C) int32 residuals.
     """
+    L = targets.shape[1]
+    z16 = jnp.zeros((L, 16), jnp.int64)
+    z168 = jnp.zeros((L, 16, 8), jnp.int64)
+    return _decorr_invert(targets, terms, deltas, num_terms,
+                          z16, z16, z168, z168, mono=mono,
+                          with_state=False)
+
+
+def decorr_invert_warm(targets, terms, deltas, num_terms,
+                       w0a, w0b, h0a, h0b, *, mono: bool,
+                       with_state: bool = False):
+    """decorr_invert with explicit initial weights (L, 16) and history
+    rings (L, 16, 8) — the decoder-derived (quantized) warm state. With
+    with_state=True also returns the final (wa, wb, sa, sb) in the same
+    layouts (ring positions relative to m = T mod 8; rotate like
+    _rotate_ring before storing)."""
+    return _decorr_invert(targets, terms, deltas, num_terms,
+                          w0a, w0b, h0a, h0b, mono=mono,
+                          with_state=with_state)
+
+
+@partial(jax.jit, static_argnames=("mono", "with_state"))
+def _decorr_invert(targets, terms, deltas, num_terms, w0a, w0b, h0a, h0b,
+                   *, mono: bool, with_state: bool):
     T, L, C = targets.shape
     terms_t = terms.astype(I64).T                      # (16, L)
     deltas_t = deltas.astype(I64).T
@@ -206,14 +229,20 @@ def decorr_invert(targets, terms, deltas, num_terms, *, mono: bool):
             apply, ra, (wa, sa_r, jnp.arange(16, dtype=jnp.int32)))
         return (wa, sa_r), ra[:, None].astype(jnp.int32)
 
-    w0 = jnp.zeros((16, L), I64)
-    h0 = jnp.zeros((16, L, 8), I64)
+    wa0 = w0a.astype(I64).T
+    ha0 = h0a.astype(I64).transpose(1, 0, 2)
     xs = (jnp.arange(T, dtype=jnp.int32), targets)
     if mono:
-        _, res = jax.lax.scan(step_mono, (w0, h0), xs)
+        fin, res = jax.lax.scan(step_mono, (wa0, ha0), xs)
+        state = (fin[0].T, fin[0].T, fin[1].transpose(1, 0, 2),
+                 fin[1].transpose(1, 0, 2))
     else:
-        _, res = jax.lax.scan(step_stereo, (w0, w0, h0, h0), xs)
-    return res
+        wb0 = w0b.astype(I64).T
+        hb0 = h0b.astype(I64).transpose(1, 0, 2)
+        fin, res = jax.lax.scan(step_stereo, (wa0, wb0, ha0, hb0), xs)
+        state = (fin[0].T, fin[1].T, fin[2].transpose(1, 0, 2),
+                 fin[3].transpose(1, 0, 2))
+    return (res, state) if with_state else res
 
 
 # ---------------------------------------------------------------------------
