@@ -36,6 +36,12 @@ def pack_segments(seg_lo, seg_hi, seg_len, segb_bits, segb_len,
     within the step). tail_bits_list: per-lane (bits_bytes, nbits) final
     flush appended at the end. Returns list of payload bytes per lane.
     """
+    from .. import native as _native
+    res = _native.pack_lanes_native(seg_lo, seg_hi, seg_len, segb_bits,
+                                    segb_len, tail_bits_list)
+    if res is not None:
+        return res
+
     W, L = seg_len.shape
     lens = np.stack([seg_len, segb_len], axis=1).astype(np.int64)  # (W,2,L)
     flat = lens.transpose(2, 0, 1).reshape(L, W * 2)               # (L, 2W)
@@ -43,45 +49,60 @@ def pack_segments(seg_lo, seg_hi, seg_len, segb_bits, segb_len,
     np.cumsum(flat[:, :-1], axis=1, out=offs[:, 1:])
     total = flat.sum(axis=1)                                       # (L,)
 
-    out = []
-    lo_t = seg_lo.T.astype(np.uint64)        # (L, W)
-    hi_t = seg_hi.T.astype(np.uint64)
-    bb_t = segb_bits.T.astype(np.uint64)
-    offs_a = offs[:, 0::2]
-    offs_b = offs[:, 1::2]
-    len_a = seg_len.T
-    len_b = segb_len.T
-    for lane in range(L):
-        tail_bytes, tail_nbits = tail_bits_list[lane]
-        nbits = int(total[lane]) + tail_nbits
-        nwords = (nbits + 63) // 64 + 2
-        buf = np.zeros(nwords, np.uint64)
-        for offs_l, lo_l, hi_l, ln_l in (
-                (offs_a[lane], lo_t[lane], hi_t[lane], len_a[lane]),
-                (offs_b[lane], bb_t[lane],
-                 np.zeros(W, np.uint64), len_b[lane])):
-            m = ln_l > 0
-            if not m.any():
-                continue
-            pos = offs_l[m]
-            lo = lo_l[m]
-            hi = hi_l[m]
-            wi = (pos >> 6).astype(np.int64)
-            sh = (pos & 63).astype(np.uint64)
-            inv = np.where(sh > 0, np.uint64(64) - sh, np.uint64(0))
-            np.bitwise_or.at(buf, wi, lo << sh)
-            carry1 = np.where(sh > 0, lo >> inv, np.uint64(0)) | (hi << sh)
-            np.bitwise_or.at(buf, wi + 1, carry1)
-            np.bitwise_or.at(buf, wi + 2,
-                             np.where(sh > 0, hi >> inv, np.uint64(0)))
-        # append the final pending flush bit-by-byte (host BitWriter bits)
-        base = int(total[lane])
-        for k in range(tail_nbits):
-            if (tail_bytes[k >> 3] >> (k & 7)) & 1:
-                p = base + k
-                buf[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
-        out.append(buf.tobytes()[:(nbits + 7) // 8])
-    return out
+    # tails as one more (lo, hi, len) segment per lane at offset total
+    tail_lo = np.zeros(L, np.uint64)
+    tail_hi = np.zeros(L, np.uint64)
+    tail_len = np.zeros(L, np.int32)
+    for lane, (tb, tn) in enumerate(tail_bits_list):
+        if tn:
+            v = int.from_bytes(tb, "little")
+            tail_lo[lane] = v & 0xFFFFFFFFFFFFFFFF
+            tail_hi[lane] = v >> 64
+            tail_len[lane] = tn
+
+    nbits = total + tail_len
+    nwords = int(nbits.max() + 63) // 64 + 2 if L else 0
+    size = L * nwords
+    acc = np.zeros(size, np.uint64)
+
+    # one global scatter over all (lane, segment) pairs. Every payload
+    # bit is written exactly once, so OR == ADD, and each uint64 word
+    # splits into two 32-bit halves whose sums stay < 2^32 — exact in
+    # float64 — letting np.bincount (fast C path) do the accumulation
+    # instead of the unbuffered np.bitwise_or.at.
+    def scatter(idx, vals):
+        lo32 = np.bincount(idx, weights=(vals & np.uint64(0xFFFFFFFF))
+                           .astype(np.float64), minlength=size)
+        hi32 = np.bincount(idx, weights=(vals >> np.uint64(32))
+                           .astype(np.float64), minlength=size)
+        np.add(acc, lo32.astype(np.uint64)
+               + (hi32.astype(np.uint64) << np.uint64(32)), out=acc)
+
+    for offs_x, lo_x, hi_x, len_x in (
+            (offs[:, 0::2], seg_lo.T.astype(np.uint64),
+             seg_hi.T.astype(np.uint64), seg_len.T),
+            (offs[:, 1::2], segb_bits.T.astype(np.uint64),
+             np.zeros((L, W), np.uint64), segb_len.T),
+            (total[:, None], tail_lo[:, None], tail_hi[:, None],
+             tail_len[:, None])):
+        m = len_x > 0
+        if not m.any():
+            continue
+        lane_idx = np.nonzero(m)[0]
+        pos = np.asarray(offs_x)[m]
+        lo = lo_x[m]
+        hi = hi_x[m]
+        wi = lane_idx * nwords + (pos >> 6)
+        sh = (pos & 63).astype(np.uint64)
+        inv = np.where(sh > 0, np.uint64(64) - sh, np.uint64(0))
+        scatter(wi, lo << sh)
+        scatter(wi + 1, np.where(sh > 0, lo >> inv, np.uint64(0))
+                | (hi << sh))
+        scatter(wi + 2, np.where(sh > 0, hi >> inv, np.uint64(0)))
+
+    buf = acc.reshape(L, nwords)
+    return [buf[lane].tobytes()[:(int(nbits[lane]) + 7) // 8]
+            for lane in range(L)]
 
 
 def _final_flush(pvalid, poc, pbits, pnb):

@@ -205,3 +205,46 @@ def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
         return None
     nbytes = (int(bitlen.value) + 7) // 8
     return buf.raw[:nbytes], decoded
+
+
+def pack_lanes_native(sa_lo, sa_hi, sa_len, sb_bits, sb_len, tails):
+    """C packing of the device-encoder's (W, L) segment arrays into
+    per-lane payload bytes; None -> numpy fallback."""
+    lib = get_encode_lib()
+    if lib is None or not hasattr(lib, "wvpk_pack_lane"):
+        return None
+    if not hasattr(lib, "_pack_sig"):
+        lib.wvpk_pack_lane.restype = ctypes.c_long
+        lib.wvpk_pack_lane.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int64)]
+        lib._pack_sig = True
+    W, L = sa_len.shape
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    a_lo = np.ascontiguousarray(sa_lo.T, np.uint64)    # (L, W) rows
+    a_hi = np.ascontiguousarray(sa_hi.T, np.uint64)
+    a_ln = np.ascontiguousarray(sa_len.T, np.int32)
+    b_bits = np.ascontiguousarray(sb_bits.T, np.uint64)
+    b_ln = np.ascontiguousarray(sb_len.T, np.int32)
+    total = (a_ln.sum(axis=1, dtype=np.int64)
+             + b_ln.sum(axis=1, dtype=np.int64))
+    out = []
+    for lane in range(L):
+        tb, tn = tails[lane]
+        cap = (int(total[lane] + tn) // 8 + 24) & ~7
+        buf = ctypes.create_string_buffer(cap)
+        bl = ctypes.c_int64(0)
+        rc = lib.wvpk_pack_lane(
+            a_lo[lane].ctypes.data_as(u64p), a_hi[lane].ctypes.data_as(u64p),
+            a_ln[lane].ctypes.data_as(i32p),
+            b_bits[lane].ctypes.data_as(u64p),
+            b_ln[lane].ctypes.data_as(i32p), W,
+            bytes(tb), tn, buf, cap, ctypes.byref(bl))
+        if rc != 0:
+            return None
+        out.append(buf.raw[:(int(bl.value) + 7) // 8])
+    return out

@@ -700,3 +700,53 @@ long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
     *bitlen_out = b.pos;
     return 0;
 }
+
+/* ---------------- segment packing (device-encoder post-pass) --------- */
+
+/* append nb bits word-at-a-time (vs the encoder's per-bit putbit) */
+static void append_bits(bw_t *b, uint64_t v, int nb)
+{
+    if (nb <= 0)
+        return;
+    if (b->pos + nb > b->cap_bits) { b->err = 1; return; }
+    long wi = b->pos >> 6;
+    int sh = (int)(b->pos & 63);
+    uint64_t *w = (uint64_t *)b->buf;
+    w[wi] |= v << sh;
+    if (sh + nb > 64)
+        w[wi + 1] |= v >> (64 - sh);
+    b->pos += nb;
+}
+
+/* Concatenate one lane's variable-length bit segments (contiguous (W,)
+ * rows of the transposed segment arrays) plus the final pending flush
+ * into an LSB-first byte payload. out must be zeroed, 8-byte padded. */
+long wvpk_pack_lane(const uint64_t *sa_lo, const uint64_t *sa_hi,
+                    const int32_t *sa_len, const uint64_t *sb_bits,
+                    const int32_t *sb_len, long W,
+                    const uint8_t *tail, long tail_bits,
+                    uint8_t *out, long cap_bytes, int64_t *bitlen_out)
+{
+    bw_t b;
+    b.buf = out;
+    b.cap_bits = ((int64_t)cap_bytes - 8) * 8;  /* word-write headroom */
+    b.pos = 0;
+    b.err = 0;
+    for (long i = 0; i < W; i++) {
+        int la = sa_len[i];
+        if (la > 0) {
+            append_bits(&b, sa_lo[i], la < 64 ? la : 64);
+            if (la > 64)
+                append_bits(&b, sa_hi[i], la - 64);
+        }
+        int lb = sb_len[i];
+        if (lb > 0)
+            append_bits(&b, sb_bits[i], lb);
+    }
+    for (long t = 0; t < tail_bits; t++)
+        putbit(&b, (tail[t >> 3] >> (t & 7)) & 1);
+    if (b.err)
+        return -1;
+    *bitlen_out = b.pos;
+    return 0;
+}
