@@ -55,7 +55,7 @@ def pack_segments(seg_lo, seg_hi, seg_len, segb_bits, segb_len,
     tail_len = np.zeros(L, np.int32)
     for lane, (tb, tn) in enumerate(tail_bits_list):
         if tn:
-            v = int.from_bytes(tb, "little")
+            v = int.from_bytes(tb, "little") & ((1 << tn) - 1)
             tail_lo[lane] = v & 0xFFFFFFFFFFFFFFFF
             tail_hi[lane] = v >> 64
             tail_len[lane] = tn
