@@ -158,8 +158,9 @@ def test_public_encode_device():
     pcm = sig(1500, 2, seed=5)
     data = encode_device(pcm, block_samples=512, preset="high")
     oracle_roundtrip(data, pcm)
+    # wide 32-bit content routes through wvx — host-only path
     with pytest.raises(ValueError):
-        encode_device(pcm, hybrid=True)
+        encode_device((pcm * (1 << 14)) | 1, bytes_per_sample=4)
 
 
 def test_encode_device_multichannel():
@@ -191,3 +192,103 @@ def test_encode_device_multichannel():
         assert api.WavpackUnpackSamples(wpc, buf, n) == n
         np.testing.assert_array_equal(buf.reshape(n, 5), pcm)
         assert api.WavpackGetMD5Sum(wpc) is not None
+
+
+# ---------------------------------------------------------------------------
+# hybrid (lossy): fused reconstruction-feedback scan
+# ---------------------------------------------------------------------------
+
+def hybrid_roundtrip(data, pcm):
+    """Decode on both paths, assert CRC-clean + path agreement; return
+    the lossy reconstruction."""
+    outs = []
+    blocks = parse_blocks(data)
+    for b in blocks:
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        outs.append(r.samples)
+    got = np.concatenate(outs)
+    dev = decode_states([b.state for b in blocks])
+    for d, o in zip(dev, outs):
+        assert not d.crc_error
+        np.testing.assert_array_equal(d.samples, o)
+    return got
+
+
+def noisy(n, ch, seed, scale=6000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    return np.clip(np.round(scale * np.sin(2 * np.pi * t / 89.0)
+                            + rng.normal(0, scale / 8, (n, ch))),
+                   -32768, 32767).astype(np.int64)
+
+
+@pytest.mark.parametrize("case", ["stereo", "mono", "balance", "nobitrate"])
+def test_hybrid_single_block_byte_identical_to_host(case):
+    """Fresh-seeded single hybrid block == host encoder byte-for-byte
+    (noisy content keeps medians off the zero-run gates, where the
+    device's z=0 policy would diverge)."""
+    mono = case == "mono"
+    pcm = noisy(700, 1 if mono else 2, seed=hash(case) % 1000)
+    spec = EncodeSpec(block_samples=1024, mono=mono, joint=not mono,
+                      terms=(18, 2) if mono else (18, 17, 2),
+                      deltas=(2, 2) if mono else (2, 2, 2),
+                      hybrid=True,
+                      hybrid_bitrate=case != "nobitrate",
+                      hybrid_balance=case == "balance",
+                      bitrate=420, md5=False)
+    assert encode_blocks_device(pcm, spec, warmup=0)[0] \
+        == encode_file(pcm, spec)
+
+
+def test_hybrid_multiblock_decodes_on_both_paths():
+    pcm = noisy(4200, 2, seed=77)
+    spec = EncodeSpec(block_samples=1024, joint=True, terms=(18, 17, 2),
+                      deltas=(2, 2, 2), hybrid=True, hybrid_bitrate=True,
+                      bitrate=512, md5=False)
+    got = hybrid_roundtrip(b"".join(
+        encode_blocks_device(pcm, spec, warmup=0)), pcm)
+    # lossy but close: the error-limit search bounds per-word error
+    rms_s = np.sqrt((pcm.astype(float) ** 2).mean())
+    rms_e = np.sqrt(((got - pcm).astype(float) ** 2).mean())
+    assert 20 * np.log10(rms_s / max(rms_e, 1e-9)) > 25  # dB
+
+
+def test_hybrid_silence_z0_policy():
+    """Digital silence hits the zero-run gate at every word; the device
+    emits gamma(0) + normal coding (never starts runs). Stream stays
+    valid and reconstructs exact zeros."""
+    pcm = np.zeros((2500, 2), np.int64)
+    spec = EncodeSpec(block_samples=1024, joint=True, terms=(18, 17, 2),
+                      deltas=(2, 2, 2), hybrid=True, hybrid_bitrate=True,
+                      bitrate=512, md5=False)
+    got = hybrid_roundtrip(b"".join(
+        encode_blocks_device(pcm, spec, warmup=0)), pcm)
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_hybrid_warmup_and_multichannel():
+    pcm = noisy(2048, 2, seed=91)
+    spec = EncodeSpec(block_samples=512, joint=True, terms=(18, 17, 2),
+                      deltas=(2, 2, 2), hybrid=True, hybrid_bitrate=True,
+                      bitrate=512, md5=False)
+    hybrid_roundtrip(b"".join(encode_blocks_device(pcm, spec, warmup=256)),
+                     pcm)
+    from dataclasses import replace
+
+    from wvpk.engine.device_encoder import encode_multichannel_device
+    pcm6 = noisy(1024, 6, seed=92)
+    hybrid_roundtrip(encode_multichannel_device(
+        pcm6, replace(spec, mono=False), warmup=0), pcm6)
+
+
+def test_hybrid_public_api_and_rejections():
+    from wvpk.encode import encode_device
+    pcm = noisy(1500, 2, seed=93)
+    blob = encode_device(pcm, hybrid=True, bitrate=512, block_samples=512)
+    hybrid_roundtrip(blob, pcm)
+    with pytest.raises(ValueError):
+        encode_blocks_device(
+            noisy(100, 2, 1),
+            EncodeSpec(block_samples=100, hybrid=True, hybrid_bitrate=True,
+                       float_data=True), warmup=0)

@@ -140,8 +140,11 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     decodes bit-exactly on all decoder paths; single-block files are
     byte-identical to the host `encode`.
 
-    Lossless only (hybrid couples the scans, and wide-32bit wvx routing
-    stays on the host path) — those options raise ValueError here; use
+    hybrid=True runs the fused lossy scan (peel -> error-limit coding ->
+    reconstruction-feedback apply, `hybrid_encode_scan`); hybrid blocks
+    never start zero-run escapes (~2 bits/word above the host encoder in
+    digital silence — see engine/device_encoder.py). Wide-32bit wvx
+    routing stays on the host path and raises ValueError here; use
     `encode` instead. >2ch emits a multichannel segment with each
     stream's blocks as one lane batch.
 

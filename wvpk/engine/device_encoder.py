@@ -1,9 +1,10 @@
-"""Device (TPU) lossless encode: block assembly around the encode kernels.
+"""Device (TPU) encode: block assembly around the encode kernels.
 
 `encode_blocks_device(pcm, spec)` produces standard WavPack block byte
-strings like `testgen.encoder.encode_blocks`, but runs the two hot loops
-(decorrelation inversion + entropy word coding) lane-parallel on device
-(ops/encode_kernels.py) with blocks as lanes. Each block is seeded fresh
+strings like `testgen.encoder.encode_blocks`, but runs the hot loops
+lane-parallel on device (ops/encode_kernels.py) with blocks as lanes —
+two scans for lossless (decorrelation inversion + entropy word coding),
+one fused reconstruction-feedback scan for hybrid. Each block is seeded fresh
 (zero decorr weights/history, block-local quantized medians), so blocks
 are independent — the same self-seeding property decode exploits
 (SURVEY §2.3). Output streams decode bit-exactly on every decoder path
@@ -22,7 +23,8 @@ import numpy as np
 from .. import consts
 from ..testgen.encoder import (EncodeSpec, EncPass, WordsState, _auto_medians,
                                _crc_fast, _make_words_state, _quantize_decorr,
-                               _quantize_entropy, _stored_domain, mkmeta)
+                               _quantize_entropy, _quantize_hybrid,
+                               _stored_domain, mkmeta)
 
 SEG_SLOTS = 2   # segment A (flush/run gamma) + segment B (immediate)
 
@@ -141,15 +143,28 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                          mesh=None, warmup: int = 0) -> list[bytes]:
     """Encode PCM into WavPack blocks with the device kernels.
 
-    Restrictions (fall back to the host encoders otherwise): lossless
-    plain/float/int32-zeros content (no hybrid, no wvx sidecar), stored
-    magnitudes < 2^27 (keeps medians in the non-wrapping regime the
-    kernels contract on).
+    Lossless: two scans (decorr inversion, entropy word coding).
+    Hybrid (lossy): one fused scan (`ops/encode_kernels.py::
+    hybrid_encode_scan`) — the lossy reconstruction feeds back into the
+    decorr state, so the stages cannot split. Hybrid blocks never start
+    zero-run escapes (each run gate emits gamma(0) and codes the word;
+    always a valid stream, ~2 bits/word above the host encoder in
+    digital silence — a documented tradeoff like fresh seeding).
+
+    Restrictions (fall back to the host encoders otherwise): no wvx
+    sidecar; hybrid excludes float/int32 content and the mesh path;
+    stored magnitudes < 2^27 (keeps medians in the non-wrapping regime
+    the kernels contract on).
     """
     from ..ops.encode_kernels import decorr_invert, entropy_encode_words
 
-    if spec.hybrid or spec.hybrid_bitrate or spec.int32_mode == "wvx":
-        raise ValueError("device encoder: lossless non-wvx only")
+    if spec.int32_mode == "wvx":
+        raise ValueError("device encoder: non-wvx only")
+    hybrid = bool(spec.hybrid)
+    if hybrid and (spec.float_data or spec.int32_mode is not None):
+        raise ValueError("device encoder: hybrid is plain-PCM only")
+    if hybrid and mesh is not None:
+        raise ValueError("device encoder: hybrid mesh path not supported")
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     assert pcm.shape[1] == spec.nch_data
@@ -207,6 +222,9 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         warm = False
 
     med0 = np.zeros((L, 2, 3), np.int64)
+    slow0 = np.zeros((L, 2), np.int64)
+    acc0 = np.zeros((L, 2), np.int64)
+    delta0 = np.zeros((L, 2), np.int64)
     w0a = np.zeros((L, 16), np.int64)
     w0b = np.zeros((L, 16), np.int64)
     h0a = np.zeros((L, 16, 8), np.int64)
@@ -223,6 +241,18 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
             _stored_domain(pcm[s0:s0 + bs], spec)))
         tmd, wmd, smd = _quantize_decorr(passes, mono)
         emd = _quantize_entropy(w, mono)      # quantizes w's medians too
+        hmd = None
+        if hybrid:
+            # quantizes w's slow_level/bitrate state too (encoder.py:504)
+            hmd = mkmeta(consts.ID_HYBRID_PROFILE,
+                         _quantize_hybrid(spec, w, mono))
+            if spec.version == 0x402:
+                # v4.02 hybrid prepends 2 bytes/channel that readers
+                # skip (UnpackUtils.cs:277-283)
+                smd = b"\x00\x00" * (1 if mono else 2) + smd
+            slow0[i] = (w.c[0].slow_level, w.c[1].slow_level)
+            acc0[i] = w.bitrate_acc
+            delta0[i] = w.bitrate_delta
         if warm:
             for j, p in enumerate(passes):
                 _zero_underived_slots(p)
@@ -231,13 +261,22 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                 h0b[i, j] = p.sb
         med0[i, 0] = w.c[0].median
         med0[i, 1] = w.c[1].median
-        metas.append((tmd, wmd, smd, emd))
+        metas.append((tmd, wmd, smd, emd, hmd))
 
     # device: residuals, then the entropy word automaton (optionally
     # lane-sharded over a jax.sharding.Mesh — pure data parallelism;
     # the sharded path encodes fresh-seeded, warmup needs mesh=None)
     nvals = nsamp * C
-    if mesh is not None:
+    recon = None
+    if hybrid:
+        from ..ops.encode_kernels import hybrid_encode_scan
+        out = hybrid_encode_scan(
+            targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
+            nvals, w0a, w0b, h0a, h0b, mono=mono,
+            hybrid_bitrate=bool(spec.hybrid_bitrate),
+            hybrid_balance=bool(spec.hybrid_balance))
+        segs, recon = out[:9], np.asarray(out[9]).astype(np.int64)
+    elif mesh is not None:
         from ..parallel.mesh import sharded_encode_scans
         segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
                                     nvals, mesh, mono=mono)
@@ -259,11 +298,12 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         total = n
     out = []
     for i, s0 in enumerate(starts):
-        tmd, wmd, smd, emd = metas[i]
+        tmd, wmd, smd, emd, hmd = metas[i]
         nb = int(nsamp[i])
         blk_targ = targ[i, :nb]
         # MAG from the PRE-joint stored values: the decoder's mute limit
-        # (2^mag + 2, UnpackUtils.cs:517) checks the joint-UNDONE values
+        # (2^mag + 2, UnpackUtils.cs:517; hybrid doubles it) checks the
+        # joint-UNDONE values
         blk_stored = stored[s0:s0 + nb]
         maxabs = int(np.max(np.abs(blk_stored))) if nb else 0
         flags = (spec.flags() | consts.INITIAL_BLOCK | consts.FINAL_BLOCK
@@ -272,6 +312,8 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                mkmeta(consts.ID_DECORR_WEIGHTS, wmd),
                mkmeta(consts.ID_DECORR_SAMPLES, smd),
                mkmeta(consts.ID_ENTROPY_VARS, emd)]
+        if hmd is not None:
+            mdl.append(hmd)
         if spec.float_data:
             mdl.append(mkmeta(consts.ID_FLOAT_INFO,
                               bytes([spec.float_flags, spec.float_shift,
@@ -310,11 +352,13 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         header[20:24] = nb.to_bytes(4, "little")
         header[24:28] = flags.to_bytes(4, "little")
         # lossless: decoded == targets, so the CRC is closed-form over
-        # the joint-undone targets (same as encoder.py's fast stamp)
-        final = blk_targ
+        # the joint-undone targets (same as encoder.py's fast stamp);
+        # hybrid: over the scan's lossy reconstruction (what the
+        # decoder's crc*3 accumulation sees, UnpackUtils.cs:577,626)
+        final = recon[:nb, i, :] if hybrid else blk_targ
         if not mono and (flags & consts.JOINT_STEREO):
-            r = (blk_targ[:, 1] - (blk_targ[:, 0] >> 1)).astype(np.int32)
-            left = (blk_targ[:, 0] + r).astype(np.int32)
+            r = (final[:, 1] - (final[:, 0] >> 1)).astype(np.int32)
+            left = (final[:, 0] + r).astype(np.int32)
             final = np.stack([left, r], 1)
         header[28:32] = _crc_fast(final).to_bytes(4, "little")
         block = bytes(header) + body
