@@ -184,3 +184,30 @@ def test_sharded_device_encode():
     sharded = encode_blocks_device(pcm, spec, mesh=mesh)
     plain = encode_blocks_device(pcm, spec)
     assert sharded == plain
+
+
+def test_sharded_device_encode_hybrid():
+    """The fused HYBRID encode scan lane-sharded over the mesh: identical
+    blocks to the unsharded scan, and the stream decodes clean (mute/CRC
+    free) on the single-chip decoder. Uneven lane count (5 % 8 != 0)."""
+    from wvpk.container import parse_blocks
+    from wvpk.encode import build_spec
+    from wvpk.engine.device_encoder import encode_blocks_device
+    from wvpk.ref import decode_block
+    from wvpk.parallel import make_mesh
+
+    rng = np.random.default_rng(11)
+    t = np.arange(5 * 256)
+    s = 6000 * np.sin(2 * np.pi * t / 61.0)
+    pcm = np.round(np.stack([s, s * 0.7], 1)
+                   + rng.normal(0, 300, (t.size, 2))).astype(np.int64)
+    spec = build_spec(pcm, block_samples=256, hybrid=True, bitrate=384)
+    mesh = make_mesh(8)
+    sharded = encode_blocks_device(pcm, spec, mesh=mesh)
+    assert sharded == encode_blocks_device(pcm, spec)
+    outs = [decode_block(blk.state)
+            for blk in parse_blocks(b"".join(sharded))]
+    assert not any(r.crc_error or r.mute_error for r in outs)
+    dec = np.concatenate([r.samples for r in outs])
+    # lossy: bounded error, not identity
+    assert np.abs(dec - pcm).max() < (1 << 12)

@@ -152,9 +152,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     digital silence — a documented tradeoff like fresh seeding).
 
     Restrictions (fall back to the host encoders otherwise): no wvx
-    sidecar; hybrid excludes float/int32 content and the mesh path;
-    stored magnitudes < 2^27 (keeps medians in the non-wrapping regime
-    the kernels contract on).
+    sidecar; hybrid excludes float/int32 content; stored magnitudes
+    < 2^27 (keeps medians in the non-wrapping regime the kernels
+    contract on). Both lossless and hybrid shard over a
+    `jax.sharding.Mesh` (pure lane data-parallelism; the sharded path
+    encodes fresh-seeded, warmup needs mesh=None).
     """
     from ..ops.encode_kernels import decorr_invert, entropy_encode_words
 
@@ -163,8 +165,6 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     hybrid = bool(spec.hybrid)
     if hybrid and (spec.float_data or spec.int32_mode is not None):
         raise ValueError("device encoder: hybrid is plain-PCM only")
-    if hybrid and mesh is not None:
-        raise ValueError("device encoder: hybrid mesh path not supported")
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     assert pcm.shape[1] == spec.nch_data
@@ -269,12 +269,20 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     nvals = nsamp * C
     recon = None
     if hybrid:
-        from ..ops.encode_kernels import hybrid_encode_scan
-        out = hybrid_encode_scan(
-            targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
-            nvals, w0a, w0b, h0a, h0b, mono=mono,
-            hybrid_bitrate=bool(spec.hybrid_bitrate),
-            hybrid_balance=bool(spec.hybrid_balance))
+        if mesh is not None:
+            from ..parallel.mesh import sharded_hybrid_encode_scan
+            out = sharded_hybrid_encode_scan(
+                targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
+                nvals, w0a, w0b, h0a, h0b, mesh, mono=mono,
+                hybrid_bitrate=bool(spec.hybrid_bitrate),
+                hybrid_balance=bool(spec.hybrid_balance))
+        else:
+            from ..ops.encode_kernels import hybrid_encode_scan
+            out = hybrid_encode_scan(
+                targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
+                nvals, w0a, w0b, h0a, h0b, mono=mono,
+                hybrid_bitrate=bool(spec.hybrid_bitrate),
+                hybrid_balance=bool(spec.hybrid_balance))
         segs, recon = out[:9], np.asarray(out[9]).astype(np.int64)
     elif mesh is not None:
         from ..parallel.mesh import sharded_encode_scans

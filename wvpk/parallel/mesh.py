@@ -241,3 +241,59 @@ def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
                         out_specs=out_specs, check_rep=False)
     res = jax.jit(sharded)(*args)
     return tuple(r[:, :L] if r.ndim == 2 else r[:L] for r in res)
+
+
+def sharded_hybrid_encode_scan(targ, terms, deltas, num_terms, med0,
+                               slow0, acc0, delta0, nvals, w0a, w0b,
+                               h0a, h0b, mesh: Mesh, *, mono: bool,
+                               hybrid_bitrate: bool, hybrid_balance: bool):
+    """Lane-shard the fused HYBRID encode scan (ops/encode_kernels.py::
+    hybrid_encode_scan) over the mesh. Same data-parallel structure as
+    the lossless path: each block is an independent lane (the lossy
+    reconstruction feedback is block-local), zero hot-path collectives.
+    Returns the scan's 10-tuple (9 segment/pending arrays + recon
+    (T, L, C)) unpadded."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.encode_kernels import hybrid_encode_scan
+
+    n = mesh.devices.size
+    L = targ.shape[1]
+    L_pad = ((L + n - 1) // n) * n
+
+    def padl(a, axis):
+        a = np.asarray(a)
+        if L_pad == L:
+            return a
+        reps = np.repeat(np.take(a, [0], axis=axis), L_pad - L, axis=axis)
+        return np.concatenate([a, reps], axis=axis)
+
+    raw = (padl(targ, 1), padl(terms, 0), padl(deltas, 0),
+           padl(num_terms, 0), padl(med0, 0), padl(slow0, 0),
+           padl(acc0, 0), padl(delta0, 0), padl(nvals, 0),
+           padl(w0a, 0), padl(w0b, 0), padl(h0a, 0), padl(h0b, 0))
+    specs = tuple(P(None, LANE_AXIS, None) if a.ndim == 3 and i == 0
+                  else P(LANE_AXIS, *([None] * (a.ndim - 1)))
+                  for i, a in enumerate(raw))
+    args = [jax.device_put(a, NamedSharding(mesh, s))
+            for a, s in zip(raw, specs)]
+
+    fn = partial(hybrid_encode_scan, mono=mono,
+                 hybrid_bitrate=hybrid_bitrate,
+                 hybrid_balance=hybrid_balance)
+    out_specs = tuple([P(None, LANE_AXIS)] * 5 + [P(LANE_AXIS)] * 4
+                      + [P(None, LANE_AXIS, None)])
+    sharded = shard_map(fn, mesh=mesh, in_specs=specs,
+                        out_specs=out_specs, check_rep=False)
+    res = jax.jit(sharded)(*args)
+    out = []
+    for r in res:
+        if r.ndim == 1:
+            out.append(r[:L])
+        elif r.ndim == 2:
+            out.append(r[:, :L])
+        else:
+            out.append(r[:, :L, :])
+    return tuple(out)
