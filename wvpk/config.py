@@ -43,6 +43,10 @@ class DecodeOptions:
     decorr_specialize: bool = True
     # DSD kernel selection (modes 1 and 3), same scheme
     dsd_kernel: str = "auto"
+    # device ENCODE kernel selection, same scheme ("auto" = Pallas on
+    # TPU for the lossless two-scan path; hybrid stays the XLA fused
+    # scan)
+    encode_kernel: str = "auto"
     # deliver PCM from the device as packed bytes (bytes_stored+1 wide)
     # instead of int32 samples when the bucket allows it: 2-4x smaller
     # device->host transfers on the API/CLI delivery path

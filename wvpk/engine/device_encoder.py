@@ -158,7 +158,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     `jax.sharding.Mesh` (pure lane data-parallelism; the sharded path
     encodes fresh-seeded, warmup needs mesh=None).
     """
-    from ..ops.encode_kernels import decorr_invert, entropy_encode_words
+    from ..ops.encode_select import invert_any, words_any
 
     if spec.int32_mode == "wvx":
         raise ValueError("device encoder: non-wvx only")
@@ -207,11 +207,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     wfa = wfb = np.zeros((L, 16), np.int64)
     hfa = hfb = np.zeros((L, 16, 8), np.int64)
     if warmup > 0 and mesh is None and np_ > 0:
-        from ..ops.encode_kernels import decorr_invert_warm
         K = min(warmup, T)
-        _, (wa_f, wb_f, ha_f, hb_f) = decorr_invert_warm(
+        _, (wa_f, wb_f, ha_f, hb_f) = invert_any(
             targ_d[:K], terms16, deltas16, nt,
-            wfa, wfb, hfa, hfb, mono=mono, with_state=True)
+            wfa, wfb, hfa, hfb, mono=mono, static_terms=tuple(spec.terms),
+            with_state=True)
         m_fin = K & 7
         rot = (np.arange(8) + m_fin) & 7          # _rotate_ring order
         wfa, wfb = np.asarray(wa_f), np.asarray(wb_f)
@@ -287,13 +287,14 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     elif mesh is not None:
         from ..parallel.mesh import sharded_encode_scans
         segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
-                                    nvals, mesh, mono=mono)
+                                    nvals, mesh, mono=mono,
+                                    static_terms=tuple(spec.terms))
     else:
-        from ..ops.encode_kernels import decorr_invert_warm
-        res = decorr_invert_warm(targ_d, terms16, deltas16, nt,
-                                 w0a, w0b, h0a, h0b, mono=mono)
+        res = invert_any(targ_d, terms16, deltas16, nt,
+                         w0a, w0b, h0a, h0b, mono=mono,
+                         static_terms=tuple(spec.terms))
         words = res.transpose(0, 2, 1).reshape(T * C, L)
-        segs = entropy_encode_words(words, med0, nvals, mono=mono)
+        segs = words_any(words, med0, nvals, mono=mono)
     (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
      pnb) = (np.asarray(x) for x in segs)
 

@@ -98,6 +98,68 @@ def _ring_write(ring, pos, val, mask, iota8):
     return jnp.where(onehot, val, ring)
 
 
+def _static_pass_apply(tv: int, dj, waj, wbj, ring_a, ring_b, va, vb,
+                       m_slot, iota8, mono: bool):
+    """One term-class-specialized decorr APPLY pass: the decode
+    recurrence over residuals (va, vb), updating weights and rings.
+    Shared by the decode kernel's static unroll and the encode kernel's
+    apply half (encode_pallas.py). Returns
+    (va', vb', wa', wb', ring_a', ring_b'); the b slots pass through
+    unchanged for mono."""
+    ra0 = ring_a[0:1, :]
+    if not mono:
+        rb0 = ring_b[0:1, :]
+    wb_n = wbj
+    ob = vb
+    if 1 <= tv <= consts.MAX_TERM:
+        sam_a = _ring_read(ring_a, m_slot, iota8)
+        oa = _pred(waj, sam_a) + va
+        wa_n = _upd(waj, dj, sam_a, va)
+        pos_slot = (m_slot + tv) & 7
+        ring_a = _ring_write(ring_a, pos_slot, oa, True, iota8)
+        if not mono:
+            sam_b = _ring_read(ring_b, m_slot, iota8)
+            ob = _pred(wbj, sam_b) + vb
+            wb_n = _upd(wbj, dj, sam_b, vb)
+            ring_b = _ring_write(ring_b, pos_slot, ob, True, iota8)
+    elif tv in (17, 18):
+        ra1 = ring_a[1:2, :]
+        sam_a = (2 * ra0 - ra1 if tv == 17 else (3 * ra0 - ra1) >> 1)
+        oa = _pred(waj, sam_a) + va
+        wa_n = _upd(waj, dj, sam_a, va)
+        ring_a = jnp.where(iota8 == 0, oa,
+                           jnp.where(iota8 == 1, ra0, ring_a))
+        if not mono:
+            rb1 = ring_b[1:2, :]
+            sam_b = (2 * rb0 - rb1 if tv == 17 else (3 * rb0 - rb1) >> 1)
+            ob = _pred(wbj, sam_b) + vb
+            wb_n = _upd(wbj, dj, sam_b, vb)
+            ring_b = jnp.where(iota8 == 0, ob,
+                               jnp.where(iota8 == 1, rb0, ring_b))
+    elif tv == -1:
+        oa = _pred(waj, ra0) + va
+        ob = _pred(wbj, oa) + vb
+        wa_n = _upd_clamp(waj, dj, ra0, va)
+        wb_n = _upd_clamp(wbj, dj, oa, vb)
+        ring_a = jnp.where(iota8 == 0, ob, ring_a)
+    elif tv == -2:
+        ob = _pred(wbj, rb0) + vb
+        oa = _pred(waj, ob) + va
+        wa_n = _upd_clamp(waj, dj, ob, va)
+        wb_n = _upd_clamp(wbj, dj, rb0, vb)
+        ring_b = jnp.where(iota8 == 0, oa, ring_b)
+    elif tv == -3:
+        oa = _pred(waj, ra0) + va
+        ob = _pred(wbj, rb0) + vb
+        wa_n = _upd_clamp(waj, dj, ra0, va)
+        wb_n = _upd_clamp(wbj, dj, rb0, vb)
+        ring_a = jnp.where(iota8 == 0, ob, ring_a)
+        ring_b = jnp.where(iota8 == 0, oa, ring_b)
+    else:
+        raise ValueError(f"bad static term {tv}")
+    return oa, ob, wa_n, wb_n, ring_a, ring_b
+
+
 def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
                    out_a_ref, out_b_ref, cf_ref, st, *, mono: bool,
                    npasses: int, chunk: int, lane_tile: int,
@@ -181,67 +243,14 @@ def _decorr_kernel(state0_ref, meta_ref, res_a_ref, res_b_ref,
                 # chain, so only this pass's term class is emitted (no
                 # per-class selects, no act mask, scalar ring slots) —
                 # ~2x fewer ops than the generic body on deep chains
-                tv = static_terms[k]
-                dj = deltas[k]
-                ra0 = ring_a[0:1, :]
-                if not mono:
-                    rb0 = ring_b[0:1, :]
-                if 1 <= tv <= consts.MAX_TERM:
-                    sam_a = _ring_read(ring_a, m_slot, iota8)
-                    oa = _pred(waj, sam_a) + va
-                    wa_n = _upd(waj, dj, sam_a, va)
-                    pos_slot = (m_slot + tv) & 7
-                    ring_a = _ring_write(ring_a, pos_slot, oa, True, iota8)
-                    if not mono:
-                        sam_b = _ring_read(ring_b, m_slot, iota8)
-                        ob = _pred(wbj, sam_b) + vb
-                        wb_n = _upd(wbj, dj, sam_b, vb)
-                        ring_b = _ring_write(ring_b, pos_slot, ob, True,
-                                             iota8)
-                elif tv in (17, 18):
-                    ra1 = ring_a[1:2, :]
-                    sam_a = (2 * ra0 - ra1 if tv == 17
-                             else (3 * ra0 - ra1) >> 1)
-                    oa = _pred(waj, sam_a) + va
-                    wa_n = _upd(waj, dj, sam_a, va)
-                    ring_a = jnp.where(iota8 == 0, oa,
-                                       jnp.where(iota8 == 1, ra0, ring_a))
-                    if not mono:
-                        rb1 = ring_b[1:2, :]
-                        sam_b = (2 * rb0 - rb1 if tv == 17
-                                 else (3 * rb0 - rb1) >> 1)
-                        ob = _pred(wbj, sam_b) + vb
-                        wb_n = _upd(wbj, dj, sam_b, vb)
-                        ring_b = jnp.where(iota8 == 0, ob,
-                                           jnp.where(iota8 == 1, rb0,
-                                                     ring_b))
-                elif tv == -1:
-                    oa = _pred(waj, ra0) + va
-                    ob = _pred(wbj, oa) + vb
-                    wa_n = _upd_clamp(waj, dj, ra0, va)
-                    wb_n = _upd_clamp(wbj, dj, oa, vb)
-                    ring_a = jnp.where(iota8 == 0, ob, ring_a)
-                elif tv == -2:
-                    ob = _pred(wbj, rb0) + vb
-                    oa = _pred(waj, ob) + va
-                    wa_n = _upd_clamp(waj, dj, ob, va)
-                    wb_n = _upd_clamp(wbj, dj, rb0, vb)
-                    ring_b = jnp.where(iota8 == 0, oa, ring_b)
-                elif tv == -3:
-                    oa = _pred(waj, ra0) + va
-                    ob = _pred(wbj, rb0) + vb
-                    wa_n = _upd_clamp(waj, dj, ra0, va)
-                    wb_n = _upd_clamp(wbj, dj, rb0, vb)
-                    ring_a = jnp.where(iota8 == 0, ob, ring_a)
-                    ring_b = jnp.where(iota8 == 0, oa, ring_b)
-                else:
-                    raise ValueError(f"bad static term {tv}")
-                va = oa
+                va, vb, wa_n, wb_n, ring_a, ring_b = _static_pass_apply(
+                    static_terms[k], deltas[k], waj,
+                    None if mono else wbj, ring_a,
+                    None if mono else ring_b, va, vb, m_slot, iota8, mono)
                 if mono:
                     carry[2 * k] = wa_n
                     carry[2 * k + 1] = ring_a
                 else:
-                    vb = ob
                     carry[4 * k] = wa_n
                     carry[4 * k + 1] = wb_n
                     carry[4 * k + 2] = ring_a

@@ -199,18 +199,20 @@ def shard_lanes_call(fn, args, mesh: Mesh, out_lane_axes: tuple[int, ...]):
 
 
 def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
-                         mesh: Mesh, *, mono: bool):
-    """Run the device ENCODE scans (ops/encode_kernels.py) lane-sharded
-    over the mesh: pure data parallelism like decode — blocks are
-    independent lanes (fresh-seeded), zero hot-path collectives. Lanes
-    padded to a mesh multiple by replicating lane 0; outputs unpadded.
-    Returns the same 9-tuple as entropy_encode_words (segments + final
-    pending state)."""
+                         mesh: Mesh, *, mono: bool,
+                         static_terms: tuple | None = None):
+    """Run the device ENCODE scans lane-sharded over the mesh: pure
+    data parallelism like decode — blocks are independent lanes
+    (fresh-seeded), zero hot-path collectives. Lanes padded to a mesh
+    multiple by replicating lane 0; outputs unpadded. Kernel selection
+    (Pallas on TPU / XLA scans elsewhere) rides ops/encode_select
+    inside the per-device program. Returns the same 9-tuple as
+    entropy_encode_words (segments + final pending state)."""
     from functools import partial
 
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.encode_kernels import decorr_invert, entropy_encode_words
+    from ..ops.encode_select import invert_any, words_any
 
     n = mesh.devices.size
     T, L, C = targ.shape
@@ -232,9 +234,13 @@ def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
             for a, s in zip(args, specs)]
 
     def fn(tg, tm, dl, nt, md, nv):
-        res = decorr_invert(tg, tm, dl, nt, mono=mono)
-        words = res.transpose(0, 2, 1).reshape(T * C, tg.shape[1])
-        return entropy_encode_words(words, md, nv, mono=mono)
+        Ls = tg.shape[1]
+        z16 = jnp.zeros((Ls, 16), jnp.int64)
+        z168 = jnp.zeros((Ls, 16, 8), jnp.int64)
+        res = invert_any(tg, tm, dl, nt, z16, z16, z168, z168,
+                         mono=mono, static_terms=static_terms)
+        words = res.transpose(0, 2, 1).reshape(T * C, Ls)
+        return words_any(words, md, nv, mono=mono)
 
     out_specs = tuple([P(None, LANE_AXIS)] * 5 + [P(LANE_AXIS)] * 4)
     sharded = shard_map(partial(fn), mesh=mesh, in_specs=specs,
