@@ -57,15 +57,23 @@ def stage(L, T):
     return dev
 
 
-def run(L, T, repeats=3):
-    from wvpk.ops.encode_kernels import decorr_invert, entropy_encode_words
+def run(L, T, backend, repeats=3):
+    import jax.numpy as jnp
+
+    from wvpk.config import set_options
+    from wvpk.ops.encode_select import invert_any, words_any
 
     targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
+    z16 = jnp.zeros((L, 16), jnp.int64)
+    z168 = jnp.zeros((L, 16, 8), jnp.int64)
+    set_options(encode_kernel=backend)
 
     def full():
-        res = decorr_invert(targ, terms16, deltas16, nt, mono=False)
+        res = invert_any(targ, terms16, deltas16, nt, z16, z16, z168,
+                         z168, mono=False,
+                         static_terms=(18, 18, 2, 17, 3))
         words = res.transpose(0, 2, 1).reshape(2 * T, L)
-        segs = entropy_encode_words(words, med0, nvals, mono=False)
+        segs = words_any(words, med0, nvals, mono=False)
         # scalar-sized sync (np.asarray is the only real sync on axon)
         return int(np.asarray(segs[2][-1]).sum())
 
@@ -75,19 +83,21 @@ def run(L, T, repeats=3):
         t0 = time.perf_counter()
         full()
         best = min(best, time.perf_counter() - t0)
+    set_options(encode_kernel="auto")
     return best
 
 
 def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    t_small = run(L // 4, T)
-    t_big = run(L, T)
-    slope = (t_big - t_small) / (L - L // 4) / T  # s per frame
-    ms = 1.0 / slope / 1e6
-    print(f"L={L} T={T}: t_small={t_small*1e3:.1f} ms t_big={t_big*1e3:.1f} "
-          f"ms slope={slope*1e9:.2f} ns/frame -> {ms:.1f} Mframes/s "
-          f"({ms*2:.1f} Mvalues/s) device encode")
+    for backend in ("pallas", "xla"):
+        t_small = run(L // 4, T, backend)
+        t_big = run(L, T, backend)
+        slope = (t_big - t_small) / (L - L // 4) / T  # s per frame
+        ms = 1.0 / slope / 1e6
+        print(f"[{backend}] L={L} T={T}: t_small={t_small*1e3:.1f} ms "
+              f"t_big={t_big*1e3:.1f} ms slope={slope*1e9:.2f} ns/frame "
+              f"-> {ms:.1f} Mframes/s ({ms*2:.1f} Mvalues/s) device encode")
 
     # host packing cost for scale (not on the device critical path)
     from wvpk.engine.device_encoder import _final_flush, pack_segments
