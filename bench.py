@@ -269,6 +269,10 @@ def main():
     _encode(epcm, md5=False)
     enc_rt = 4.0 / (time.perf_counter() - t_enc)
 
+    # device-side encode rate (the two lossless encode scans; Pallas on
+    # TPU via ops/encode_select)
+    enc_dev = _bench_device_encode()
+
     msamples = total_samples / best / 1e6
     realtime = (total_samples / 44100) / best
     print(json.dumps({
@@ -285,6 +289,7 @@ def main():
         "dsd_fast_realtime_x": dsd_fast,
         "dsd_high_realtime_x": dsd_high,
         "encode_realtime_x": round(enc_rt, 1),
+        "encode_device_mvalues": enc_dev,
         "hw_sweep_ok": hw_sweep_ok,
         "hw_sweep_blocks": sweep_blocks,
         "corpus_samples": total_samples,
@@ -444,6 +449,69 @@ def _bench_dsd(mode: int) -> float:
         run_rounds(rounds)
         best = min(best, time.perf_counter() - t0)
     return round(rounds * total / best / 705600, 1)
+
+
+def _bench_device_encode(launch_rounds: int = 3) -> float:
+    """Device-encode throughput in Mvalues/s: the two lossless encode
+    scans (decorr inversion + entropy word coding; Pallas on TPU via
+    ops/encode_select) with inputs staged in HBM and only a scalar-sized
+    row fetched per round batch. Correctness is gated by a full
+    end-to-end encode -> device-decode roundtrip on a small batch (the
+    encoded stream must decode mute/CRC-free and sample-exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.encode_device_profile import stage
+
+    from wvpk.container import parse_blocks
+    from wvpk.encode import build_spec
+    from wvpk.engine import decode_states
+    from wvpk.engine.device_encoder import encode_blocks_device
+    from wvpk.ops.encode_select import invert_any, words_any
+
+    # end-to-end gate (includes host packing + container assembly)
+    rng = np.random.default_rng(12)
+    T = 4096
+    tg = np.arange(16 * T)
+    sig = 7000 * np.sin(2 * np.pi * 440 * tg / 44100) \
+        + rng.normal(0, 250, tg.size)
+    pcm = np.clip(np.round(np.stack([sig, sig * 0.7], 1)),
+                  -32768, 32767).astype(np.int64)
+    spec = build_spec(pcm, block_samples=T)
+    blocks = encode_blocks_device(pcm, spec)
+    outs = decode_states([b.state for b in
+                          parse_blocks(b"".join(blocks))])
+    assert not any(r.crc_error or r.mute_error for r in outs), \
+        "device-encode roundtrip failed the CRC gate"
+    assert np.array_equal(np.concatenate([r.samples for r in outs]), pcm), \
+        "device-encode roundtrip not sample-exact"
+
+    # timed region: the device scans only (packing overlaps device work
+    # in a real pipeline and is reported by tools/encode_device_profile)
+    L = 256
+    targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
+    z16 = jnp.zeros((L, 16), jnp.int64)
+    z168 = jnp.zeros((L, 16, 8), jnp.int64)
+
+    def run(rounds=1):
+        hs = []
+        for _ in range(rounds):
+            res = invert_any(targ, terms16, deltas16, nt, z16, z16,
+                             z168, z168, mono=False,
+                             static_terms=(18, 18, 2, 17, 3))
+            words = res.transpose(0, 2, 1).reshape(2 * T, L)
+            segs = words_any(words, med0, nvals, mono=False)
+            hs.append(segs[2][-1])
+        return np.asarray(jnp.concatenate(hs))
+
+    run()   # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(launch_rounds)
+        best = min(best, time.perf_counter() - t0)
+    return round(launch_rounds * 2 * T * L / best / 1e6, 1)
 
 
 def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
