@@ -118,6 +118,91 @@ def test_entropy_words_differential(mono, kind):
             np.asarray(w).astype(np.uint64), err_msg=f"{kind}/{name}")
 
 
+@pytest.mark.parametrize("chain,mono", [
+    ((18, 17, 2), False),
+    ((18, 18, 2, 17, 3), False),
+    ((1, 17, -2, 8), False),
+    ((18, 17, 2), True),
+])
+@pytest.mark.parametrize("bitrate,balance", [(False, False),
+                                             (True, False), (True, True)])
+def test_hybrid_scan_differential(chain, mono, bitrate, balance):
+    """The Pallas fused hybrid scan matches the XLA scan on every
+    output (segments, pending word, reconstruction)."""
+    from wvpk.ops.encode_kernels import hybrid_encode_scan
+    from wvpk.ops.encode_pallas import hybrid_encode_pallas
+
+    if mono and balance:
+        pytest.skip("balance is stereo-only")
+    rng = np.random.default_rng(hash((chain, mono, bitrate, balance))
+                                % (1 << 31))
+    C = 1 if mono else 2
+    T, L = 80, 4
+    targ = np.stack([_rand_pcm(rng, T, C, mag=1 << (9 + 2 * i))
+                     for i in range(L)], axis=1)
+    targ[:12, 0] = 0                        # run-gate gamma(0) arm
+    npz = len(chain)
+    terms = np.zeros((L, 16), np.int32)
+    deltas = np.zeros((L, 16), np.int32)
+    terms[:, :npz] = chain
+    deltas[:, :npz] = 2
+    nt = np.full(L, npz, np.int32)
+    med0 = np.zeros((L, 2, 3), np.int64)
+    for i in range(L):
+        for c in range(2):
+            med0[i, c] = sorted(rng.integers(1, 600, 3))
+    slow0 = rng.integers(0, 3000, (L, 2)).astype(np.int64)
+    acc0 = (rng.integers(1, 40, (L, 2)) << 16).astype(np.int64)
+    delta0 = rng.integers(1, 3, (L, 2)).astype(np.int64)
+    nvals = np.asarray([T * C, T * C - 1, T * C // 2, 5], np.int32)[:L]
+    z16 = np.zeros((L, 16), np.int64)
+    z168 = np.zeros((L, 16, 8), np.int64)
+
+    want = hybrid_encode_scan(
+        jnp.asarray(targ), jnp.asarray(terms), jnp.asarray(deltas),
+        jnp.asarray(nt), jnp.asarray(med0), jnp.asarray(slow0),
+        jnp.asarray(acc0), jnp.asarray(delta0), jnp.asarray(nvals),
+        jnp.asarray(z16), jnp.asarray(z16), jnp.asarray(z168),
+        jnp.asarray(z168), mono=mono, hybrid_bitrate=bitrate,
+        hybrid_balance=balance)
+    got = hybrid_encode_pallas(
+        jnp.asarray(targ), jnp.asarray(deltas), jnp.asarray(med0),
+        jnp.asarray(slow0), jnp.asarray(acc0), jnp.asarray(delta0),
+        jnp.asarray(nvals), jnp.asarray(z16), jnp.asarray(z16),
+        jnp.asarray(z168), jnp.asarray(z168), mono=mono,
+        static_terms=chain, hybrid_bitrate=bitrate,
+        hybrid_balance=balance, interpret=True)
+    names = ["segA_lo", "segA_hi", "segA_len", "segB_bits", "segB_len",
+             "pvalid", "poc", "pbits", "pnb", "recon"]
+    for name, w, g in zip(names, want, got):
+        np.testing.assert_array_equal(
+            np.asarray(g).astype(np.int64),
+            np.asarray(w).astype(np.int64), err_msg=name)
+
+
+def test_device_encode_hybrid_pallas_bytes_identical():
+    """Full hybrid device encode with encode_kernel='pallas' produces
+    byte-identical blocks to the XLA fused scan."""
+    from wvpk.config import set_options
+    from wvpk.encode import build_spec
+    from wvpk.engine.device_encoder import encode_blocks_device
+
+    rng = np.random.default_rng(31)
+    t = np.arange(3 * 220)
+    s = 6000 * np.sin(2 * np.pi * t / 47.0)
+    pcm = np.round(np.stack([s, s * 0.7], 1)
+                   + rng.normal(0, 250, (t.size, 2))).astype(np.int64)
+    spec = build_spec(pcm, block_samples=220, hybrid=True, bitrate=384)
+    try:
+        set_options(encode_kernel="xla")
+        want = encode_blocks_device(pcm, spec)
+        set_options(encode_kernel="pallas")
+        got = encode_blocks_device(pcm, spec)
+    finally:
+        set_options(encode_kernel="auto")
+    assert got == want
+
+
 def test_udiv_exact():
     """The f32 two-stage division must be exactly floor(n/d) across the
     encoder's operating range, including adversarial near-boundary

@@ -275,14 +275,16 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                 targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
                 nvals, w0a, w0b, h0a, h0b, mesh, mono=mono,
                 hybrid_bitrate=bool(spec.hybrid_bitrate),
-                hybrid_balance=bool(spec.hybrid_balance))
+                hybrid_balance=bool(spec.hybrid_balance),
+                static_terms=tuple(spec.terms))
         else:
-            from ..ops.encode_kernels import hybrid_encode_scan
-            out = hybrid_encode_scan(
+            from ..ops.encode_select import hybrid_scan_any
+            out = hybrid_scan_any(
                 targ_d, terms16, deltas16, nt, med0, slow0, acc0, delta0,
                 nvals, w0a, w0b, h0a, h0b, mono=mono,
                 hybrid_bitrate=bool(spec.hybrid_bitrate),
-                hybrid_balance=bool(spec.hybrid_balance))
+                hybrid_balance=bool(spec.hybrid_balance),
+                static_terms=tuple(spec.terms))
         segs, recon = out[:9], np.asarray(out[9]).astype(np.int64)
     elif mesh is not None:
         from ..parallel.mesh import sharded_encode_scans

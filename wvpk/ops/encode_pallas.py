@@ -550,6 +550,500 @@ def _encode_words_kernel(state0_ref, res_ref, zlen_ref, a0_ref, a1_ref,
     stfin_ref[...] = st[...]
 
 
+# ---------------------------------------------------------------------------
+# fused hybrid (lossy) encode: peel -> error-limit word coding ->
+# reconstruction-feedback apply, one scan per sample
+# ---------------------------------------------------------------------------
+
+# entropy-state slot names inside the hybrid carry (after the decorr
+# entries); PBITS is a u32 bit pattern
+(H_M0A, H_M1A, H_M2A, H_M0B, H_M1B, H_M2B, H_SLOWA, H_SLOWB,
+ H_QA, H_RA, H_QB, H_RB, H_ERRA, H_ERRB, H_CLEAR, H_PVALID, H_POC,
+ H_PBITS, H_PNB, H_NENT) = range(20)
+H_RO = 3   # read-only rows after the entropy state: nvals, delta_a/_b
+
+
+def _hybrid_kernel(state0_ref, meta_ref, targ_a_ref, targ_b_ref,
+                   tables_ref, a0_ref, a1_ref, a2_ref, a3_ref, alen_ref,
+                   bb_ref, bl_ref, rec_a_ref, rec_b_ref, stfin_ref, st,
+                   *, mono: bool, npasses: int, chunk: int,
+                   lane_tile: int, static_terms: tuple,
+                   hybrid_bitrate: bool, hybrid_balance: bool):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        st[...] = state0_ref[...]
+
+    nw = npasses if mono else 2 * npasses
+    nd = nw + (8 if mono else 16) * npasses
+    deltas = [meta_ref[k:k + 1, :] for k in range(npasses)]
+    iota8 = jax.lax.broadcasted_iota(I32, (8, lane_tile), 0)
+    SLO, SLS = consts.SLO, consts.SLS
+
+    # ---- in-kernel exp2s/mylog2 via the byte-packed constant tables
+    # (same design as the decode entropy kernel, entropy_pallas.py) ----
+    def table_lookup(base_row: int, idx):
+        tab = tables_ref[base_row:base_row + 64, :]
+        iota = jax.lax.broadcasted_iota(I32, (64, 1), 0)
+        m = iota == (idx >> 2)
+        w = jnp.sum(jnp.where(m, tab, I32(0)), axis=0, keepdims=True,
+                    dtype=I32)
+        return _bc_i32(_bc_u32(w) >> _bc_u32((idx & 3) * 8)) & 0xFF
+
+    def exp2s_k(log):
+        neg = log < 0
+        a = jnp.where(neg, -log, log)
+        v = table_lookup(0, a & 0xFF) | 0x100
+        sh = a >> 8
+        r = jnp.where(sh <= 9, v >> jnp.clip(9 - sh, 0, 31),
+                      v << jnp.clip(sh - 9, 0, 31))
+        return jnp.where(neg, -r, r)
+
+    def mylog2_k(av):
+        av = av + (av >> 9)
+        dbits = jnp.where(av > 0,
+                          32 - _bc_i32(jax.lax.clz(_bc_u32(av))), 0)
+        sh = dbits - 9
+        idx = jnp.where(sh >= 0, av >> jnp.clip(sh, 0, 31),
+                        av << jnp.clip(-sh, 0, 31)) & 0xFF
+        return (dbits << 8) + table_lookup(64, idx)
+
+    def update_error_limit(slow_a, slow_b, qa, ra, qb, rb, da, db):
+        """WordsUtils.cs:195-261 on split accumulators (Q = acc >> 16
+        wrapped i32, R = low 16 bits); returns the candidate
+        (qa2, ra2, qb2, rb2, e0, e1) — the caller masks."""
+        s0 = ra + da
+        qa2 = qa + (s0 >> 16)
+        ra2 = s0 & 0xFFFF
+        bitrate_0 = qa2
+        if mono:
+            if hybrid_bitrate:
+                slow_log_0 = (slow_a + SLO) >> SLS
+                e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                               exp2s_k(slow_log_0 - bitrate_0 + 0x100), 0)
+            else:
+                e0 = exp2s_k(bitrate_0)
+            return qa2, ra2, qb, rb, e0, None
+        s1 = rb + db
+        qb2 = qb + (s1 >> 16)
+        rb2 = s1 & 0xFFFF
+        bitrate_1 = qb2
+        if hybrid_bitrate:
+            slow_log_0 = (slow_a + SLO) >> SLS
+            slow_log_1 = (slow_b + SLO) >> SLS
+            if hybrid_balance:
+                balance = (slow_log_1 - slow_log_0 + bitrate_1 + 1) >> 1
+                hi = balance > bitrate_0
+                lo = (-balance) > bitrate_0
+                b1 = jnp.where(hi, bitrate_0 * 2,
+                               jnp.where(lo, 0, bitrate_0 + balance))
+                b0 = jnp.where(hi, 0,
+                               jnp.where(lo, bitrate_0 * 2,
+                                         bitrate_0 - balance))
+                bitrate_0, bitrate_1 = b0, b1
+            e0 = jnp.where(slow_log_0 - bitrate_0 > -0x100,
+                           exp2s_k(slow_log_0 - bitrate_0 + 0x100), 0)
+            e1 = jnp.where(slow_log_1 - bitrate_1 > -0x100,
+                           exp2s_k(slow_log_1 - bitrate_1 + 0x100), 0)
+        else:
+            e0 = exp2s_k(bitrate_0)
+            e1 = exp2s_k(bitrate_1)
+        return qa2, ra2, qb2, rb2, e0, e1
+
+    def hyb_word(ent, r, valid, entidx: int):
+        """One residual word, hybrid error-limit semantics
+        (encode_kernels._hyb_word in u32/i32): returns (ent', 7 segment
+        values, rhat)."""
+        (m0a, m1a, m2a, m0b, m1b, m2b, slow_a, slow_b, qa, ra, qb, rb,
+         erra, errb, clear, pvalid, poc, pbits, pnb, nvals, da, db) = ent
+        clear_b = clear != 0
+        pvalid_b = pvalid != 0
+        if entidx == 0:
+            m0, m1, m2 = m0a, m1a, m2a
+        else:
+            m0, m1, m2 = m0b, m1b, m2b
+
+        tiny = ((m0a & ~1) == 0) & ((m0b & ~1) == 0)
+        gate = clear_b & tiny & valid
+
+        sign = r < 0
+        av = jnp.where(sign, ~r, r)
+        g0 = (m0 >> 4) + 1
+        g1 = (m1 >> 4) + 1
+        g2 = jnp.maximum((m2 >> 4) + 1, 1)
+        q = _udiv(jnp.maximum(av - g0 - g1, 0), g2)
+        oc = jnp.where(av < g0, 0, jnp.where(av < g0 + g1, 1, 2 + q))
+
+        fromclear = valid & clear_b
+        h0 = valid & ~clear_b & (oc == 0)
+        h1 = valid & ~clear_b & (oc != 0)
+        do_flush = (h0 | h1) & pvalid_b
+        flush_raw = 2 * poc + jnp.where(h1, 1, 0)
+
+        # segment A opens with the 1-bit gamma(0) where the run gate
+        # fires (mutually exclusive with any flush: gate requires clear,
+        # flush requires ~clear)
+        limbs = [jnp.zeros_like(_bc_u32(r))] * 4
+        ln = jnp.where(gate, 1, 0)
+        esc = flush_raw >= consts.LIMIT_ONES
+        gb1, gl1, gb2, gl2 = _gamma_slots(
+            jnp.maximum(flush_raw - consts.LIMIT_ONES, 0))
+        s1b = jnp.where(do_flush,
+                        jnp.where(esc,
+                                  U32((1 << consts.LIMIT_ONES) - 1),
+                                  _mask_u32(flush_raw)),
+                        U32(0))
+        s1l = jnp.where(do_flush,
+                        jnp.where(esc, consts.LIMIT_ONES + 1,
+                                  flush_raw + 1), 0)
+        limbs, ln = _app128(limbs, ln, s1b, s1l)
+        limbs, ln = _app128(limbs, ln,
+                            jnp.where(do_flush & esc, gb1, U32(0)),
+                            jnp.where(do_flush & esc, gl1, 0))
+        limbs, ln = _app128(limbs, ln,
+                            jnp.where(do_flush & esc, gb2, U32(0)),
+                            jnp.where(do_flush & esc, gl2, 0))
+        limbs, ln = _app128(limbs, ln,
+                            jnp.where(do_flush, pbits, U32(0)),
+                            jnp.where(do_flush, pnb, 0))
+
+        # error limit: before channel-A words (every word in mono),
+        # WordsUtils.cs:430-431
+        if entidx == 0:
+            qa2, ra2, qb2, rb2, e0, e1 = update_error_limit(
+                slow_a, slow_b, qa, ra, qb, rb, da, db)
+            qa = jnp.where(valid, qa2, qa)
+            ra = jnp.where(valid, ra2, ra)
+            erra = jnp.where(valid, e0, erra)
+            if not mono:
+                qb = jnp.where(valid, qb2, qb)
+                rb = jnp.where(valid, rb2, rb)
+                errb = jnp.where(valid, e1, errb)
+        err_c = erra if entidx == 0 else errb
+
+        # median interval + 5/7-2/7 adaptation
+        m0n = jnp.where(oc == 0,
+                        m0 - ((m0 + (consts.DIV0 - 2)) >> 7) * 2,
+                        m0 + ((m0 + consts.DIV0) >> 7) * 5)
+        m1n = jnp.where(oc <= 0, m1,
+                        jnp.where(oc == 1,
+                                  m1 - ((m1 + (consts.DIV1 - 2)) >> 6) * 2,
+                                  m1 + ((m1 + consts.DIV1) >> 6) * 5))
+        m2n = jnp.where(oc <= 1, m2,
+                        jnp.where(oc == 2,
+                                  m2 - ((m2 + (consts.DIV2 - 2)) >> 5) * 2,
+                                  m2 + ((m2 + consts.DIV2) >> 5) * 5))
+        low = jnp.where(oc == 0, 0,
+                        g0 + jnp.where(oc == 1, 0, g1 + (oc - 2) * g2))
+        high = low + jnp.where(oc == 0, g0,
+                               jnp.where(oc == 1, g1, g2)) - 1
+
+        # value payload, lossless branch (err_c == 0)
+        code = av - low
+        maxcode = high - low
+        bitcount = _bitlen(maxcode)
+        extras = _bc_i32(_shl_u32(U32(1), bitcount)) - maxcode - 1
+        small = code < extras
+        cc = code + extras
+        vb = jnp.where(small, _bc_u32(code),
+                       _bc_u32(cc >> 1)
+                       | _shl_u32(_bc_u32(cc & 1),
+                                  jnp.maximum(bitcount - 1, 0)))
+        vl = jnp.where(bitcount == 0, 0,
+                       jnp.where(small, bitcount - 1, bitcount))
+
+        # value payload, lossy branch: binary search down to the error
+        # limit, one comparison bit per step (encode direction of
+        # WordsUtils.cs:482-497; <= 28 steps fire for conforming widths)
+        s_lo, s_hi = low, high
+        s_mid = (s_hi + s_lo + 1) >> 1
+        used = jnp.zeros_like(bitcount)
+        val = jnp.zeros_like(_bc_u32(r))
+        for _k in range(32):
+            go = (s_hi - s_lo) > err_c
+            bit = av >= s_mid
+            s_lo = jnp.where(go & bit, s_mid, s_lo)
+            s_hi = jnp.where(go & ~bit, s_mid - 1, s_hi)
+            s_mid = jnp.where(go, (s_hi + s_lo + 1) >> 1, s_mid)
+            val = val | jnp.where(go & bit, _shl_u32(U32(1), used),
+                                  U32(0))
+            used = used + jnp.where(go, 1, 0)
+
+        ll = err_c == 0
+        base_bits = jnp.where(ll, vb, val)
+        base_len = jnp.where(ll, vl, used)
+        wbits = base_bits | _shl_u32(jnp.where(sign, U32(1), U32(0)),
+                                     base_len)
+        wnb = base_len + 1
+        mid_fin = jnp.where(ll, av, s_mid)
+        rhat = jnp.where(sign, ~mid_fin, mid_fin)
+        rhat = jnp.where(valid, rhat, 0)
+
+        # state updates (masked by valid)
+        m0c = jnp.where(valid, m0n, m0)
+        m1c = jnp.where(valid, m1n, m1)
+        m2c = jnp.where(valid, m2n, m2)
+        if entidx == 0:
+            m0a, m1a, m2a = m0c, m1c, m2c
+        else:
+            m0b, m1b, m2b = m0c, m1c, m2c
+        if hybrid_bitrate:
+            slow_c = slow_a if entidx == 0 else slow_b
+            slow_c = jnp.where(valid,
+                               slow_c - ((slow_c + SLO) >> SLS)
+                               + mylog2_k(mid_fin), slow_c)
+            if entidx == 0:
+                slow_a = slow_c
+            else:
+                slow_b = slow_c
+
+        segB_bits = jnp.where(h0, wbits, U32(0))
+        segB_len = jnp.where(h0, wnb, 0)
+        emit_unary = fromclear | h1
+        pvalid = jnp.where(emit_unary, 1,
+                           jnp.where(do_flush, 0, pvalid))
+        poc = jnp.where(emit_unary, oc - jnp.where(h1, 1, 0), poc)
+        pbits = jnp.where(emit_unary, wbits, pbits)
+        pnb = jnp.where(emit_unary, wnb, pnb)
+        clear = jnp.where(h0, 1, jnp.where(emit_unary, 0, clear))
+
+        ent = (m0a, m1a, m2a, m0b, m1b, m2b, slow_a, slow_b, qa, ra, qb,
+               rb, erra, errb, clear, pvalid, poc, pbits, pnb, nvals,
+               da, db)
+        return ent, (limbs[0], limbs[1], limbs[2], limbs[3], ln,
+                     segB_bits, segB_len), rhat
+
+    # ---- carry assembly ----
+    flat0 = []
+    for k in range(npasses):
+        if mono:
+            flat0 += [st[k:k + 1, :], st[nw + 8 * k:nw + 8 * k + 8, :]]
+        else:
+            base = nw + 16 * k
+            flat0 += [st[2 * k:2 * k + 1, :], st[2 * k + 1:2 * k + 2, :],
+                      st[base:base + 8, :], st[base + 8:base + 16, :]]
+    nde = 2 * npasses if mono else 4 * npasses
+    ent0 = []
+    for k in range(H_NENT):
+        row = st[nd + k:nd + k + 1, :]
+        ent0.append(_bc_u32(row) if k == H_PBITS else row)
+    for k in range(H_RO):
+        ent0.append(state0_ref[nd + H_NENT + k:nd + H_NENT + k + 1, :])
+
+    def body(tt, carry):
+        carry = list(carry)
+        t = j * chunk + tt
+        m_slot = t & 7
+        va = targ_a_ref[pl.ds(tt, 1), :]
+        vb = None if mono else targ_b_ref[pl.ds(tt, 1), :]
+
+        # peel (read-only)
+        for k in reversed(range(npasses)):
+            if mono:
+                waj, ring_a = carry[2 * k], carry[2 * k + 1]
+                wbj = ring_b = None
+            else:
+                waj, wbj = carry[4 * k], carry[4 * k + 1]
+                ring_a, ring_b = carry[4 * k + 2], carry[4 * k + 3]
+            va, vb = _static_pass_peel(static_terms[k], waj, wbj, ring_a,
+                                       ring_b, va, vb, m_slot, iota8, mono)
+
+        ent = tuple(carry[nde:])
+        nvals = ent[H_NENT]        # nvals row rides after the state
+        valid_a = (2 * t < nvals) if not mono else (t < nvals)
+        ent, segs_a, ra_hat = hyb_word(ent, va, valid_a, 0)
+        if not mono:
+            ent, segs_b, rb_hat = hyb_word(ent, vb, (2 * t + 1) < nvals, 1)
+
+        # apply over the RECONSTRUCTED residuals (decoder-state coupling)
+        ca, cb = ra_hat, None if mono else rb_hat
+        for k in range(npasses):
+            if mono:
+                waj, ring_a = carry[2 * k], carry[2 * k + 1]
+                wbj = ring_b = None
+            else:
+                waj, wbj = carry[4 * k], carry[4 * k + 1]
+                ring_a, ring_b = carry[4 * k + 2], carry[4 * k + 3]
+            ca, cb, wa_n, wb_n, ring_a, ring_b = _static_pass_apply(
+                static_terms[k], deltas[k], waj, wbj, ring_a, ring_b,
+                ca, cb, m_slot, iota8, mono)
+            if mono:
+                carry[2 * k] = wa_n
+                carry[2 * k + 1] = ring_a
+            else:
+                carry[4 * k] = wa_n
+                carry[4 * k + 1] = wb_n
+                carry[4 * k + 2] = ring_a
+                carry[4 * k + 3] = ring_b
+        carry[nde:] = list(ent)
+
+        row = tt if mono else 2 * tt
+        for ref, v in zip((a0_ref, a1_ref, a2_ref, a3_ref), segs_a[:4]):
+            ref[pl.ds(row, 1), :] = _bc_i32(v)
+        alen_ref[pl.ds(row, 1), :] = segs_a[4]
+        bb_ref[pl.ds(row, 1), :] = _bc_i32(segs_a[5])
+        bl_ref[pl.ds(row, 1), :] = segs_a[6]
+        if not mono:
+            for ref, v in zip((a0_ref, a1_ref, a2_ref, a3_ref),
+                              segs_b[:4]):
+                ref[pl.ds(2 * tt + 1, 1), :] = _bc_i32(v)
+            alen_ref[pl.ds(2 * tt + 1, 1), :] = segs_b[4]
+            bb_ref[pl.ds(2 * tt + 1, 1), :] = _bc_i32(segs_b[5])
+            bl_ref[pl.ds(2 * tt + 1, 1), :] = segs_b[6]
+        rec_a_ref[pl.ds(tt, 1), :] = ca
+        if not mono:
+            rec_b_ref[pl.ds(tt, 1), :] = cb
+        return tuple(carry)
+
+    final = jax.lax.fori_loop(0, chunk, body, tuple(flat0) + tuple(ent0))
+
+    for k in range(npasses):
+        if mono:
+            st[k:k + 1, :] = final[2 * k]
+            st[nw + 8 * k:nw + 8 * k + 8, :] = final[2 * k + 1]
+        else:
+            st[2 * k:2 * k + 1, :] = final[4 * k]
+            st[2 * k + 1:2 * k + 2, :] = final[4 * k + 1]
+            base = nw + 16 * k
+            st[base:base + 8, :] = final[4 * k + 2]
+            st[base + 8:base + 16, :] = final[4 * k + 3]
+    for k in range(H_NENT):
+        row = final[nde + k]
+        st[nd + k:nd + k + 1, :] = _bc_i32(row) if k == H_PBITS else row
+    st[nd + H_NENT:nd + H_NENT + H_RO, :] = \
+        state0_ref[nd + H_NENT:nd + H_NENT + H_RO, :]
+    stfin_ref[...] = st[...]
+
+
+@partial(jax.jit, static_argnames=("mono", "static_terms",
+                                   "hybrid_bitrate", "hybrid_balance",
+                                   "interpret"))
+def hybrid_encode_pallas(targets, deltas, med0, slow0, acc0, delta0,
+                         nvals, w0a, w0b, h0a, h0b, *, mono: bool,
+                         static_terms: tuple, hybrid_bitrate: bool,
+                         hybrid_balance: bool, interpret: bool = False):
+    """Pallas fused hybrid encode; same contract as
+    encode_kernels.hybrid_encode_scan restricted to a homogeneous
+    static term chain. Returns the 5 segment arrays + pending word +
+    recon (T, L, C) int32."""
+    T, L, C = targets.shape
+    npasses = len(static_terms)
+    assert npasses >= 1
+    W = T * C
+    lane_tile = min(512, max(128, 1 << max(L - 1, 1).bit_length()))
+    Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
+    chunk = min(T, 128 if lane_tile >= 512 else 256)
+    Tp = ((T + chunk - 1) // chunk) * chunk
+
+    def pad_lanes(x):
+        return jnp.pad(x, ((0, Lp - L),) + ((0, 0),) * (x.ndim - 1))
+
+    targ_a = jnp.pad(pad_lanes(targets[:, :, 0].T), ((0, 0), (0, Tp - T))).T
+    targ_b = (jnp.pad(pad_lanes(targets[:, :, 1].T),
+                      ((0, 0), (0, Tp - T))).T if C == 2
+              else jnp.zeros_like(targ_a))
+
+    deltas = pad_lanes(deltas.astype(I32))
+    w0a = pad_lanes(w0a.astype(I32))
+    w0b = pad_lanes(w0b.astype(I32))
+    h0a = pad_lanes(h0a.astype(I32))
+    h0b = pad_lanes(h0b.astype(I32))
+
+    meta = jnp.zeros((npasses, Lp), I32)
+    for k in range(npasses):
+        meta = meta.at[k].set(deltas[:, k])
+
+    nw = npasses if mono else 2 * npasses
+    nd = nw + (8 if mono else 16) * npasses
+    nstate = nd + H_NENT + H_RO
+    state0 = jnp.zeros((nstate, Lp), I32)
+    for k in range(npasses):
+        if mono:
+            state0 = state0.at[k].set(w0a[:, k])
+            state0 = state0.at[nw + 8 * k:nw + 8 * k + 8].set(
+                h0a[:, k, :].T)
+        else:
+            state0 = state0.at[2 * k].set(w0a[:, k])
+            state0 = state0.at[2 * k + 1].set(w0b[:, k])
+            base = nw + 16 * k
+            state0 = state0.at[base:base + 8].set(h0a[:, k, :].T)
+            state0 = state0.at[base + 8:base + 16].set(h0b[:, k, :].T)
+    state0 = state0.at[nd + H_M0A, :L].set(med0[:, 0, 0].astype(I32))
+    state0 = state0.at[nd + H_M1A, :L].set(med0[:, 0, 1].astype(I32))
+    state0 = state0.at[nd + H_M2A, :L].set(med0[:, 0, 2].astype(I32))
+    state0 = state0.at[nd + H_M0B, :L].set(med0[:, 1, 0].astype(I32))
+    state0 = state0.at[nd + H_M1B, :L].set(med0[:, 1, 1].astype(I32))
+    state0 = state0.at[nd + H_M2B, :L].set(med0[:, 1, 2].astype(I32))
+    state0 = state0.at[nd + H_SLOWA, :L].set(slow0[:, 0].astype(I32))
+    state0 = state0.at[nd + H_SLOWB, :L].set(slow0[:, 1].astype(I32))
+    state0 = state0.at[nd + H_QA, :L].set((acc0[:, 0] >> 16).astype(I32))
+    state0 = state0.at[nd + H_RA, :L].set(
+        (acc0[:, 0] & 0xFFFF).astype(I32))
+    state0 = state0.at[nd + H_QB, :L].set((acc0[:, 1] >> 16).astype(I32))
+    state0 = state0.at[nd + H_RB, :L].set(
+        (acc0[:, 1] & 0xFFFF).astype(I32))
+    state0 = state0.at[nd + H_CLEAR].set(1)
+    state0 = state0.at[nd + H_NENT, :L].set(nvals.astype(I32))
+    state0 = state0.at[nd + H_NENT + 1, :L].set(delta0[:, 0].astype(I32))
+    state0 = state0.at[nd + H_NENT + 2, :L].set(delta0[:, 1].astype(I32))
+
+    from ..tables import EXP2_NP, LOG2_NP
+    tabs = np.concatenate([EXP2_NP, LOG2_NP]).astype(np.uint32)
+    b4 = tabs.reshape(128, 4)
+    twords = (b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16)
+              | (b4[:, 3] << 24)).astype(np.int32)
+    tables = jnp.broadcast_to(jnp.asarray(twords)[:, None], (128, Lp))
+
+    grid = (Lp // lane_tile, Tp // chunk)
+    kernel = partial(_hybrid_kernel, mono=mono, npasses=npasses,
+                     chunk=chunk, lane_tile=lane_tile,
+                     static_terms=static_terms,
+                     hybrid_bitrate=hybrid_bitrate,
+                     hybrid_balance=hybrid_balance)
+    Wp = Tp * C
+    wblk = pl.BlockSpec((chunk * C, lane_tile), lambda i, j: (j, i),
+                        memory_space=pltpu.VMEM)
+    tblk = pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
+                        memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((nstate, lane_tile), lambda i, j: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((Wp, Lp), I32)] * 7
+                 + [jax.ShapeDtypeStruct((Tp, Lp), I32)] * 2
+                 + [jax.ShapeDtypeStruct((nstate, Lp), I32)])
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[srow,
+                      pl.BlockSpec((npasses, lane_tile),
+                                   lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      tblk, tblk,
+                      pl.BlockSpec((128, lane_tile), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[wblk] * 7 + [tblk, tblk, srow],
+            scratch_shapes=[pltpu.VMEM((nstate, lane_tile), I32)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(state0, meta, targ_a, targ_b, tables)
+    a0, a1, a2, a3, alen, bb, bl, rec_a, rec_b, stfin = outs
+
+    def u64(lo, hi):
+        return (lo[:W, :L].astype(jnp.uint32).astype(jnp.uint64)
+                | (hi[:W, :L].astype(jnp.uint32).astype(jnp.uint64) << 32))
+
+    recon = (rec_a[:T, :L, None] if mono
+             else jnp.stack([rec_a[:T, :L], rec_b[:T, :L]], axis=2))
+    pvalid = stfin[nd + H_PVALID, :L] != 0
+    poc = stfin[nd + H_POC, :L].astype(jnp.int64)
+    pbits = stfin[nd + H_PBITS, :L].astype(jnp.uint32).astype(jnp.uint64)
+    pnb = stfin[nd + H_PNB, :L]
+    return (u64(a0, a1), u64(a2, a3), alen[:W, :L],
+            bb[:W, :L].astype(jnp.uint32).astype(jnp.uint64), bl[:W, :L],
+            pvalid, poc, pbits, pnb, recon)
+
+
 @partial(jax.jit, static_argnames=("mono", "interpret"))
 def entropy_encode_pallas(res_words, med0, nvals, *, mono: bool,
                           interpret: bool = False):

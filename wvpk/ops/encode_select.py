@@ -46,6 +46,29 @@ def invert_any(targets, terms, deltas, num_terms, w0a, w0b, h0a, h0b, *,
                               with_state=with_state)
 
 
+def hybrid_scan_any(targets, terms, deltas, num_terms, med0, slow0,
+                    acc0, delta0, nvals, w0a, w0b, h0a, h0b, *,
+                    mono: bool, hybrid_bitrate: bool,
+                    hybrid_balance: bool,
+                    static_terms: tuple | None = None):
+    """Fused hybrid (lossy) encode scan. Contract of
+    encode_kernels.hybrid_encode_scan (5 segment arrays + pending word
+    + recon)."""
+    if (_use_pallas() and static_terms is not None and len(static_terms)
+            and not (mono and any(t < 0 for t in static_terms))):
+        from .encode_pallas import hybrid_encode_pallas
+        return hybrid_encode_pallas(
+            targets, deltas, med0, slow0, acc0, delta0, nvals, w0a, w0b,
+            h0a, h0b, mono=mono, static_terms=tuple(static_terms),
+            hybrid_bitrate=hybrid_bitrate, hybrid_balance=hybrid_balance,
+            interpret=not _on_tpu())
+    from .encode_kernels import hybrid_encode_scan
+    return hybrid_encode_scan(
+        targets, terms, deltas, num_terms, med0, slow0, acc0, delta0,
+        nvals, w0a, w0b, h0a, h0b, mono=mono,
+        hybrid_bitrate=hybrid_bitrate, hybrid_balance=hybrid_balance)
+
+
 def words_any(res_words, med0, nvals, *, mono: bool):
     """Entropy word encoding (residual words -> bit segments). Contract
     of encode_kernels.entropy_encode_words."""

@@ -252,7 +252,8 @@ def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
 def sharded_hybrid_encode_scan(targ, terms, deltas, num_terms, med0,
                                slow0, acc0, delta0, nvals, w0a, w0b,
                                h0a, h0b, mesh: Mesh, *, mono: bool,
-                               hybrid_bitrate: bool, hybrid_balance: bool):
+                               hybrid_bitrate: bool, hybrid_balance: bool,
+                               static_terms: tuple | None = None):
     """Lane-shard the fused HYBRID encode scan (ops/encode_kernels.py::
     hybrid_encode_scan) over the mesh. Same data-parallel structure as
     the lossless path: each block is an independent lane (the lossy
@@ -263,7 +264,7 @@ def sharded_hybrid_encode_scan(targ, terms, deltas, num_terms, med0,
 
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.encode_kernels import hybrid_encode_scan
+    from ..ops.encode_select import hybrid_scan_any
 
     n = mesh.devices.size
     L = targ.shape[1]
@@ -286,9 +287,10 @@ def sharded_hybrid_encode_scan(targ, terms, deltas, num_terms, med0,
     args = [jax.device_put(a, NamedSharding(mesh, s))
             for a, s in zip(raw, specs)]
 
-    fn = partial(hybrid_encode_scan, mono=mono,
+    fn = partial(hybrid_scan_any, mono=mono,
                  hybrid_bitrate=hybrid_bitrate,
-                 hybrid_balance=hybrid_balance)
+                 hybrid_balance=hybrid_balance,
+                 static_terms=static_terms)
     out_specs = tuple([P(None, LANE_AXIS)] * 5 + [P(LANE_AXIS)] * 4
                       + [P(None, LANE_AXIS, None)])
     sharded = shard_map(fn, mesh=mesh, in_specs=specs,
