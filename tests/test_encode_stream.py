@@ -1,0 +1,189 @@
+"""Bounded-memory streaming encode (wvpk/encode.py::encode_wav_file).
+
+Beyond reference parity (the reference is decode-only): a multi-GB WAV
+must encode in O(window) memory, with output that decodes sample-exactly
+through the same differential paths as the in-memory encoder. Contracts:
+single-window host output is byte-identical to `encode`; device output
+is byte-identical to `encode_device` for ANY window split (blocks are
+independent lanes); the stamped MD5 covers the whole file regardless of
+windowing.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from wvpk import consts
+from wvpk.container import parse_blocks
+from wvpk.encode import encode, encode_device, encode_wav_file
+from wvpk.io.pcm import format_samples
+from wvpk.io.wav import (decode_pcm_bytes, make_wav_header, read_wav,
+                         scan_wav_file)
+from wvpk.ref import decode_block
+
+
+def oracle_decode(data: bytes) -> np.ndarray:
+    outs = []
+    for b in parse_blocks(data):
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        outs.append(r.samples)
+    return np.concatenate(outs)
+
+
+def sig(n, ch, scale=6000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    x = scale * np.sin(2 * np.pi * t / 97.0) + rng.normal(0, scale / 40,
+                                                          (n, ch))
+    return np.round(x).astype(np.int64)
+
+
+def write_wav_file(path, pcm, *, rate=44100, bits=16, trailer=b""):
+    bps = (bits + 7) // 8
+    hdr = make_wav_header(pcm.shape[0], pcm.shape[1], rate, bits, bps)
+    path.write_bytes(hdr + format_samples(pcm, bps) + trailer)
+
+
+def stored_md5(data: bytes):
+    for b in parse_blocks(data):
+        if b.updates.md5 is not None:
+            return b.updates.md5
+    return None
+
+
+def test_scan_wav_file_matches_read_wav(tmp_path):
+    pcm = sig(777, 2, seed=1)
+    p = tmp_path / "a.wav"
+    write_wav_file(p, pcm, trailer=b"TAILDATA")
+    blob = p.read_bytes()
+    rpcm, rrate, rbits, rheader, rtrailer = read_wav(blob)
+    ch, rate, bits, off, size, header, trailer = scan_wav_file(str(p))
+    assert (ch, rate, bits) == (2, rrate, rbits)
+    assert header == rheader and trailer == rtrailer
+    got = decode_pcm_bytes(blob[off:off + size], (bits + 7) // 8)
+    np.testing.assert_array_equal(got.reshape(-1, ch), rpcm)
+
+
+def test_single_window_byte_identical_to_batch(tmp_path):
+    pcm = sig(5000, 2, seed=2)
+    p = tmp_path / "a.wav"
+    write_wav_file(p, pcm, trailer=b"tr")
+    out = tmp_path / "a.wv"
+    encode_wav_file(str(p), str(out), block_samples=1000,
+                    window_samples=1 << 20)
+    _, rate, bits, header, trailer = read_wav(p.read_bytes())
+    want = encode(pcm, sample_rate=rate, bytes_per_sample=2,
+                  block_samples=1000, riff_header=header,
+                  riff_trailer=trailer)
+    assert out.read_bytes() == want
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_multiwindow_roundtrip_and_metadata(tmp_path, hybrid):
+    pcm = sig(10000, 2, seed=3)
+    p = tmp_path / "a.wav"
+    write_wav_file(p, pcm)
+    out = tmp_path / "a.wv"
+    info = encode_wav_file(str(p), str(out), block_samples=512,
+                           window_samples=2048, hybrid=hybrid,
+                           bitrate=768)
+    assert info["windows"] == 5 and info["samples"] == 10000
+    data = out.read_bytes()
+    got = oracle_decode(data)
+    if hybrid:
+        err = np.abs(got.astype(np.int64) - pcm)
+        assert err.mean() < 64
+    else:
+        np.testing.assert_array_equal(got, pcm)
+    blocks = parse_blocks(data)
+    # block_index continuity across the window boundary + file total
+    assert [b.header.block_index for b in blocks] == \
+        list(range(0, 10000, 512))
+    assert all(b.header.total_samples == 10000 for b in blocks)
+    # RIFF header rides the first block; MD5 stamps only when lossless
+    md5 = stored_md5(data)
+    if hybrid:
+        assert md5 is None
+    else:
+        assert md5 == hashlib.md5(format_samples(pcm, 2)).digest()
+    assert blocks[0].updates.riff_header is not None
+    assert all(b.updates.riff_header is None for b in blocks[1:])
+
+
+def test_multiwindow_md5_matches_batch_stamp(tmp_path):
+    # windowed MD5 accumulation == the batch encoder's one-shot digest
+    pcm = sig(3000, 1, seed=4)
+    p = tmp_path / "m.wav"
+    write_wav_file(p, pcm)
+    out = tmp_path / "m.wv"
+    encode_wav_file(str(p), str(out), block_samples=256,
+                    window_samples=1024)
+    batch = encode(pcm, block_samples=256)
+    got, want = stored_md5(out.read_bytes()), stored_md5(batch)
+    assert got is not None and got == want
+
+
+def test_false_stereo_and_8bit_streaming(tmp_path):
+    one = sig(2000, 1, scale=50, seed=5)
+    pcm = np.repeat(one, 2, axis=1)
+    p = tmp_path / "f.wav"
+    write_wav_file(p, pcm, bits=8)
+    out = tmp_path / "f.wv"
+    encode_wav_file(str(p), str(out), block_samples=512,
+                    window_samples=512)
+    data = out.read_bytes()
+    blocks = parse_blocks(data)
+    assert all(b.header.flags & consts.FALSE_STEREO for b in blocks)
+    np.testing.assert_array_equal(oracle_decode(data), pcm)
+    # whole-file MD5 covers the duplicated channels
+    assert stored_md5(data) == \
+        hashlib.md5(format_samples(pcm, 1)).digest()
+
+
+def test_24bit_autoshift_streaming(tmp_path):
+    pcm = sig(1500, 2, scale=300000, seed=6) << 3
+    p = tmp_path / "s.wav"
+    write_wav_file(p, pcm, bits=24)
+    out = tmp_path / "s.wv"
+    encode_wav_file(str(p), str(out), block_samples=512,
+                    window_samples=512)
+    np.testing.assert_array_equal(oracle_decode(out.read_bytes()), pcm)
+
+
+def test_device_streaming_byte_identical_any_split(tmp_path):
+    pcm = sig(4096, 2, seed=7)
+    p = tmp_path / "d.wav"
+    write_wav_file(p, pcm, trailer=b"T")
+    _, rate, bits, header, trailer = read_wav(p.read_bytes())
+    want = encode_device(pcm, sample_rate=rate, bytes_per_sample=2,
+                         block_samples=512, riff_header=header,
+                         riff_trailer=trailer)
+    for win in (1024, 2048):
+        out = tmp_path / f"d{win}.wv"
+        encode_wav_file(str(p), str(out), device=True, block_samples=512,
+                        window_samples=win)
+        assert out.read_bytes() == want, f"window {win}"
+
+
+def test_streaming_rejects_multichannel(tmp_path):
+    pcm = sig(600, 4, seed=8)
+    p = tmp_path / "mc.wav"
+    write_wav_file(p, pcm)
+    with pytest.raises(ValueError, match="2 channels"):
+        encode_wav_file(str(p), str(tmp_path / "mc.wv"))
+
+
+def test_cli_streaming_encode_decode_cycle(tmp_path):
+    from wvpk.cli import main
+    pcm = sig(6000, 2, seed=9)
+    p = tmp_path / "c.wav"
+    write_wav_file(p, pcm)
+    wv = tmp_path / "c.wv"
+    assert main(["--encode", "--streaming", str(p), "-o", str(wv),
+                 "--block-samples", "1024", "-q"]) == 0
+    out = tmp_path / "c_out.wav"
+    assert main([str(wv), "-o", str(out), "-q"]) == 0
+    got, rate, bits, _, _ = read_wav(out.read_bytes())
+    np.testing.assert_array_equal(got, pcm)

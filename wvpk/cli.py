@@ -193,16 +193,34 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
 
 def encode_one(path: str, out_path: str, *, preset: str, block: int,
                hybrid_bitrate: int, checksum_bytes: int = 0,
-               quiet: bool = False, device: bool = False) -> int:
+               quiet: bool = False, device: bool = False,
+               streaming: bool = False) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
-    from .encode import encode, encode_device
+    import os
+
+    from .encode import encode, encode_device, encode_wav_file
     from .io.wav import read_wav
     if device:
         encode = encode_device
 
-    blob = open(path, "rb").read()
     t0 = time.perf_counter()
     try:
+        if streaming:
+            # bounded-memory two-pass: the WAV payload never fully loads
+            info = encode_wav_file(
+                path, out_path, device=device, block_samples=block,
+                preset=preset, hybrid=hybrid_bitrate > 0,
+                bitrate=hybrid_bitrate or 512,
+                block_checksum=checksum_bytes)
+            dt = time.perf_counter() - t0
+            if not quiet:
+                print(f"encoded {info['samples']} samples x "
+                      f"{info['channels']} ch in {dt * 1000:.1f} ms "
+                      f"({info['windows']} windows): "
+                      f"{os.path.getsize(path)} -> "
+                      f"{info['bytes_written']} bytes")
+            return 0
+        blob = open(path, "rb").read()
         pcm, rate, bits, header, trailer = read_wav(blob)
         wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
                     block_samples=block, preset=preset,
@@ -240,7 +258,8 @@ def main(argv=None) -> int:
     p.add_argument("--streaming", action="store_true",
                    help="force bounded-memory streaming decode (lazy "
                         "block parse + segment-cache eviction; automatic "
-                        "for large files)")
+                        "for large files); with --encode, bounded-memory "
+                        "two-pass window-streamed encode")
     p.add_argument("--verify-md5", action="store_true",
                    help="verify decoded audio against the file's stored "
                         "MD5 checksum (fails if the file carries none)")
@@ -283,7 +302,8 @@ def main(argv=None) -> int:
                              block=args.block_samples,
                              hybrid_bitrate=args.hybrid_bitrate,
                              checksum_bytes=args.checksum_bytes,
-                             quiet=args.quiet, device=args.device)
+                             quiet=args.quiet, device=args.device,
+                             streaming=args.streaming)
         return rc
 
     if args.verify_checksums:

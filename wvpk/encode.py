@@ -34,32 +34,63 @@ PRESETS = {
 }
 
 
-def _auto_shift(pcm: np.ndarray, bytes_per_sample: int) -> tuple[int, int]:
-    """Common trailing-zero count -> (shift, int32_zeros).
+def _auto_shift(or_acc: int, bytes_per_sample: int) -> tuple[int, int]:
+    """Common trailing-zero count of the OR-accumulated bit pattern ->
+    (shift, int32_zeros).
 
     bytes <= 3 store it in the header SHIFT field; 4-byte content uses
     the int32 zeros re-expansion (UnpackUtils.cs:1332-1342) instead, the
-    WavPack-native way to shrink wide residuals.
+    WavPack-native way to shrink wide residuals. (Two's complement:
+    v>>s<<s == v iff the low s bits of the bit pattern are zero, so the
+    OR over all samples carries the whole answer.)
     """
-    if not pcm.any():
+    if or_acc == 0:
         return 0, 0
-    # common low zero bits across all samples (two's complement: v>>s<<s
-    # == v iff the low s bits of the bit pattern are zero)
-    acc = int(np.bitwise_or.reduce(
-        pcm.astype(np.int64).view(np.uint64), axis=None))
-    tz = min((acc & -acc).bit_length() - 1, 8)
+    tz = min((or_acc & -or_acc).bit_length() - 1, 8)
     if bytes_per_sample >= 4:
         return 0, tz
     return tz, 0
 
 
-def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
-               bytes_per_sample: int = 2, block_samples: int = 4096,
-               preset: str = "default", joint: bool = True,
-               hybrid: bool = False, bitrate: int = 512,
-               md5: bool | None = None, block_checksum: int = 0,
-               riff_header: bytes | None = None,
-               riff_trailer: bytes | None = None) -> EncodeSpec:
+def pcm_stats(pcm: np.ndarray) -> dict:
+    """Whole-stream facts build_spec derives from the audio. Chunk-safe:
+    `merge_pcm_stats` folds per-window stats into the same answer, so
+    the streaming encoder can derive an identical spec from one bounded
+    pre-scan pass."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    wide = pcm.astype(np.int64)
+    return {
+        "n": pcm.shape[0],
+        "ch": pcm.shape[1],
+        "minv": int(wide.min()) if pcm.size else 0,
+        "maxv": int(wide.max()) if pcm.size else 0,
+        "maxabs": int(np.abs(wide).max()) if pcm.size else 0,
+        "or_acc": int(np.bitwise_or.reduce(wide.view(np.uint64), axis=None))
+                  if pcm.size else 0,
+        "equal_ch": pcm.shape[1] == 2
+                    and bool(np.array_equal(pcm[:, 0], pcm[:, 1])),
+    }
+
+
+def merge_pcm_stats(a: dict | None, b: dict) -> dict:
+    if a is None:
+        return b
+    if a["ch"] != b["ch"]:
+        raise ValueError("channel count changed mid-stream")
+    return {
+        "n": a["n"] + b["n"],
+        "ch": a["ch"],
+        "minv": min(a["minv"], b["minv"]),
+        "maxv": max(a["maxv"], b["maxv"]),
+        "maxabs": max(a["maxabs"], b["maxabs"]),
+        "or_acc": a["or_acc"] | b["or_acc"],
+        "equal_ch": a["equal_ch"] and b["equal_ch"],
+    }
+
+
+def build_spec(pcm: np.ndarray, *, stats: dict | None = None,
+               **options) -> EncodeSpec:
     """Derive an EncodeSpec for `pcm` ((n,) or (n, ch) ints in the
     signed `bytes_per_sample`-wide domain).
 
@@ -69,28 +100,40 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
     stamp it anyway."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
-    n, ch = pcm.shape
-    if n == 0:
-        raise ValueError("empty PCM")
     if not np.issubdtype(pcm.dtype, np.integer):
         raise ValueError(f"integer PCM required, got dtype {pcm.dtype}")
+    return _spec_from_stats(stats if stats is not None else pcm_stats(pcm),
+                            **options)
+
+
+def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
+                     bytes_per_sample: int = 2, block_samples: int = 4096,
+                     preset: str = "default", joint: bool = True,
+                     hybrid: bool = False, bitrate: int = 512,
+                     md5: bool | None = None, block_checksum: int = 0,
+                     riff_header: bytes | None = None,
+                     riff_trailer: bytes | None = None) -> EncodeSpec:
+    n, ch = st["n"], st["ch"]
+    if n == 0:
+        raise ValueError("empty PCM")
     if block_samples <= 0:
         raise ValueError(f"block_samples must be positive, got {block_samples}")
     lim = 1 << (bytes_per_sample * 8 - 1)
-    if pcm.min() < -lim or pcm.max() >= lim:
+    if st["minv"] < -lim or st["maxv"] >= lim:
         raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
     terms, deltas = PRESETS[preset]
     mono = ch == 1
     # false stereo: identical channels collapse to one encoded channel
     # (the decoder re-duplicates, UnpackUtils.cs:668-680)
-    false_stereo = ch == 2 and bool(np.array_equal(pcm[:, 0], pcm[:, 1]))
+    false_stereo = st["equal_ch"]
     if mono or false_stereo:
         # cross-channel terms are stereo-only (multichannel mono tail
         # streams are stripped inside encode_multichannel instead, so
         # the segment's stereo pairs keep them)
         kept = [(t, d) for t, d in zip(terms, deltas) if t > 0]
         terms, deltas = tuple(t for t, _ in kept), tuple(d for _, d in kept)
-    shift, zeros = (0, 0) if hybrid else _auto_shift(pcm, bytes_per_sample)
+    shift, zeros = ((0, 0) if hybrid
+                    else _auto_shift(st["or_acc"], bytes_per_sample))
     # wide 32-bit content: the stored-domain magnitude must stay in the
     # entropy coder's comfortable range (24-bit-audio scale; the log2
     # tables and median adaptation degrade beyond ~2^28, per the
@@ -100,7 +143,7 @@ def build_spec(pcm: np.ndarray, *, sample_rate: int = 44100,
     # alone don't get us there.
     int32_mode = "zeros" if zeros else None
     sent_bits = 0
-    maxabs = int(np.abs(pcm.astype(np.int64)).max())
+    maxabs = st["maxabs"]
     excess = maxabs.bit_length() - 23 - zeros
     if bytes_per_sample >= 4 and excess > 0:
         if hybrid:
@@ -170,6 +213,101 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     if spec.false_stereo:
         pcm = pcm[:, :1]
     return b"".join(encode_blocks_device(pcm, spec, warmup=warmup))
+
+
+def encode_wav_file(in_path, out_path, *, device: bool = False,
+                    warmup: int = 512, window_samples: int = 1 << 20,
+                    **options) -> dict:
+    """Bounded-memory WAV file -> .wv file encode (two streaming passes).
+
+    Pass 1 scans the payload once to fold `pcm_stats` windows (the spec
+    -- shift/wvx routing/false-stereo -- needs whole-stream facts) and
+    the whole-file MD5; pass 2 encodes window-by-window, appending
+    blocks to `out_path` as they are produced. Peak memory is
+    O(window_samples), not O(file): a multi-GB WAV encodes in constant
+    space, the encode mirror of the decoder's bounded streaming mode.
+
+    Windows are block-aligned. Host windows thread the encoder's
+    carried adaptive state across the boundary (one-window files are
+    byte-identical to `encode`); `device=True` uses the lane-parallel
+    TPU kernels, whose blocks are independent (fresh- or warmup-seeded)
+    lanes, so device output is byte-identical to `encode_device` for
+    ANY window split. >2ch multichannel needs the in-memory API.
+    Returns {"samples", "channels", "bytes_written", "windows"}.
+    """
+    import hashlib
+
+    from .io.pcm import format_samples
+    from .io.wav import decode_pcm_bytes, scan_wav_file
+
+    ch, rate, bits, off, size, header, trailer = scan_wav_file(in_path)
+    if ch > 2:
+        raise ValueError("streaming encode supports <= 2 channels; use "
+                         "encode()/encode_device() for multichannel")
+    bps = (bits + 7) // 8
+    options.setdefault("bytes_per_sample", bps)
+    options.setdefault("sample_rate", rate)
+    options["riff_header"] = header
+    options["riff_trailer"] = trailer
+    frame = bps * ch
+    total = size // frame
+    if total == 0:
+        raise ValueError("empty PCM")
+    bs = options.get("block_samples", 4096)
+    win = max(bs, window_samples // bs * bs)
+
+    hybrid = options.get("hybrid", False)
+    md5_opt = options.get("md5")
+    want_md5 = (not hybrid) if md5_opt is None else md5_opt
+    hasher = hashlib.md5() if want_md5 else None
+    st = None
+    with open(in_path, "rb") as f:
+        f.seek(off)
+        done = 0
+        while done < total:
+            m = min(total - done, win)
+            v = decode_pcm_bytes(f.read(m * frame), bps).reshape(-1, ch)
+            st = merge_pcm_stats(st, pcm_stats(v))
+            if hasher is not None:
+                # the stored MD5 covers the formatted output bytes
+                # (false-stereo duplication == the original channels)
+                hasher.update(format_samples(
+                    v, options["bytes_per_sample"]))
+            done += m
+    spec = replace(_spec_from_stats(st, **options),
+                   total_samples_override=total)
+    digest = hasher.digest() if hasher is not None else None
+
+    if device:
+        from .engine.device_encoder import encode_blocks_device
+    else:
+        from .testgen.encoder import encode_blocks
+    nbytes = nwin = 0
+    carry = None
+    with open(in_path, "rb") as f, open(out_path, "wb") as out:
+        f.seek(off)
+        done = 0
+        while done < total:
+            m = min(total - done, win)
+            v = decode_pcm_bytes(f.read(m * frame), bps).reshape(-1, ch)
+            if spec.false_stereo:
+                v = v[:, :1]
+            first, last = done == 0, done + m >= total
+            if device:
+                blocks = encode_blocks_device(
+                    v, spec, warmup=warmup, start_sample=done,
+                    first=first, last=last, md5_digest=digest)
+            else:
+                blocks, carry = encode_blocks(
+                    v, spec, start_sample=done, first=first, last=last,
+                    md5_digest=digest, carry=carry, return_carry=True)
+            for b in blocks:
+                out.write(b)
+                nbytes += len(b)
+            nwin += 1
+            done += m
+    return {"samples": total, "channels": ch, "bytes_written": nbytes,
+            "windows": nwin}
 
 
 def encode(pcm: np.ndarray, **options) -> bytes:

@@ -140,7 +140,10 @@ def _zero_underived_slots(p) -> None:
 
 
 def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
-                         mesh=None, warmup: int = 0) -> list[bytes]:
+                         mesh=None, warmup: int = 0, *,
+                         start_sample: int = 0, first: bool = True,
+                         last: bool = True,
+                         md5_digest: bytes | None = None) -> list[bytes]:
     """Encode PCM into WavPack blocks with the device kernels.
 
     Lossless: two scans (decorr inversion, entropy word coding).
@@ -157,6 +160,14 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     contract on). Both lossless and hybrid shard over a
     `jax.sharding.Mesh` (pure lane data-parallelism; the sharded path
     encodes fresh-seeded, warmup needs mesh=None).
+
+    Batch positioning (the streaming encoder's hooks; blocks are
+    independent lanes, so a file can be emitted in any lane batching):
+    `start_sample` offsets the headers' block_index; `first`/`last`
+    gate the file-level metadata (RIFF header / MD5 + trailer);
+    `md5_digest` supplies a precomputed whole-file digest when `pcm` is
+    only this batch's window (spec.total_samples_override must then
+    carry the file total).
     """
     from ..ops.encode_select import invert_any, words_any
 
@@ -338,17 +349,21 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
             mdl.append(mkmeta(consts.ID_SAMPLE_RATE,
                               (spec.sample_rate & 0xFFFFFF)
                               .to_bytes(3, "little")))
-        if i == 0 and spec.riff_header is not None:
+        if i == 0 and first and spec.riff_header is not None:
             mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
         mdl.append(mkmeta(consts.ID_WV_BITSTREAM, payloads[i]))
-        if i == L - 1 and spec.md5:
-            import hashlib
+        if i == L - 1 and last and spec.md5:
+            digest = md5_digest
+            if digest is None:
+                import hashlib
 
-            from ..io.pcm import format_samples
-            outp = pcm if not spec.false_stereo else np.repeat(pcm, 2, 1)
-            mdl.append(mkmeta(consts.ID_MD5_CHECKSUM, hashlib.md5(
-                format_samples(outp, spec.bytes_stored)).digest()))
-        if i == L - 1 and spec.riff_trailer is not None:
+                from ..io.pcm import format_samples
+                outp = (pcm if not spec.false_stereo
+                        else np.repeat(pcm, 2, 1))
+                digest = hashlib.md5(
+                    format_samples(outp, spec.bytes_stored)).digest()
+            mdl.append(mkmeta(consts.ID_MD5_CHECKSUM, digest))
+        if i == L - 1 and last and spec.riff_trailer is not None:
             mdl.append(mkmeta(consts.ID_RIFF_TRAILER, spec.riff_trailer))
         body = b"".join(mdl)
         from ..container.header import HEADER_SIZE
@@ -356,10 +371,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         header[0:4] = b"wvpk"
         header[4:8] = (HEADER_SIZE + len(body) - 8).to_bytes(4, "little")
         header[8:10] = spec.version.to_bytes(2, "little")
-        header[10] = (s0 >> 32) & 0xFF
+        bidx = s0 + start_sample
+        header[10] = (bidx >> 32) & 0xFF
         header[11] = (total >> 32) & 0xFF
         header[12:16] = (total & 0xFFFFFFFF).to_bytes(4, "little")
-        header[16:20] = (s0 & 0xFFFFFFFF).to_bytes(4, "little")
+        header[16:20] = (bidx & 0xFFFFFFFF).to_bytes(4, "little")
         header[20:24] = nb.to_bytes(4, "little")
         header[24:28] = flags.to_bytes(4, "little")
         # lossless: decoded == targets, so the CRC is closed-form over

@@ -59,16 +59,7 @@ def read_wav(blob: bytes):
                 raise ValueError(f"unsupported bit depth {bits}")
             nbytes = min(size, len(blob) - body)
             n = nbytes // (bps * ch)
-            raw = np.frombuffer(blob[body:body + n * bps * ch], np.uint8)
-            raw = raw.reshape(n * ch, bps).astype(np.int64)
-            v = np.zeros(n * ch, np.int64)
-            for k in range(bps):
-                v |= raw[:, k] << (8 * k)
-            if bps == 1:
-                v -= 128  # u8 storage -> signed
-            else:
-                width = 8 * bps
-                v = (v ^ (1 << (width - 1))) - (1 << (width - 1))
+            v = decode_pcm_bytes(blob[body:body + n * bps * ch], bps)
             # trailer starts right after the payload: an odd-size pad
             # byte belongs to it so the decode-side rewrite stays
             # byte-exact
@@ -76,6 +67,81 @@ def read_wav(blob: bytes):
             return (v.reshape(n, ch), rate, bits, blob[:body],
                     blob[end:] if end < len(blob) else None)
         pos = body + size + (size & 1)
+    raise ValueError("WAV file has no data chunk")
+
+
+def decode_pcm_bytes(buf: bytes, bps: int) -> np.ndarray:
+    """Little-endian stored PCM bytes -> flat signed int64 samples
+    (8-bit content is offset to signed, matching WavpackFormatSamples'
+    +128 un-offset, WavPackUtils.cs:300-307). Chunk-safe: any slice on
+    a sample boundary decodes independently."""
+    raw = np.frombuffer(buf, np.uint8)
+    raw = raw.reshape(len(raw) // bps, bps).astype(np.int64)
+    v = np.zeros(raw.shape[0], np.int64)
+    for k in range(bps):
+        v |= raw[:, k] << (8 * k)
+    if bps == 1:
+        return v - 128  # u8 storage -> signed
+    width = 8 * bps
+    return (v ^ (1 << (width - 1))) - (1 << (width - 1))
+
+
+def scan_wav_file(path):
+    """Locate a WAV file's PCM payload without loading it.
+
+    Returns (ch, rate, bits, data_offset, data_size, header, trailer):
+    `header` is the raw prefix through the data chunk header and
+    `trailer` the bytes after the payload (both small; stored verbatim
+    in the .wv like read_wav's). The payload itself stays on disk --
+    the bounded-memory streaming encoder reads it in windows."""
+    import os
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pre = f.read(12)
+        if len(pre) < 12 or pre[:4] != b"RIFF" or pre[8:12] != b"WAVE":
+            raise ValueError("not a RIFF WAVE file")
+        pos, fmt, hdr = 12, None, bytearray(pre)
+        while pos + 8 <= fsize:
+            f.seek(pos)
+            chead = f.read(8)
+            if len(chead) < 8:
+                break
+            cid = chead[:4]
+            size = int.from_bytes(chead[4:8], "little")
+            body = pos + 8
+            if cid == b"fmt ":
+                if size < 16 or body + 16 > fsize:
+                    raise ValueError("truncated WAV fmt chunk")
+                cbody = f.read(min(size, 40))
+                hdr += chead + cbody + f.read(
+                    size + (size & 1) - len(cbody))
+                tag, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", cbody[:16])
+                if tag == 0xFFFE and size >= 40:
+                    tag = int.from_bytes(cbody[24:26], "little")
+                if tag != 1:
+                    raise ValueError(f"unsupported WAV format tag {tag}")
+                fmt = (ch, rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data chunk before fmt")
+                ch, rate, bits = fmt
+                bps = (bits + 7) // 8
+                if bps not in (1, 2, 3, 4):
+                    raise ValueError(f"unsupported bit depth {bits}")
+                hdr += chead
+                nbytes = min(size, fsize - body)
+                nbytes -= nbytes % (bps * ch)
+                end = body + size
+                trailer = None
+                if end < fsize:
+                    f.seek(end)
+                    trailer = f.read()
+                return (ch, rate, bits, body, nbytes, bytes(hdr), trailer)
+            else:
+                cbody = f.read(size + (size & 1))
+                hdr += chead + cbody
+            pos = body + size + (size & 1)
     raise ValueError("WAV file has no data chunk")
 
 

@@ -919,8 +919,22 @@ def _auto_medians(stored: np.ndarray) -> tuple:
     return (tuple(m), tuple(m))
 
 
-def encode_blocks(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
-    """Encode PCM (n, ch_data) into a list of WavPack block byte strings."""
+def encode_blocks(pcm: np.ndarray, spec: EncodeSpec, *,
+                  start_sample: int = 0, first: bool = True,
+                  last: bool = True, md5_digest: bytes | None = None,
+                  carry: CarryState | None = None,
+                  return_carry: bool = False):
+    """Encode PCM (n, ch_data) into a list of WavPack block byte strings.
+
+    The keyword hooks position `pcm` as one window of a larger stream
+    (the bounded-memory streaming encoder in wvpk/encode.py):
+    `start_sample` offsets block_index, `first`/`last` gate the
+    file-level metadata (RIFF header / MD5 + trailer), `md5_digest`
+    supplies a precomputed whole-file digest, and `carry` threads the
+    adaptive encoder state across windows (pass the returned carry back
+    in, with spec.total_samples_override holding the file total).
+    Defaults encode `pcm` as a whole file, byte-identical to before.
+    """
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     assert pcm.shape[1] == spec.nch_data
@@ -928,20 +942,20 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
     total = spec.total_samples_override
     if total is None:
         total = pcm.shape[0]
-    medians = spec.initial_medians or _auto_medians(stored)
-    digest = None
-    if spec.md5:
+    if spec.md5 and last and md5_digest is None:
         import hashlib
 
         from ..io.pcm import format_samples
         out = pcm
         if spec.false_stereo:   # decoder duplicates to 2 channels
             out = np.repeat(pcm, 2, axis=1)
-        digest = hashlib.md5(format_samples(
+        md5_digest = hashlib.md5(format_samples(
             out, spec.bytes_stored)).digest()
-    carry = CarryState(
-        passes=[EncPass(t, d) for t, d in zip(spec.terms, spec.deltas)],
-        words=_make_words_state(spec, medians))
+    if carry is None:
+        medians = spec.initial_medians or _auto_medians(stored)
+        carry = CarryState(
+            passes=[EncPass(t, d) for t, d in zip(spec.terms, spec.deltas)],
+            words=_make_words_state(spec, medians))
     blocks = []
     n = pcm.shape[0]
     bs = spec.block_samples
@@ -949,9 +963,11 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec) -> list[bytes]:
         end = min(start + bs, n)
         blocks.append(encode_block(
             stored[start:end], pcm[start:end], spec, carry,
-            block_index=start, total_samples=total,
-            is_first=start == 0, is_last=end >= n,
-            md5_digest=digest))
+            block_index=start_sample + start, total_samples=total,
+            is_first=first and start == 0, is_last=last and end >= n,
+            md5_digest=md5_digest if spec.md5 else None))
+    if return_carry:
+        return blocks, carry
     return blocks
 
 
