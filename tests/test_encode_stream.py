@@ -167,6 +167,65 @@ def test_device_streaming_byte_identical_any_split(tmp_path):
         assert out.read_bytes() == want, f"window {win}"
 
 
+def test_scan_wav_file_odd_pad_matches_read_wav(tmp_path):
+    # 8-bit mono, odd sample count: data chunk is odd-sized, the RIFF
+    # pad byte belongs to the trailer on both readers
+    pcm = sig(333, 1, scale=40, seed=10)
+    p = tmp_path / "odd.wav"
+    write_wav_file(p, pcm, bits=8, trailer=b"\x00LIST1234")
+    blob = p.read_bytes()
+    rpcm, _, _, rheader, rtrailer = read_wav(blob)
+    ch, rate, bits, off, size, header, trailer = scan_wav_file(str(p))
+    assert header == rheader and trailer == rtrailer
+    np.testing.assert_array_equal(
+        decode_pcm_bytes(blob[off:off + size], 1).reshape(-1, 1), rpcm)
+
+
+def test_wide32_wvx_and_zeros_streaming(tmp_path):
+    # >24-bit magnitudes route the wvx raw-bit sidecar; low-zero 32-bit
+    # content routes int32 zeros — both whole-stream decisions must come
+    # out of the windowed stats fold identically to the batch spec
+    for name, pcm in (
+            ("wvx", (sig(3000, 2, scale=40_000_000, seed=11) | 1)),
+            ("zeros", sig(3000, 2, scale=2_000_000, seed=12) << 4)):
+        p = tmp_path / f"{name}.wav"
+        write_wav_file(p, pcm, bits=32)
+        out = tmp_path / f"{name}.wv"
+        encode_wav_file(str(p), str(out), block_samples=512,
+                        window_samples=1024)
+        np.testing.assert_array_equal(oracle_decode(out.read_bytes()),
+                                      pcm, err_msg=name)
+
+
+def test_stream_random_differential(tmp_path):
+    # randomized window splits vs the batch encoder: decoded samples and
+    # the stamped MD5 must agree regardless of windowing
+    rng = np.random.default_rng(1234)
+    for case in range(5):
+        ch = int(rng.integers(1, 3))
+        bits = int(rng.choice([8, 16, 24]))
+        scale = {8: 50, 16: 6000, 24: 800000}[bits]
+        n = int(rng.integers(900, 4000))
+        bs = int(rng.choice([256, 512, 1000]))
+        win = bs * int(rng.integers(1, 4))
+        pcm = sig(n, ch, scale=scale, seed=100 + case)
+        p = tmp_path / f"r{case}.wav"
+        write_wav_file(p, pcm, bits=bits)
+        out = tmp_path / f"r{case}.wv"
+        encode_wav_file(str(p), str(out), block_samples=bs,
+                        window_samples=win)
+        data = out.read_bytes()
+        _, rate, _, header, trailer = read_wav(p.read_bytes())
+        batch = encode(pcm, sample_rate=rate,
+                       bytes_per_sample=(bits + 7) // 8,
+                       block_samples=bs, riff_header=header,
+                       riff_trailer=trailer)
+        msg = f"case {case}: ch={ch} bits={bits} n={n} bs={bs} win={win}"
+        np.testing.assert_array_equal(
+            oracle_decode(data), oracle_decode(batch), err_msg=msg)
+        assert stored_md5(data) == stored_md5(batch), msg
+
+
 def test_streaming_rejects_multichannel(tmp_path):
     pcm = sig(600, 4, seed=8)
     p = tmp_path / "mc.wav"

@@ -132,6 +132,9 @@ def scan_wav_file(path):
                 hdr += chead
                 nbytes = min(size, fsize - body)
                 nbytes -= nbytes % (bps * ch)
+                # trailer anchored at body+size exactly like read_wav
+                # (the odd-size pad byte lives there, so the
+                # decode-side rewrite stays byte-exact)
                 end = body + size
                 trailer = None
                 if end < fsize:
