@@ -152,18 +152,19 @@ def test_24bit_autoshift_streaming(tmp_path):
     np.testing.assert_array_equal(oracle_decode(out.read_bytes()), pcm)
 
 
-def test_device_streaming_byte_identical_any_split(tmp_path):
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_device_streaming_byte_identical_any_split(tmp_path, hybrid):
     pcm = sig(4096, 2, seed=7)
     p = tmp_path / "d.wav"
     write_wav_file(p, pcm, trailer=b"T")
     _, rate, bits, header, trailer = read_wav(p.read_bytes())
     want = encode_device(pcm, sample_rate=rate, bytes_per_sample=2,
                          block_samples=512, riff_header=header,
-                         riff_trailer=trailer)
+                         riff_trailer=trailer, hybrid=hybrid, bitrate=640)
     for win in (1024, 2048):
-        out = tmp_path / f"d{win}.wv"
+        out = tmp_path / f"d{hybrid}{win}.wv"
         encode_wav_file(str(p), str(out), device=True, block_samples=512,
-                        window_samples=win)
+                        window_samples=win, hybrid=hybrid, bitrate=640)
         assert out.read_bytes() == want, f"window {win}"
 
 

@@ -3,8 +3,11 @@
 The reference (Quake4/WavPackDecoder) is decode-only; this module goes
 beyond parity by promoting the framework's heavily-fuzzed test-vector
 encoder (wvpk/testgen/encoder.py, multichannel.py) to a supported
-surface: ``wvpk.encode.encode(pcm, ...) -> bytes`` and a CLI encode mode
-(``python -m wvpk.cli --encode in.wav -o out.wv``).
+surface: ``wvpk.encode.encode(pcm, ...) -> bytes``, the device
+(TPU) variant ``encode_device``, the bounded-memory file streamer
+``encode_wav_file`` and a CLI encode mode
+(``python -m wvpk.cli --encode in.wav -o out.wv [--device]
+[--streaming]``).
 
 Every stream it emits is the same format the decoder's differential
 fuzzers exercise: lossless decode is sample-exact (roundtrip identity is
