@@ -235,6 +235,16 @@ def test_streaming_rejects_multichannel(tmp_path):
         encode_wav_file(str(p), str(tmp_path / "mc.wv"))
 
 
+def test_streaming_device_wvx_fails_before_writing(tmp_path):
+    pcm = sig(1000, 2, scale=40_000_000, seed=13) | 1
+    p = tmp_path / "w.wav"
+    write_wav_file(p, pcm, bits=32)
+    out = tmp_path / "w.wv"
+    with pytest.raises(ValueError, match="wvx"):
+        encode_wav_file(str(p), str(out), device=True)
+    assert not out.exists()
+
+
 def test_cli_streaming_encode_decode_cycle(tmp_path):
     from wvpk.cli import main
     pcm = sig(6000, 2, seed=9)

@@ -279,6 +279,11 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             done += m
     spec = replace(_spec_from_stats(st, **options),
                    total_samples_override=total)
+    if device and spec.int32_mode == "wvx":
+        # fail before any output is written: wide-32bit wvx routing is
+        # host-only (same contract as encode_device)
+        raise ValueError("device encode does not support >24-bit "
+                         "magnitudes (wvx routing); drop device=True")
     digest = hasher.digest() if hasher is not None else None
 
     if device:
