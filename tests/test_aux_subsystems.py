@@ -88,6 +88,42 @@ def test_fault_header_resync_skips_block():
     np.testing.assert_array_equal(out[600:], pcm[600:])
 
 
+def test_fault_giant_block_samples_concealed():
+    # a flipped high byte in the sample-count field claims 2^25+ samples;
+    # the block-parallel engine must refuse to materialize that
+    # (consts.MAX_BLOCK_SAMPLES) and conceal it like any corrupt header
+    from wvpk.container import parse_blocks
+    from wvpk.container.header import scan_headers
+    pcm, data = stereo_file(seed=11)
+    hdr1 = scan_headers(data)[1]
+    bad = bytearray(data)
+    pos = hdr1.stream_position + 23            # block_samples high byte
+    bad[pos] = 0x42
+    bad = bytes(bad)
+    assert scan_headers(bad)[1].block_samples > consts.MAX_BLOCK_SAMPLES
+    kept = parse_blocks(bad)
+    assert [b.header.block_index for b in kept] == [0, 600, 900]
+    with pytest.raises(ValueError, match="engine cap"):
+        parse_blocks(bad, strict=True)
+    # full decode conceals the range like a destroyed header
+    wpc = api.WavpackOpenFileInput(bad)
+    buf = np.zeros(1200 * 2, np.int32)
+    assert api.WavpackUnpackSamples(wpc, buf, 1200) == 1200
+    out = buf.reshape(-1, 2)
+    np.testing.assert_array_equal(out[:300], pcm[:300])
+    np.testing.assert_array_equal(out[300:600], 0)
+    np.testing.assert_array_equal(out[600:], pcm[600:])
+    # streaming (LazyBlocks) path conceals identically
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".wv") as f:
+        f.write(bad)
+        f.flush()
+        wpc = api.WavpackOpenFileInput(f.name, streaming=True)
+        buf2 = np.zeros(1200 * 2, np.int32)
+        assert api.WavpackUnpackSamples(wpc, buf2, 1200) == 1200
+        np.testing.assert_array_equal(buf2, buf)
+
+
 def test_fault_prepended_garbage_resync():
     pcm, data = stereo_file(seed=6, n=300, block=300)
     wpc = api.WavpackOpenFileInput(faults.prepend_garbage(data))

@@ -42,6 +42,15 @@ MONO_DATA = MONO_FLAG | FALSE_STEREO
 MIN_STREAM_VERS = 0x402
 MAX_STREAM_VERS = 0x410
 
+# Engine hardening cap on a block's claimed sample count (no reference
+# analog: the C# decoder streams sample-serially, so an absurd
+# block_samples from a corrupted header only wastes its time — this
+# block-parallel engine would materialize (T, lanes) device arrays of
+# that size. Real encoders stay orders of magnitude below this (the
+# WavPack format caps blocks at 131072 samples); anything above is a
+# corrupt header and is concealed like one. See PARITY.md.
+MAX_BLOCK_SAMPLES = 1 << 21
+
 # metadata sub-block IDs (Defines.cs:50-83)
 ID_UNIQUE = 0x3F
 ID_OPTIONAL_DATA = 0x20

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ..consts import MAX_BLOCK_SAMPLES
 from .blockstate import BlockState, ContextUpdates, decode_block_state
 from .header import HEADER_SIZE, BlockHeader, scan_headers
 from .metadata import MetadataItem, iter_metadata
@@ -42,6 +43,14 @@ def parse_blocks(data: bytes, strict: bool = False) -> list[Block]:
         if hdr.stream_position + hdr.ck_size + 8 > len(data):
             if strict:
                 raise ValueError("truncated trailing block")
+            continue
+        if hdr.block_samples > MAX_BLOCK_SAMPLES:
+            # corrupt header (consts.MAX_BLOCK_SAMPLES rationale):
+            # conceal like any other malformed block
+            if strict:
+                raise ValueError(
+                    f"block_samples {hdr.block_samples} exceeds the "
+                    f"engine cap {MAX_BLOCK_SAMPLES}")
             continue
         arr = None if strict else parse_block_native(data,
                                                      hdr.stream_position)

@@ -20,6 +20,7 @@ import io
 from collections import OrderedDict
 from dataclasses import replace
 
+from ..consts import MAX_BLOCK_SAMPLES
 from .blocks import Block
 from .blockstate import decode_block_state
 from .header import HEADER_SIZE, MAX_RESYNC_BYTES, BlockHeader, _parse_at, \
@@ -66,7 +67,13 @@ def scan_headers_file(f: io.BufferedIOBase,
         if buf[pos] == 0x77 and _valid_magic(buf, pos):  # 'w'
             hdr = _parse_at(buf, pos)
             hdr.stream_position = base + pos
-            out.append(hdr)
+            # this index doubles as the decode admission list (segment
+            # ranges come straight from it), so a corrupt-header sample
+            # count must not enter it (consts.MAX_BLOCK_SAMPLES; eager
+            # parse_blocks applies the same cap) — still jump its
+            # payload, the framing is intact
+            if hdr.block_samples <= MAX_BLOCK_SAMPLES:
+                out.append(hdr)
             pos += hdr.ck_size + 8
             skipped = 0
         else:
@@ -103,6 +110,12 @@ class LazyBlocks:
             self._cache.move_to_end(i)
             return self._cache[i]
         hdr = self.headers[i]
+        if hdr.block_samples > MAX_BLOCK_SAMPLES:
+            # corrupt header (consts.MAX_BLOCK_SAMPLES rationale):
+            # conceal like any other malformed block
+            raise BlockParseError(
+                f"block_samples {hdr.block_samples} exceeds the "
+                f"engine cap {MAX_BLOCK_SAMPLES}")
         self._f.seek(hdr.stream_position)
         raw = self._f.read(hdr.ck_size + 8)
         if len(raw) < hdr.ck_size + 8:
