@@ -304,7 +304,8 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             if device:
                 blocks = encode_blocks_device(
                     v, spec, warmup=warmup, start_sample=done,
-                    first=first, last=last, md5_digest=digest)
+                    first=first, last=last, md5_digest=digest,
+                    pad_to=total)
             else:
                 blocks, carry = encode_blocks(
                     v, spec, start_sample=done, first=first, last=last,

@@ -143,7 +143,8 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                          mesh=None, warmup: int = 0, *,
                          start_sample: int = 0, first: bool = True,
                          last: bool = True,
-                         md5_digest: bytes | None = None) -> list[bytes]:
+                         md5_digest: bytes | None = None,
+                         pad_to: int | None = None) -> list[bytes]:
     """Encode PCM into WavPack blocks with the device kernels.
 
     Lossless: two scans (decorr inversion, entropy word coding).
@@ -167,7 +168,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     gate the file-level metadata (RIFF header / MD5 + trailer);
     `md5_digest` supplies a precomputed whole-file digest when `pcm` is
     only this batch's window (spec.total_samples_override must then
-    carry the file total).
+    carry the file total). `pad_to` (the file total) pins the lane
+    padding T to what a whole-file batch would use: the warm seeding
+    scan adapts over min(warmup, T) steps INCLUDING a short last
+    block's zero padding, so a window must pad like the batch for its
+    bytes to stay split-invariant.
     """
     from ..ops.encode_select import invert_any, words_any
 
@@ -188,7 +193,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     starts = list(range(0, n, bs))
     L = len(starts)
     C = 1 if mono else 2
-    T = min(bs, n)
+    T = min(bs, max(n, pad_to or 0))
 
     # joint transform per block (vectorized; encoder.py semantics)
     targ = np.zeros((L, T, C), np.int64)
