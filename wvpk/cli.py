@@ -16,7 +16,7 @@ import numpy as np
 
 from . import api, consts, trace
 from .io.pcm import format_samples
-from .io.wav import write_wav
+from .io.wav import make_wav_header, write_wav
 from .report import build_report
 
 
@@ -60,36 +60,46 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
     is_dsd = bool(api.WavpackGetMode(wpc) & consts.MODE_DSD)
     t0 = time.perf_counter()
     total_unpacked = 0
-    chunks = []
+    # output streams to disk as it is formatted (and the MD5 folds
+    # incrementally), so a multi-GB decode stays O(buffer) in memory —
+    # matching the bounded-memory open mode it pairs with
+    out_f = open(out_path, "wb") if out_path else None
+    md5er = None
+    if verify_md5:
+        import hashlib
+        md5er = hashlib.md5()
     buf = np.zeros(consts.SAMPLE_BUFFER_SIZE * num_channels, np.int32)
-    with trace.collect() as stages:
-        while True:
-            got = api.WavpackUnpackSamples(wpc, buf,
-                                           consts.SAMPLE_BUFFER_SIZE)
-            if got <= 0:
-                break
-            total_unpacked += got
-            with trace.stage("format"):
-                chunks.append(api.WavpackFormatSamples(
-                    buf, got * num_channels, byteps, dsd=is_dsd))
-    t1 = time.perf_counter()
-    pcm = b"".join(chunks)
-
-    if out_path:
-        if raw:
-            # container-less output: the interleaved little-endian PCM (or
-            # native DSD byte stream) exactly as formatted, no RIFF header
-            with open(out_path, "wb") as f:
-                f.write(pcm)
-        else:
+    try:
+        if out_f is not None and not raw:
+            # raw mode is container-less: interleaved little-endian PCM
+            # (or native DSD bytes) exactly as formatted, no RIFF header
             hdr = api.WavpackGetHeader(wpc)
-            write_wav(out_path, pcm,
-                      total_samples=max(total_samples, 0),
-                      num_channels=num_channels, sample_rate=sample_rate,
-                      bits_per_sample=bits, bytes_per_sample=byteps,
-                      header=hdr if hdr and not api.WavpackGetIsFloat(wpc)
-                      else None,
-                      trailer=api.WavpackGetTrailer(wpc))
+            out_f.write(hdr if hdr and not api.WavpackGetIsFloat(wpc)
+                        else make_wav_header(
+                            max(total_samples, 0), num_channels,
+                            sample_rate, bits, byteps))
+        with trace.collect() as stages:
+            while True:
+                got = api.WavpackUnpackSamples(wpc, buf,
+                                               consts.SAMPLE_BUFFER_SIZE)
+                if got <= 0:
+                    break
+                total_unpacked += got
+                with trace.stage("format"):
+                    fmt = api.WavpackFormatSamples(
+                        buf, got * num_channels, byteps, dsd=is_dsd)
+                if out_f is not None:
+                    out_f.write(fmt)
+                if md5er is not None:
+                    md5er.update(fmt)
+        t1 = time.perf_counter()
+        if out_f is not None and not raw:
+            trailer = api.WavpackGetTrailer(wpc)
+            if trailer:
+                out_f.write(trailer)
+    finally:
+        if out_f is not None:
+            out_f.close()
 
     if not quiet:
         ms = (t1 - t0) * 1000
@@ -119,12 +129,11 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
         # whole-file integrity beyond per-block CRC (extension; the C#
         # reference ignores ID_MD5_CHECKSUM): hash the decoded PCM byte
         # image and compare with the digest the encoder stored
-        import hashlib
         stored = api.WavpackGetMD5Sum(wpc)
         if stored is None:
             print("no MD5 checksum stored in file", file=sys.stderr)
             return 1
-        actual = hashlib.md5(pcm).digest()
+        actual = md5er.digest()
         if actual != stored:
             print(f"MD5 mismatch: stored {stored.hex()} != decoded "
                   f"{actual.hex()}", file=sys.stderr)
