@@ -230,12 +230,62 @@ def test_stream_random_differential(tmp_path):
         assert stored_md5(data) == stored_md5(batch), msg
 
 
-def test_streaming_rejects_multichannel(tmp_path):
-    pcm = sig(600, 4, seed=8)
+def decode_segments(data: bytes) -> np.ndarray:
+    from collections import defaultdict
+
+    from wvpk.ref import decode_block
+    seg = defaultdict(list)
+    for b in parse_blocks(data):
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        seg[b.header.block_index].append(r.samples)
+    return np.concatenate([np.concatenate(seg[k], 1) for k in sorted(seg)])
+
+
+@pytest.mark.parametrize("nch", [5, 6])
+def test_multichannel_streaming_roundtrip(tmp_path, nch):
+    pcm = sig(2200, nch, seed=14 + nch)
     p = tmp_path / "mc.wav"
     write_wav_file(p, pcm)
-    with pytest.raises(ValueError, match="2 channels"):
-        encode_wav_file(str(p), str(tmp_path / "mc.wv"))
+    out = tmp_path / "mc.wv"
+    info = encode_wav_file(str(p), str(out), block_samples=512,
+                           window_samples=1024, preset="high")
+    assert info["windows"] == 3
+    data = out.read_bytes()
+    np.testing.assert_array_equal(decode_segments(data), pcm)
+    # segment structure: INITIAL/FINAL per time window, one channel-info,
+    # whole-file MD5 on the final block
+    blocks = parse_blocks(data)
+    n_streams = (nch + 1) // 2
+    assert blocks[0].header.flags & consts.INITIAL_BLOCK
+    assert blocks[n_streams - 1].header.flags & consts.FINAL_BLOCK
+    assert sum(b.updates.num_channels is not None for b in blocks) == 1
+    assert stored_md5(data) == hashlib.md5(format_samples(pcm, 2)).digest()
+    # single-window output is byte-identical to the in-memory batch
+    out2 = tmp_path / "mc1.wv"
+    encode_wav_file(str(p), str(out2), block_samples=512,
+                    window_samples=1 << 20, preset="high")
+    _, rate, _, header, trailer = read_wav(p.read_bytes())
+    want = encode(pcm, sample_rate=rate, bytes_per_sample=2,
+                  block_samples=512, preset="high", riff_header=header,
+                  riff_trailer=trailer)
+    assert out2.read_bytes() == want
+
+
+def test_multichannel_device_streaming_any_split(tmp_path):
+    pcm = sig(1700, 4, seed=21)   # 3 full blocks + 164-sample tail
+    p = tmp_path / "mcd.wav"
+    write_wav_file(p, pcm, trailer=b"TAIL")
+    _, rate, _, header, trailer = read_wav(p.read_bytes())
+    want = encode_device(pcm, sample_rate=rate, bytes_per_sample=2,
+                         block_samples=512, riff_header=header,
+                         riff_trailer=trailer)
+    for win in (512, 1024):
+        out = tmp_path / f"mcd{win}.wv"
+        encode_wav_file(str(p), str(out), device=True, block_samples=512,
+                        window_samples=win)
+        assert out.read_bytes() == want, f"window {win}"
+    np.testing.assert_array_equal(decode_segments(want), pcm)
 
 
 def test_streaming_device_wvx_fails_before_writing(tmp_path):

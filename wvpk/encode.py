@@ -235,7 +235,8 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     byte-identical to `encode`); `device=True` uses the lane-parallel
     TPU kernels, whose blocks are independent (fresh- or warmup-seeded)
     lanes, so device output is byte-identical to `encode_device` for
-    ANY window split. >2ch multichannel needs the in-memory API.
+    ANY window split. >2ch input emits multichannel segments
+    (per-stream carried state on host; independent lanes on device).
     Returns {"samples", "channels", "bytes_written", "windows"}.
     """
     import hashlib
@@ -244,9 +245,6 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     from .io.wav import decode_pcm_bytes, scan_wav_file
 
     ch, rate, bits, off, size, header, trailer = scan_wav_file(in_path)
-    if ch > 2:
-        raise ValueError("streaming encode supports <= 2 channels; use "
-                         "encode()/encode_device() for multichannel")
     bps = (bits + 7) // 8
     options.setdefault("bytes_per_sample", bps)
     options.setdefault("sample_rate", rate)
@@ -279,6 +277,9 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             done += m
     spec = replace(_spec_from_stats(st, **options),
                    total_samples_override=total)
+    if ch > 2:
+        # segment encoder stamps checksums itself; strip false_stereo
+        spec = replace(spec, mono=False, false_stereo=False)
     if device and spec.int32_mode == "wvx":
         # fail before any output is written: wide-32bit wvx routing is
         # host-only (same contract as encode_device)
@@ -287,11 +288,13 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     digest = hasher.digest() if hasher is not None else None
 
     if device:
-        from .engine.device_encoder import encode_blocks_device
+        from .engine.device_encoder import (encode_blocks_device,
+                                            encode_multichannel_device)
     else:
         from .testgen.encoder import encode_blocks
+        from .testgen.multichannel import encode_multichannel
     nbytes = nwin = 0
-    carry = None
+    carry = carries = None
     with open(in_path, "rb") as f, open(out_path, "wb") as out:
         f.seek(off)
         done = 0
@@ -301,7 +304,18 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             if spec.false_stereo:
                 v = v[:, :1]
             first, last = done == 0, done + m >= total
-            if device:
+            if ch > 2 and device:
+                blocks = [encode_multichannel_device(
+                    v, spec, warmup=warmup, start_sample=done,
+                    first=first, last=last, md5_digest=digest,
+                    pad_to=total)]
+            elif ch > 2:
+                seg, carries = encode_multichannel(
+                    v, spec, start_sample=done, first=first, last=last,
+                    md5_digest=digest, carries=carries,
+                    return_carries=True)
+                blocks = [seg]
+            elif device:
                 blocks = encode_blocks_device(
                     v, spec, warmup=warmup, start_sample=done,
                     first=first, last=last, md5_digest=digest,

@@ -403,15 +403,21 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
 
 def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
                                channel_mask: int | None = None,
-                               warmup: int = 0) -> bytes:
+                               warmup: int = 0, *,
+                               start_sample: int = 0, first: bool = True,
+                               last: bool = True,
+                               md5_digest: bytes | None = None,
+                               pad_to: int | None = None) -> bytes:
     """Device encode of a >2ch segment (INITIAL..FINAL stream runs with
     ID_CHANNEL_INFO, like testgen.multichannel.encode_multichannel).
     Each stream's blocks are one device lane batch; streams are encoded
     independently (self-seeded) and their blocks interleaved per time
-    window."""
-    from ..container.header import HEADER_SIZE
+    window. The keyword hooks position `pcm` as one window of a larger
+    stream (see encode_blocks_device); device blocks are independent
+    lanes, so any window split is byte-identical to the batch."""
     from ..testgen.multichannel import (_inject_metadata,
-                                        _set_segment_flags, split_streams)
+                                        _set_segment_flags, split_streams,
+                                        stream_specs)
 
     n, nch = pcm.shape
     assert nch > 2
@@ -422,22 +428,25 @@ def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
     from dataclasses import replace
     stream_blocks = []
     off = 0
-    for w in widths:
-        sspec = replace(spec, mono=(w == 1), false_stereo=False,
-                        block_checksum=0, md5=False)
-        if w == 1 and any(t < 0 for t in sspec.terms):
-            keep = [(t, d) for t, d in zip(sspec.terms, sspec.deltas)
-                    if t > 0] or [(2, 2)]
-            sspec = replace(sspec, terms=tuple(t for t, _ in keep),
-                            deltas=tuple(d for _, d in keep))
+    for si, (w, sspec) in enumerate(zip(widths, stream_specs(spec, nch))):
+        # file-level metadata rides specific segment slots: the RIFF
+        # header on the first stream's first block, the trailer on the
+        # last stream's last block, the MD5 injected below
+        sspec = replace(
+            sspec, md5=False,
+            riff_header=spec.riff_header if si == 0 else None,
+            riff_trailer=spec.riff_trailer if si == len(widths) - 1
+            else None)
         stream_blocks.append(encode_blocks_device(
-            pcm[:, off:off + w], sspec, warmup=warmup))
+            pcm[:, off:off + w], sspec, warmup=warmup,
+            start_sample=start_sample, first=first, last=last,
+            pad_to=pad_to))
         off += w
 
     chan_info = bytes([nch]) + channel_mask.to_bytes(
         max(1, (channel_mask.bit_length() + 7) // 8), "little")
-    digest = None
-    if spec.md5:
+    digest = md5_digest
+    if spec.md5 and last and digest is None:
         import hashlib
 
         from ..io.pcm import format_samples
@@ -451,11 +460,11 @@ def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
             blk = stream_blocks[si][win]
             blk = _set_segment_flags(blk, initial=(si == 0),
                                      final=(si == len(widths) - 1))
-            if win == 0 and si == 0:
+            if first and win == 0 and si == 0:
                 blk = _inject_metadata(
                     blk, mkmeta(consts.ID_CHANNEL_INFO, chan_info))
-            if digest is not None and win == nwin - 1 \
-                    and si == len(widths) - 1:
+            if spec.md5 and digest is not None and last \
+                    and win == nwin - 1 and si == len(widths) - 1:
                 blk = _inject_metadata(
                     blk, mkmeta(consts.ID_MD5_CHECKSUM, digest))
             if spec.block_checksum:

@@ -27,22 +27,14 @@ def split_streams(num_channels: int) -> list[int]:
     return widths
 
 
-def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
-                        channel_mask: int | None = None) -> bytes:
-    """Encode (n, ch>2) PCM into segment-structured WavPack blocks."""
-    n, nch = pcm.shape
-    assert nch > 2
-    widths = split_streams(nch)
-    if channel_mask is None:
-        channel_mask = (1 << nch) - 1
-
-    # per-stream specs and carries
-    streams = []
-    off = 0
-    for w in widths:
-        # block_checksum is stamped LAST below: the segment-flag rewrite
-        # and channel-info injection both change covered bytes, so a
-        # checksum from encode_block would be stale
+def stream_specs(spec: EncodeSpec, nch: int) -> list[EncodeSpec]:
+    """Per-stream specs for a >2ch segment (deterministic in `spec`, so
+    every window of a streamed encode derives the same list)."""
+    out = []
+    for w in split_streams(nch):
+        # block_checksum is stamped LAST in the assembler: the
+        # segment-flag rewrite and channel-info injection both change
+        # covered bytes, so a checksum from encode_block would be stale
         sspec = replace(spec, mono=(w == 1), false_stereo=False,
                         block_checksum=0)
         if w == 1 and any(t < 0 for t in sspec.terms):
@@ -56,20 +48,55 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
                 keep = [(2, 2)]
             sspec = replace(sspec, terms=tuple(t for t, _ in keep),
                             deltas=tuple(d for _, d in keep))
+        out.append(sspec)
+    return out
+
+
+def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
+                        channel_mask: int | None = None, *,
+                        start_sample: int = 0, first: bool = True,
+                        last: bool = True, md5_digest: bytes | None = None,
+                        carries: list[CarryState] | None = None,
+                        return_carries: bool = False):
+    """Encode (n, ch>2) PCM into segment-structured WavPack blocks.
+
+    The keyword hooks position `pcm` as one window of a larger stream
+    (see encoder.py::encode_blocks): `carries` threads each stream's
+    adaptive state across windows, `first`/`last` gate the segment's
+    file-level metadata (ID_CHANNEL_INFO + RIFF header / MD5 + trailer),
+    and spec.total_samples_override carries the file total.
+    """
+    n, nch = pcm.shape
+    assert nch > 2
+    widths = split_streams(nch)
+    if channel_mask is None:
+        channel_mask = (1 << nch) - 1
+    total = spec.total_samples_override
+    if total is None:
+        total = n
+
+    # per-stream specs, windows and carries
+    streams = []
+    off = 0
+    for si, (w, sspec) in enumerate(zip(widths, stream_specs(spec, nch))):
         sub = pcm[:, off:off + w]
         stored = _stored_domain(sub, sspec)
-        medians = sspec.initial_medians or _auto_medians(stored)
-        carry = CarryState(
-            passes=[EncPass(t, d) for t, d in zip(sspec.terms, sspec.deltas)],
-            words=_make_words_state(sspec, medians))
+        if carries is not None:
+            carry = carries[si]
+        else:
+            medians = sspec.initial_medians or _auto_medians(stored)
+            carry = CarryState(
+                passes=[EncPass(t, d)
+                        for t, d in zip(sspec.terms, sspec.deltas)],
+                words=_make_words_state(sspec, medians))
         streams.append((sspec, sub, stored, carry))
         off += w
 
     chan_info = bytes([nch]) + channel_mask.to_bytes(
         max(1, (channel_mask.bit_length() + 7) // 8), "little")
 
-    digest = None
-    if spec.md5:
+    digest = md5_digest
+    if spec.md5 and last and digest is None:
         # digest covers the full interleaved output (all streams), stored
         # once in the file's final block like single-stream encode_blocks
         import hashlib
@@ -80,15 +107,17 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
 
     out = bytearray()
     bs = spec.block_samples
-    first_seg = True
+    first_seg = first
     for start in range(0, n, bs):
         end = min(start + bs, n)
         for si, (sspec, sub, stored, carry) in enumerate(streams):
             blk = encode_block(stored[start:end], sub[start:end], sspec,
-                               carry, block_index=start, total_samples=n,
-                               is_first=(start == 0 and si == 0),
-                               is_last=(end >= n and si == len(streams) - 1),
-                               md5_digest=digest)
+                               carry, block_index=start_sample + start,
+                               total_samples=total,
+                               is_first=(first and start == 0 and si == 0),
+                               is_last=(last and end >= n
+                                        and si == len(streams) - 1),
+                               md5_digest=digest if spec.md5 else None)
             blk = _set_segment_flags(blk, initial=(si == 0),
                                      final=(si == len(streams) - 1))
             if first_seg and si == 0:
@@ -99,6 +128,8 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
                 blk = add_block_checksum(blk, spec.block_checksum)
             out += blk
         first_seg = False
+    if return_carries:
+        return bytes(out), [c for _, _, _, c in streams]
     return bytes(out)
 
 
