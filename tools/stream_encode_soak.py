@@ -36,8 +36,18 @@ def stored_md5(data):
 
 fails = 0
 tmp = tempfile.mkdtemp()
+def decode_segments(data):
+    from collections import defaultdict
+    seg = defaultdict(list)
+    for b in parse_blocks(data):
+        r = decode_block(b.state)
+        assert not r.crc_error and not r.mute_error
+        seg[b.header.block_index].append(r.samples)
+    return np.concatenate([np.concatenate(seg[k], 1) for k in sorted(seg)])
+
+
 for case in range(N_CASES):
-    ch = int(rng.integers(1, 3))
+    ch = int(rng.choice([1, 1, 2, 2, 2, 3, 4, 6, 8]))
     bits = int(rng.choice([8, 16, 24, 32]))
     scale = {8: 45, 16: 6000, 24: 700000, 32: 30_000_000}[bits]
     n = int(rng.integers(700, 6000))
@@ -67,12 +77,12 @@ for case in range(N_CASES):
                   bitrate=int(rng.integers(384, 1200)))
         encode_wav_file(p, out, device=device, window_samples=win, **kw)
         data = open(out, "rb").read()
-        got = oracle_decode(data)
+        got = decode_segments(data) if ch > 2 else oracle_decode(data)
         _, rate, _, header, trailer = read_wav(open(p, "rb").read())
         bkw = dict(sample_rate=rate, bytes_per_sample=bps,
                    riff_header=header, riff_trailer=trailer, **kw)
         batch = (encode_device if device else encode)(pcm, **bkw)
-        want = oracle_decode(batch)
+        want = decode_segments(batch) if ch > 2 else oracle_decode(batch)
         multiwin = win < n
         if hybrid and not device and multiwin:
             # host hybrid multiwindow: window-1 medians come from
