@@ -186,6 +186,23 @@ def test_sharded_device_encode():
     assert sharded == plain
 
 
+def test_public_encode_device_mesh():
+    """Public encode_device(mesh=...): block-identical to unsharded
+    fresh-seeded, for stereo AND a >2ch segment."""
+    from wvpk.encode import encode_device
+    from wvpk.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    mesh = make_mesh(8)
+    for ch in (2, 5):
+        t = np.arange(9 * 200)[:, None]
+        pcm = np.round(3000 * np.sin(2 * np.pi * t / 71.0)
+                       + rng.normal(0, 90, (t.size, ch))).astype(np.int64)
+        sharded = encode_device(pcm, block_samples=200, mesh=mesh,
+                                warmup=0)
+        assert sharded == encode_device(pcm, block_samples=200, warmup=0)
+
+
 def test_sharded_device_encode_hybrid():
     """The fused HYBRID encode scan lane-sharded over the mesh: identical
     blocks to the unsharded scan, and the stream decodes clean (mute/CRC

@@ -199,12 +199,18 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     with the quantized warm state — recovers the fresh-seed compression
     cost (within ~0.1% of the host encoder's carried-state ratio at
     512) while keeping blocks independent lanes.
+
+    mesh (a `jax.sharding.Mesh`) shards the encode scans lane-parallel
+    across devices (pure data parallelism, block-identical to
+    unsharded); the sharded path encodes fresh-seeded, so warmup is
+    ignored with a mesh.
     """
     from dataclasses import replace
 
     from .engine.device_encoder import (encode_blocks_device,
                                         encode_multichannel_device)
     warmup = options.pop("warmup", 512)
+    mesh = options.pop("mesh", None)
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -212,10 +218,11 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     if pcm.shape[1] > 2:
         return encode_multichannel_device(
             pcm, replace(spec, mono=False, false_stereo=False),
-            warmup=warmup)
+            warmup=warmup, mesh=mesh)
     if spec.false_stereo:
         pcm = pcm[:, :1]
-    return b"".join(encode_blocks_device(pcm, spec, warmup=warmup))
+    return b"".join(encode_blocks_device(pcm, spec, mesh=mesh,
+                                         warmup=warmup))
 
 
 def encode_wav_file(in_path, out_path, *, device: bool = False,

@@ -403,7 +403,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
 
 def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
                                channel_mask: int | None = None,
-                               warmup: int = 0, *,
+                               warmup: int = 0, mesh=None, *,
                                start_sample: int = 0, first: bool = True,
                                last: bool = True,
                                md5_digest: bytes | None = None,
@@ -438,7 +438,7 @@ def encode_multichannel_device(pcm: np.ndarray, spec: EncodeSpec,
             riff_trailer=spec.riff_trailer if si == len(widths) - 1
             else None)
         stream_blocks.append(encode_blocks_device(
-            pcm[:, off:off + w], sspec, warmup=warmup,
+            pcm[:, off:off + w], sspec, mesh=mesh, warmup=warmup,
             start_sample=start_sample, first=first, last=last,
             pad_to=pad_to))
         off += w
