@@ -310,3 +310,21 @@ def test_cli_streaming_encode_decode_cycle(tmp_path):
     assert main([str(wv), "-o", str(out), "-q"]) == 0
     got, rate, bits, _, _ = read_wav(out.read_bytes())
     np.testing.assert_array_equal(got, pcm)
+
+
+def test_device_streaming_mesh_byte_identical(tmp_path):
+    """encode_wav_file(device=True, mesh=...) shards each window's scans
+    over the 8-device mesh and stays byte-identical to the unsharded
+    device stream (and so to encode_device for any split)."""
+    from wvpk.parallel import make_mesh
+
+    pcm = sig(2214, 2, seed=21)          # 4 blocks + short tail
+    p = tmp_path / "m.wav"
+    write_wav_file(p, pcm)
+    want = tmp_path / "plain.wv"
+    got = tmp_path / "mesh.wv"
+    encode_wav_file(str(p), str(want), device=True, block_samples=512,
+                    window_samples=1024)
+    encode_wav_file(str(p), str(got), device=True, block_samples=512,
+                    window_samples=1024, mesh=make_mesh(8))
+    assert got.read_bytes() == want.read_bytes()

@@ -228,3 +228,40 @@ def test_sharded_device_encode_hybrid():
     dec = np.concatenate([r.samples for r in outs])
     # lossy: bounded error, not identity
     assert np.abs(dec - pcm).max() < (1 << 12)
+
+
+def test_sharded_device_encode_warmup():
+    """Warm seeding under a mesh: the lookahead adaptation scan shards
+    lane-parallel (sharded_invert_warm_state), so mesh output is
+    block-identical to the unsharded warm path for lossless AND hybrid,
+    and the warm stream stays oracle-decodable. Uneven lane counts."""
+    from wvpk.container import parse_blocks
+    from wvpk.encode import build_spec, encode_device
+    from wvpk.engine.device_encoder import encode_blocks_device
+    from wvpk.parallel import make_mesh
+    from wvpk.ref import decode_block
+
+    rng = np.random.default_rng(23)
+    mesh = make_mesh(8)
+    t = np.arange(7 * 300)
+    s = 5000 * np.sin(2 * np.pi * t / 97.0)
+    pcm = np.round(np.stack([s, s * 0.5], 1)
+                   + rng.normal(0, 200, (t.size, 2))).astype(np.int64)
+
+    spec = build_spec(pcm, block_samples=300)
+    sharded = encode_blocks_device(pcm, spec, mesh=mesh, warmup=512)
+    assert sharded == encode_blocks_device(pcm, spec, warmup=512)
+    outs = [decode_block(blk.state)
+            for blk in parse_blocks(b"".join(sharded))]
+    assert not any(r.crc_error or r.mute_error for r in outs)
+    assert np.array_equal(np.concatenate([r.samples for r in outs]), pcm)
+
+    hspec = build_spec(pcm, block_samples=300, hybrid=True, bitrate=384)
+    hsharded = encode_blocks_device(pcm, hspec, mesh=mesh, warmup=512)
+    assert hsharded == encode_blocks_device(pcm, hspec, warmup=512)
+
+    # public API: default warmup now rides the mesh too (>2ch segment)
+    pcm5 = np.round(3000 * np.sin(2 * np.pi * np.arange(3 * 200) / 71.0)
+                    [:, None] + rng.normal(0, 90, (600, 5))).astype(np.int64)
+    assert encode_device(pcm5, block_samples=200, mesh=mesh) \
+        == encode_device(pcm5, block_samples=200)

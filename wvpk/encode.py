@@ -202,8 +202,7 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
 
     mesh (a `jax.sharding.Mesh`) shards the encode scans lane-parallel
     across devices (pure data parallelism, block-identical to
-    unsharded); the sharded path encodes fresh-seeded, so warmup is
-    ignored with a mesh.
+    unsharded at any warmup — the warm lookahead scan shards too).
     """
     from dataclasses import replace
 
@@ -227,7 +226,7 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
 
 def encode_wav_file(in_path, out_path, *, device: bool = False,
                     warmup: int = 512, window_samples: int = 1 << 20,
-                    **options) -> dict:
+                    mesh=None, **options) -> dict:
     """Bounded-memory WAV file -> .wv file encode (two streaming passes).
 
     Pass 1 scans the payload once to fold `pcm_stats` windows (the spec
@@ -244,7 +243,10 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     lanes, so device output is byte-identical to `encode_device` for
     ANY window split. >2ch input emits multichannel segments
     (per-stream carried state on host; independent lanes on device).
-    Returns {"samples", "channels", "bytes_written", "windows"}.
+    `mesh` (device=True only) shards each window's encode scans
+    lane-parallel across a `jax.sharding.Mesh`, byte-identical to the
+    unsharded stream. Returns {"samples", "channels", "bytes_written",
+    "windows"}.
     """
     import hashlib
 
@@ -313,7 +315,7 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             first, last = done == 0, done + m >= total
             if ch > 2 and device:
                 blocks = [encode_multichannel_device(
-                    v, spec, warmup=warmup, start_sample=done,
+                    v, spec, warmup=warmup, mesh=mesh, start_sample=done,
                     first=first, last=last, md5_digest=digest,
                     pad_to=total)]
             elif ch > 2:
@@ -324,7 +326,7 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
                 blocks = [seg]
             elif device:
                 blocks = encode_blocks_device(
-                    v, spec, warmup=warmup, start_sample=done,
+                    v, spec, warmup=warmup, mesh=mesh, start_sample=done,
                     first=first, last=last, md5_digest=digest,
                     pad_to=total)
             else:

@@ -159,8 +159,10 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     sidecar; hybrid excludes float/int32 content; stored magnitudes
     < 2^27 (keeps medians in the non-wrapping regime the kernels
     contract on). Both lossless and hybrid shard over a
-    `jax.sharding.Mesh` (pure lane data-parallelism; the sharded path
-    encodes fresh-seeded, warmup needs mesh=None).
+    `jax.sharding.Mesh` (pure lane data-parallelism), with or without
+    warmup — the warm lookahead scan shards the same way
+    (`sharded_invert_warm_state`), so sharded output is block-identical
+    to unsharded at any warmup.
 
     Batch positioning (the streaming encoder's hooks; blocks are
     independent lanes, so a file can be emitted in any lane batching):
@@ -222,12 +224,18 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     np_ = len(spec.terms)
     wfa = wfb = np.zeros((L, 16), np.int64)
     hfa = hfb = np.zeros((L, 16, 8), np.int64)
-    if warmup > 0 and mesh is None and np_ > 0:
+    if warmup > 0 and np_ > 0:
         K = min(warmup, T)
-        _, (wa_f, wb_f, ha_f, hb_f) = invert_any(
-            targ_d[:K], terms16, deltas16, nt,
-            wfa, wfb, hfa, hfb, mono=mono, static_terms=tuple(spec.terms),
-            with_state=True)
+        if mesh is not None:
+            from ..parallel.mesh import sharded_invert_warm_state
+            wa_f, wb_f, ha_f, hb_f = sharded_invert_warm_state(
+                targ_d[:K], terms16, deltas16, nt, mesh, mono=mono,
+                static_terms=tuple(spec.terms))
+        else:
+            _, (wa_f, wb_f, ha_f, hb_f) = invert_any(
+                targ_d[:K], terms16, deltas16, nt,
+                wfa, wfb, hfa, hfb, mono=mono,
+                static_terms=tuple(spec.terms), with_state=True)
         m_fin = K & 7
         rot = (np.arange(8) + m_fin) & 7          # _rotate_ring order
         wfa, wfb = np.asarray(wa_f), np.asarray(wb_f)
@@ -280,8 +288,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         metas.append((tmd, wmd, smd, emd, hmd))
 
     # device: residuals, then the entropy word automaton (optionally
-    # lane-sharded over a jax.sharding.Mesh — pure data parallelism;
-    # the sharded path encodes fresh-seeded, warmup needs mesh=None)
+    # lane-sharded over a jax.sharding.Mesh — pure data parallelism)
     nvals = nsamp * C
     recon = None
     if hybrid:
@@ -306,7 +313,8 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         from ..parallel.mesh import sharded_encode_scans
         segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
                                     nvals, mesh, mono=mono,
-                                    static_terms=tuple(spec.terms))
+                                    static_terms=tuple(spec.terms),
+                                    seeds=(w0a, w0b, h0a, h0b))
     else:
         res = invert_any(targ_d, terms16, deltas16, nt,
                          w0a, w0b, h0a, h0b, mono=mono,

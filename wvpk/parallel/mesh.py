@@ -200,14 +200,17 @@ def shard_lanes_call(fn, args, mesh: Mesh, out_lane_axes: tuple[int, ...]):
 
 def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
                          mesh: Mesh, *, mono: bool,
-                         static_terms: tuple | None = None):
+                         static_terms: tuple | None = None,
+                         seeds: tuple | None = None):
     """Run the device ENCODE scans lane-sharded over the mesh: pure
-    data parallelism like decode — blocks are independent lanes
-    (fresh-seeded), zero hot-path collectives. Lanes padded to a mesh
-    multiple by replicating lane 0; outputs unpadded. Kernel selection
-    (Pallas on TPU / XLA scans elsewhere) rides ops/encode_select
-    inside the per-device program. Returns the same 9-tuple as
-    entropy_encode_words (segments + final pending state)."""
+    data parallelism like decode — blocks are independent lanes, zero
+    hot-path collectives. Lanes padded to a mesh multiple by
+    replicating lane 0; outputs unpadded. Kernel selection (Pallas on
+    TPU / XLA scans elsewhere) rides ops/encode_select inside the
+    per-device program. `seeds` is an optional (w0a, w0b, h0a, h0b)
+    warm decorr state per lane (fresh zero seeds otherwise). Returns
+    the same 9-tuple as entropy_encode_words (segments + final pending
+    state)."""
     from functools import partial
 
     from jax.experimental.shard_map import shard_map
@@ -225,19 +228,25 @@ def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
         reps = np.repeat(np.take(a, [0], axis=axis), L_pad - L, axis=axis)
         return np.concatenate([a, reps], axis=axis)
 
+    if seeds is None:
+        seeds = (np.zeros((L, 16), np.int64), np.zeros((L, 16), np.int64),
+                 np.zeros((L, 16, 8), np.int64),
+                 np.zeros((L, 16, 8), np.int64))
+    w0a, w0b, h0a, h0b = seeds
     args = (padl(targ, 1), padl(terms, 0), padl(deltas, 0),
-            padl(num_terms, 0), padl(med0, 0), padl(nvals, 0))
+            padl(num_terms, 0), padl(med0, 0), padl(nvals, 0),
+            padl(w0a, 0), padl(w0b, 0), padl(h0a, 0), padl(h0b, 0))
     specs = (P(None, LANE_AXIS, None), P(LANE_AXIS, None),
              P(LANE_AXIS, None), P(LANE_AXIS),
-             P(LANE_AXIS, None, None), P(LANE_AXIS))
+             P(LANE_AXIS, None, None), P(LANE_AXIS),
+             P(LANE_AXIS, None), P(LANE_AXIS, None),
+             P(LANE_AXIS, None, None), P(LANE_AXIS, None, None))
     args = [jax.device_put(a, NamedSharding(mesh, s))
             for a, s in zip(args, specs)]
 
-    def fn(tg, tm, dl, nt, md, nv):
+    def fn(tg, tm, dl, nt, md, nv, wa, wb, ha, hb):
         Ls = tg.shape[1]
-        z16 = jnp.zeros((Ls, 16), jnp.int64)
-        z168 = jnp.zeros((Ls, 16, 8), jnp.int64)
-        res = invert_any(tg, tm, dl, nt, z16, z16, z168, z168,
+        res = invert_any(tg, tm, dl, nt, wa, wb, ha, hb,
                          mono=mono, static_terms=static_terms)
         words = res.transpose(0, 2, 1).reshape(T * C, Ls)
         return words_any(words, md, nv, mono=mono)
@@ -247,6 +256,54 @@ def sharded_encode_scans(targ, terms, deltas, num_terms, med0, nvals,
                         out_specs=out_specs, check_rep=False)
     res = jax.jit(sharded)(*args)
     return tuple(r[:, :L] if r.ndim == 2 else r[:L] for r in res)
+
+
+def sharded_invert_warm_state(targ, terms, deltas, num_terms, mesh: Mesh,
+                              *, mono: bool,
+                              static_terms: tuple | None = None):
+    """Lane-shard the warm-seeding lookahead scan: run the decorr
+    inversion over each block's first K samples from fresh seeds and
+    return ONLY the final per-lane decorr state (wa, wb, ha, hb) —
+    the state `encode_blocks_device` quantizes into the block's
+    metadata before the main sharded scan. Pure data parallelism, same
+    lane padding contract as the other sharded encode entry points."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.encode_select import invert_any
+
+    n = mesh.devices.size
+    K, L, C = targ.shape
+    L_pad = ((L + n - 1) // n) * n
+
+    def padl(a, axis):
+        a = np.asarray(a)
+        if L_pad == L:
+            return a
+        reps = np.repeat(np.take(a, [0], axis=axis), L_pad - L, axis=axis)
+        return np.concatenate([a, reps], axis=axis)
+
+    raw = (padl(targ, 1), padl(terms, 0), padl(deltas, 0),
+           padl(num_terms, 0))
+    specs = (P(None, LANE_AXIS, None), P(LANE_AXIS, None),
+             P(LANE_AXIS, None), P(LANE_AXIS))
+    args = [jax.device_put(a, NamedSharding(mesh, s))
+            for a, s in zip(raw, specs)]
+
+    def fn(tg, tm, dl, nt):
+        Ls = tg.shape[1]
+        z16 = jnp.zeros((Ls, 16), jnp.int64)
+        z168 = jnp.zeros((Ls, 16, 8), jnp.int64)
+        _, state = invert_any(tg, tm, dl, nt, z16, z16, z168, z168,
+                              mono=mono, static_terms=static_terms,
+                              with_state=True)
+        return state
+
+    out_specs = (P(LANE_AXIS, None), P(LANE_AXIS, None),
+                 P(LANE_AXIS, None, None), P(LANE_AXIS, None, None))
+    sharded = shard_map(fn, mesh=mesh, in_specs=specs,
+                        out_specs=out_specs, check_rep=False)
+    res = jax.jit(sharded)(*args)
+    return tuple(r[:L] for r in res)
 
 
 def sharded_hybrid_encode_scan(targ, terms, deltas, num_terms, med0,
