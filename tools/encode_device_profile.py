@@ -87,6 +87,43 @@ def run(L, T, backend, repeats=3):
     return best
 
 
+def run_rounds(L, T, backend, rounds, repeats=3):
+    """Launch `rounds` back-to-back encode-scan chains before ONE
+    blocking fetch: the slope between two rounds counts at FIXED L
+    removes the ~28 ms dispatch/fetch constant exactly — needed for the
+    Pallas kernels, whose whole 512x4096 compute sits under that noise
+    (the lane-count slope measured 28.1 -> 28.6 ms, pure noise)."""
+    import jax.numpy as jnp
+
+    from wvpk.config import set_options
+    from wvpk.ops.encode_select import invert_any, words_any
+
+    targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
+    z16 = jnp.zeros((L, 16), jnp.int64)
+    z168 = jnp.zeros((L, 16, 8), jnp.int64)
+    set_options(encode_kernel=backend)
+
+    def full(k):
+        hs = []
+        for _ in range(k):
+            res = invert_any(targ, terms16, deltas16, nt, z16, z16, z168,
+                             z168, mono=False,
+                             static_terms=(18, 18, 2, 17, 3))
+            words = res.transpose(0, 2, 1).reshape(2 * T, L)
+            segs = words_any(words, med0, nvals, mono=False)
+            hs.append(segs[2][-1])
+        return np.asarray(jnp.concatenate(hs)).sum()
+
+    full(rounds)                # compile
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        full(rounds)
+        best = min(best, time.perf_counter() - t0)
+    set_options(encode_kernel="auto")
+    return best
+
+
 def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
@@ -98,6 +135,19 @@ def main():
         print(f"[{backend}] L={L} T={T}: t_small={t_small*1e3:.1f} ms "
               f"t_big={t_big*1e3:.1f} ms slope={slope*1e9:.2f} ns/frame "
               f"-> {ms:.1f} Mframes/s ({ms*2:.1f} Mvalues/s) device encode")
+
+    # rounds-count slope at fixed L (exact fixed-cost removal)
+    r_lo, r_hi = 2, 10
+    for backend in ("pallas", "xla"):
+        if backend == "xla" and T * L > 1 << 21:
+            continue            # minutes per round; the L-sweep suffices
+        t_lo = run_rounds(L, T, backend, r_lo)
+        t_hi = run_rounds(L, T, backend, r_hi)
+        per = (t_hi - t_lo) / (r_hi - r_lo)
+        ms = L * T / per / 1e6
+        print(f"[{backend}] rounds slope: t{r_lo}={t_lo*1e3:.1f} ms "
+              f"t{r_hi}={t_hi*1e3:.1f} ms per-round={per*1e3:.2f} ms "
+              f"-> {ms:.1f} Mframes/s ({ms*2:.1f} Mvalues/s)")
 
     # host packing cost for scale (not on the device critical path)
     from wvpk.engine.device_encoder import _final_flush, pack_segments
