@@ -1,0 +1,24 @@
+#!/bin/sh
+# Hardware measurement backlog: run on a live TPU tunnel, ONE job at a
+# time (the axon claim is single-client). Each stage appends to
+# /tmp/hw_pipeline_out.log; safe to re-run — soak pools are seeded, the
+# bench corpus and XLA compile caches persist under ~/.cache.
+#
+# Usage: sh tools/hw_pipeline.sh [logfile]
+set -x
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/hw_pipeline_out.log}
+{
+  echo "=== hw_pipeline $(date -u +%FT%TZ) ==="
+  timeout 1200 python tools/entropy_profile.py
+  timeout 1200 python tools/encode_device_profile.py
+  timeout 1800 python tools/encode_device_soak.py 740000 30
+  timeout 1800 python -c "
+from wvpk.testgen.fuzzspec import run_hw_sweep
+f, b = run_hw_sweep(40, n_dsd=8, seed_base=210000)
+print(f'hw sweep 210000: {b} blocks, {f} mismatches')
+assert f == 0
+"
+  timeout 1800 python tools/stream_encode_soak.py 9400 20
+  echo "=== hw_pipeline done $(date -u +%FT%TZ) ==="
+} >> "$LOG" 2>&1
