@@ -149,7 +149,7 @@ def test_wide_32bit_routes_wvx():
 
 def test_rejects_bad_inputs():
     pcm = sig(100, 2)
-    with pytest.raises(ValueError, match="integer PCM"):
+    with pytest.raises(ValueError, match="integer or float32 PCM"):
         build_spec(pcm.astype(np.float64))
     with pytest.raises(ValueError, match="block_samples"):
         build_spec(pcm, block_samples=0)

@@ -234,6 +234,11 @@ def _update_lossy(wpc: WavpackContext, st) -> None:
     """Lossy-block conditions (UnpackUtils.cs:57-64)."""
     if not st.header.block_samples:
         return
+    if (st.flags & consts.FLOAT_DATA) and wpc.config.float_norm_exp == 0:
+        # expose the stream's float grid (ID_FLOAT_INFO) for the float
+        # output formatter; the first float block's norm_exp stands for
+        # the stream (wvpk-encoded files keep it constant)
+        wpc.config.float_norm_exp = st.float_norm_exp
     if (st.flags & consts.INT32_DATA) and st.int32_sent_bits \
             and st.wvxbits is None:
         wpc.lossy_blocks = True
@@ -420,10 +425,14 @@ def _find_segment(wpc: WavpackContext, sample: int):
 
 
 def WavpackFormatSamples(src: np.ndarray, samcnt: int, bps: int,
-                         dsd: bool = False) -> bytes:
+                         dsd: bool = False,
+                         float_norm_exp: int | None = None) -> bytes:
     """Reformat int32 samples to little-endian PCM bytes
-    (WavPackUtils.cs:288-341)."""
-    return format_samples(np.asarray(src).reshape(-1)[:samcnt], bps, dsd)
+    (WavPackUtils.cs:288-341). float_norm_exp (extension): emit IEEE
+    float32 bytes on the stream's FLOAT_DATA grid instead — see
+    io/pcm.py; pass WavpackGetFloatNormExp(wpc) for float streams."""
+    return format_samples(np.asarray(src).reshape(-1)[:samcnt], bps, dsd,
+                          float_norm_exp=float_norm_exp)
 
 
 # -- getter family ----------------------------------------------------------
@@ -514,6 +523,15 @@ def WavpackGetVersion(wpc):
 
 def WavpackGetIsFloat(wpc):
     return bool(wpc.config.flags & consts.CONFIG_FLOAT_DATA)
+
+
+def WavpackGetFloatNormExp(wpc):
+    """FLOAT_DATA streams' grid exponent (ID_FLOAT_INFO norm_exp of the
+    first float block; 0 for integer streams). EXTENSION: feeds the
+    float output formatter f = v * 2**(norm_exp - 150) — the reference
+    demo has no float output path (it writes clipped ints,
+    FloatUtils.cs:32-56 + WvDemo.cs:80-104)."""
+    return wpc.config.float_norm_exp
 
 
 def WavpackGetMD5Sum(wpc) -> bytes | None:

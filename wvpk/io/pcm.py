@@ -7,8 +7,20 @@ from __future__ import annotations
 import numpy as np
 
 
-def format_samples(samples: np.ndarray, bps: int, dsd: bool = False) -> bytes:
-    """samples: (n, ch) or flat int32 array in interleaved order."""
+def format_samples(samples: np.ndarray, bps: int, dsd: bool = False,
+                   float_norm_exp: int | None = None) -> bytes:
+    """samples: (n, ch) or flat int32 array in interleaved order.
+
+    float_norm_exp (FLOAT_DATA streams): emit IEEE float32 bytes
+    f = v * 2**(norm_exp - 150) instead of integer PCM — the exact
+    inverse of the encoder's float grid (encode.py float note), and an
+    extension over the reference demo, which always writes integer WAVs
+    for float content (WvDemo.cs:74-104). Exact: |v| < 2**24 fits a
+    float32 significand and the scale is a power of two."""
+    if float_norm_exp is not None:
+        flat = np.ascontiguousarray(samples, dtype=np.int32).reshape(-1)
+        return (flat.astype(np.float64)
+                * 2.0 ** (float_norm_exp - 150)).astype("<f4").tobytes()
     flat = np.ascontiguousarray(samples, dtype=np.int32).reshape(-1)
     if bps == 1:
         if dsd:
