@@ -59,7 +59,8 @@ def test_scan_wav_file_matches_read_wav(tmp_path):
     write_wav_file(p, pcm, trailer=b"TAILDATA")
     blob = p.read_bytes()
     rpcm, rrate, rbits, rheader, rtrailer = read_wav(blob)
-    ch, rate, bits, off, size, header, trailer = scan_wav_file(str(p))
+    ch, rate, bits, off, size, header, trailer, tag = scan_wav_file(
+        str(p))
     assert (ch, rate, bits) == (2, rrate, rbits)
     assert header == rheader and trailer == rtrailer
     got = decode_pcm_bytes(blob[off:off + size], (bits + 7) // 8)
@@ -179,7 +180,8 @@ def test_scan_wav_file_odd_pad_matches_read_wav(tmp_path):
     write_wav_file(p, pcm, bits=8, trailer=b"\x00LIST1234")
     blob = p.read_bytes()
     rpcm, _, _, rheader, rtrailer = read_wav(blob)
-    ch, rate, bits, off, size, header, trailer = scan_wav_file(str(p))
+    ch, rate, bits, off, size, header, trailer, tag = scan_wav_file(
+        str(p))
     assert header == rheader and trailer == rtrailer
     np.testing.assert_array_equal(
         decode_pcm_bytes(blob[off:off + size], 1).reshape(-1, 1), rpcm)
@@ -288,14 +290,23 @@ def test_multichannel_device_streaming_any_split(tmp_path):
     np.testing.assert_array_equal(decode_segments(want), pcm)
 
 
-def test_streaming_device_wvx_fails_before_writing(tmp_path):
-    pcm = sig(1000, 2, scale=40_000_000, seed=13) | 1
+def test_streaming_device_wvx_roundtrip(tmp_path):
+    # wide 32-bit content on the device path: the scans code the stored
+    # high bits, the wvx sent-bits sidecar is host-packed per block —
+    # and device lanes are split-invariant, so any window size is
+    # byte-identical to the whole-file device encode
+    pcm = sig(3000, 2, scale=40_000_000, seed=13) | 1
     p = tmp_path / "w.wav"
     write_wav_file(p, pcm, bits=32)
-    out = tmp_path / "w.wv"
-    with pytest.raises(ValueError, match="wvx"):
-        encode_wav_file(str(p), str(out), device=True)
-    assert not out.exists()
+    whole = tmp_path / "whole.wv"
+    encode_wav_file(str(p), str(whole), device=True, block_samples=512)
+    want = whole.read_bytes()
+    np.testing.assert_array_equal(decode_segments(want), pcm)
+    for win in (512, 1024):
+        out = tmp_path / f"wvx{win}.wv"
+        encode_wav_file(str(p), str(out), device=True, block_samples=512,
+                        window_samples=win)
+        assert out.read_bytes() == want, f"window {win}"
 
 
 def test_cli_streaming_encode_decode_cycle(tmp_path):

@@ -58,6 +58,12 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
             print(f"{level} compression level")
 
     is_dsd = bool(api.WavpackGetMode(wpc) & consts.MODE_DSD)
+    # float streams format to IEEE float32 on the stream's grid
+    # (EXTENSION: the reference demo writes clipped 24-bit ints for
+    # float content; with a saved RIFF header this instead reproduces
+    # the original float WAV byte-exactly — see io/pcm.py)
+    float_exp = (api.WavpackGetFloatNormExp(wpc)
+                 if api.WavpackGetIsFloat(wpc) else 0) or None
     t0 = time.perf_counter()
     total_unpacked = 0
     # output streams to disk as it is formatted (and the MD5 folds
@@ -69,15 +75,36 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
         import hashlib
         md5er = hashlib.md5()
     buf = np.zeros(consts.SAMPLE_BUFFER_SIZE * num_channels, np.int32)
+    dsf_writer = None
     try:
         if out_f is not None and not raw:
             # raw mode is container-less: interleaved little-endian PCM
-            # (or native DSD bytes) exactly as formatted, no RIFF header
+            # (or native DSD / float32 bytes) exactly as formatted, no
+            # RIFF header
             hdr = api.WavpackGetHeader(wpc)
-            out_f.write(hdr if hdr and not api.WavpackGetIsFloat(wpc)
-                        else make_wav_header(
-                            max(total_samples, 0), num_channels,
-                            sample_rate, bits, byteps))
+            if hdr:
+                out_f.write(hdr)
+                if is_dsd and api.WavpackGetFileFormat(wpc) \
+                        == consts.FORMAT_DSF:
+                    # DSF payloads are channel-interleaved fixed-size
+                    # blocks (LSB-first bits): re-block incrementally so
+                    # the saved header + rewritten payload + trailer
+                    # reproduce the original file byte-exactly
+                    from .io.dsf import DsfRewriter, parse_dsf_header
+                    try:
+                        _c, _r, dbits, _n, bsz = parse_dsf_header(hdr)
+                        dsf_writer = DsfRewriter(out_f, num_channels, bsz,
+                                                 lsb_first=dbits == 1)
+                    except ValueError:
+                        dsf_writer = None
+            elif float_exp is not None:
+                out_f.write(make_wav_header(
+                    max(total_samples, 0), num_channels, sample_rate,
+                    32, 4, fmt_tag=3))
+            else:
+                out_f.write(make_wav_header(
+                    max(total_samples, 0), num_channels,
+                    sample_rate, bits, byteps))
         with trace.collect() as stages:
             while True:
                 got = api.WavpackUnpackSamples(wpc, buf,
@@ -87,13 +114,21 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
                 total_unpacked += got
                 with trace.stage("format"):
                     fmt = api.WavpackFormatSamples(
-                        buf, got * num_channels, byteps, dsd=is_dsd)
+                        buf, got * num_channels, byteps, dsd=is_dsd,
+                        float_norm_exp=float_exp)
                 if out_f is not None:
-                    out_f.write(fmt)
+                    if dsf_writer is not None:
+                        dsf_writer.append(
+                            buf[:got * num_channels]
+                            .reshape(got, num_channels))
+                    else:
+                        out_f.write(fmt)
                 if md5er is not None:
                     md5er.update(fmt)
         t1 = time.perf_counter()
         if out_f is not None and not raw:
+            if dsf_writer is not None:
+                dsf_writer.finish()
             trailer = api.WavpackGetTrailer(wpc)
             if trailer:
                 out_f.write(trailer)
@@ -177,16 +212,20 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
             total_samples += b.header.block_samples
             chunks.append(format_samples(
                 r.samples, (b.header.flags & consts.BYTES_STORED) + 1,
-                dsd=bool(b.header.flags & consts.DSD_FLAG)))
+                dsd=bool(b.header.flags & consts.DSD_FLAG),
+                float_norm_exp=(b.state.float_norm_exp or None)
+                if b.header.flags & consts.FLOAT_DATA else None))
         hdr0 = blocks[0].header
-        bps = (hdr0.flags & consts.BYTES_STORED) + 1
+        is_float = bool(hdr0.flags & consts.FLOAT_DATA)
+        bps = 4 if is_float else (hdr0.flags & consts.BYTES_STORED) + 1
         n = sum(b.header.block_samples for b in blocks)
         out_path = (path[:-3] if path.endswith(".wv") else path) + ".wav"
         srate_idx = (hdr0.flags & consts.SRATE_MASK) >> consts.SRATE_LSB
         rate = consts.SAMPLE_RATES[srate_idx] if srate_idx < 15 else 44100
         write_wav(out_path, b"".join(chunks), total_samples=n,
                   num_channels=nch, sample_rate=rate,
-                  bits_per_sample=bps * 8, bytes_per_sample=bps)
+                  bits_per_sample=bps * 8, bytes_per_sample=bps,
+                  fmt_tag=3 if is_float else 1)
         if crc_errors:
             print(f"{path}: {crc_errors} CRC errors detected",
                   file=sys.stderr)
@@ -200,10 +239,39 @@ def decode_batch(paths: list[str], quiet: bool = False) -> int:
     return rc
 
 
+def encode_dsf_one(path: str, out_path: str, *, mode: int,
+                   checksum_bytes: int = 0, quiet: bool = False) -> int:
+    """DSF -> .wv DSD encode (beyond reference parity): stores the DSF
+    prefix/trailer + file_format so decode reproduces the file
+    byte-exactly."""
+    from .encode import encode_dsd
+    from .io.dsf import read_dsf
+
+    t0 = time.perf_counter()
+    blob = open(path, "rb").read()
+    try:
+        data, rate, header, trailer = read_dsf(blob)
+        wv = encode_dsd(data, mode, dsd_rate=rate, header=header,
+                        trailer=trailer, file_format=consts.FORMAT_DSF,
+                        block_checksum=checksum_bytes)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    with open(out_path, "wb") as f:
+        f.write(wv)
+    if not quiet:
+        dt = time.perf_counter() - t0
+        print(f"encoded {data.shape[0]} DSD byte-samples x "
+              f"{data.shape[1]} ch (mode {mode}) in {dt * 1000:.1f} ms: "
+              f"{len(blob)} -> {len(wv)} bytes "
+              f"({len(wv) / max(len(blob), 1):.1%})")
+    return 0
+
+
 def encode_one(path: str, out_path: str, *, preset: str, block: int,
                hybrid_bitrate: int, checksum_bytes: int = 0,
                quiet: bool = False, device: bool = False,
-               streaming: bool = False) -> int:
+               streaming: bool = False, dsd_mode: int = 0) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
     import os
 
@@ -211,6 +279,12 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
     from .io.wav import read_wav
     if device:
         encode = encode_device
+
+    with open(path, "rb") as f:
+        if f.read(4) == b"DSD ":
+            return encode_dsf_one(path, out_path, mode=dsd_mode,
+                                  checksum_bytes=checksum_bytes,
+                                  quiet=quiet)
 
     t0 = time.perf_counter()
     try:
@@ -295,6 +369,9 @@ def main(argv=None) -> int:
     p.add_argument("--device", action="store_true",
                    help="encode on the accelerator (lane-parallel over "
                         "blocks; lossless <= 2ch)")
+    p.add_argument("--dsd-mode", type=int, choices=(0, 1, 3), default=0,
+                   help="DSD encode mode for .dsf inputs: 0 raw, "
+                        "1 fast range coder, 3 high arithmetic coder")
     args = p.parse_args(argv)
 
     if args.output and len(args.inputs) > 1 and not args.batch:
@@ -306,13 +383,15 @@ def main(argv=None) -> int:
         rc = 0
         for path in args.inputs:
             out = args.output if args.output \
-                else (path[:-4] if path.endswith(".wav") else path) + ".wv"
+                else (path[:-4] if path.endswith((".wav", ".dsf"))
+                      else path) + ".wv"
             rc |= encode_one(path, out, preset=args.preset,
                              block=args.block_samples,
                              hybrid_bitrate=args.hybrid_bitrate,
                              checksum_bytes=args.checksum_bytes,
                              quiet=args.quiet, device=args.device,
-                             streaming=args.streaming)
+                             streaming=args.streaming,
+                             dsd_mode=args.dsd_mode)
         return rc
 
     if args.verify_checksums:

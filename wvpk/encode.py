@@ -22,7 +22,8 @@ from dataclasses import replace
 
 import numpy as np
 
-from .testgen.encoder import EncodeSpec, encode_file
+from . import consts
+from .testgen.encoder import EncodeSpec, encode_file, mkmeta
 from .testgen.multichannel import encode_multichannel
 
 # Decorrelation filter presets (decode order). These are this encoder's
@@ -55,13 +56,89 @@ def _auto_shift(or_acc: int, bytes_per_sample: int) -> tuple[int, int]:
     return tz, 0
 
 
+# ---------------------------------------------------------------------------
+# float (FLOAT_DATA) grid derivation
+#
+# The reference decoder's float restore (FloatUtils.cs:32-56) converts
+# stored ints to the 24-bit clipped domain; it never reconstructs IEEE
+# bits itself, so lossless float round-trips hinge on the ENCODER
+# choosing a representation the int domain captures exactly. wvpk's
+# contract: a float32 stream is encodable losslessly iff every value
+# lies on one uniform grid f = i * 2**-k with |i| < 2**23 (true for
+# float WAVs derived from integer sources and for normalized
+# full-scale grids — the common production cases). The stored int is
+# i, the grid rides float_norm_exp = 150 - k (norm_exp 127 <=> the
+# conventional +/-1.0 full-scale 24-bit grid), and max_exp == norm_exp
+# with float_shift = 0 so the decoder's shift is a no-op. The decode
+# formatter inverts with f = i * 2**(norm_exp - 150), exact in IEEE
+# arithmetic because i fits a float32 significand. Content off any
+# such grid (free-form mantissas, NaN/Inf, -0.0) needs the sent-bits
+# float extensions the reference itself treats as lossy
+# (UnpackUtils.cs:57-64) and is rejected with a clear error.
+# ---------------------------------------------------------------------------
+
+def _float_grid_req(f: np.ndarray) -> tuple[int | None, float]:
+    """(max over values of the minimal k with f*2**k integral, max|f|).
+
+    Rejects NaN/Inf and -0.0 (no lossless int representation in the
+    FLOAT_DATA domain)."""
+    bits = np.ascontiguousarray(f, np.float32).view(np.uint32).reshape(-1)
+    if (bits & 0x7F800000 == 0x7F800000).any():
+        raise ValueError("float PCM contains NaN or Inf; FLOAT_DATA "
+                         "blocks cannot represent them losslessly")
+    if (bits == 0x80000000).any():
+        raise ValueError("float PCM contains -0.0, which decodes as +0.0; "
+                         "normalize the sign of zeros before encoding")
+    exp = (bits >> 23) & 0xFF
+    man = bits & 0x7FFFFF
+    sig = np.where(exp > 0, man | (1 << 23), man).astype(np.int64)
+    nz = sig != 0
+    if not nz.any():
+        return None, 0.0
+    sig = sig[nz]
+    # trailing zeros of the significand: lowbit is a power of two
+    # <= 2**23, so float64 log2 is exact
+    tz = np.log2((sig & -sig).astype(np.float64)).astype(np.int64)
+    e_eff = np.where(exp > 0, exp, 1).astype(np.int64)[nz]
+    k_req = int((150 - e_eff - tz).max())
+    return k_req, float(np.abs(f).max())
+
+
+def float_to_stored(f: np.ndarray, norm_exp: int) -> np.ndarray:
+    """float32 (n, ch) -> stored int64 domain on the norm_exp grid
+    (i = f * 2**(150 - norm_exp); raises if any value is off-grid or
+    outside the 24-bit range the decoder clips to)."""
+    scaled = f.astype(np.float64) * 2.0 ** (150 - norm_exp)
+    i = np.round(scaled).astype(np.int64)
+    if not (i == scaled).all():
+        raise ValueError("float PCM is off the norm_exp grid")
+    if i.size and int(np.abs(i).max()) > 8388607:
+        raise ValueError("float PCM exceeds the 24-bit FLOAT_DATA range")
+    return i
+
+
 def pcm_stats(pcm: np.ndarray) -> dict:
     """Whole-stream facts build_spec derives from the audio. Chunk-safe:
     `merge_pcm_stats` folds per-window stats into the same answer, so
     the streaming encoder can derive an identical spec from one bounded
-    pre-scan pass."""
+    pre-scan pass. float32 input yields float-grid stats instead of the
+    integer fields (see the FLOAT_DATA grid note above)."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
+    if pcm.dtype.kind == "f":
+        if pcm.dtype != np.float32:
+            raise ValueError("float PCM must be float32 (WAV format "
+                             "tag 3); float64 has no FLOAT_DATA analog")
+        k_req, fmax = _float_grid_req(pcm)
+        return {
+            "n": pcm.shape[0],
+            "ch": pcm.shape[1],
+            "float": True,
+            "k_req": k_req,
+            "fmax": fmax,
+            "equal_ch": pcm.shape[1] == 2
+                        and bool(np.array_equal(pcm[:, 0], pcm[:, 1])),
+        }
     wide = pcm.astype(np.int64)
     return {
         "n": pcm.shape[0],
@@ -81,6 +158,18 @@ def merge_pcm_stats(a: dict | None, b: dict) -> dict:
         return b
     if a["ch"] != b["ch"]:
         raise ValueError("channel count changed mid-stream")
+    if a.get("float", False) != b.get("float", False):
+        raise ValueError("PCM dtype changed mid-stream")
+    if a.get("float"):
+        ks = [k for k in (a["k_req"], b["k_req"]) if k is not None]
+        return {
+            "n": a["n"] + b["n"],
+            "ch": a["ch"],
+            "float": True,
+            "k_req": max(ks) if ks else None,
+            "fmax": max(a["fmax"], b["fmax"]),
+            "equal_ch": a["equal_ch"] and b["equal_ch"],
+        }
     return {
         "n": a["n"] + b["n"],
         "ch": a["ch"],
@@ -103,8 +192,10 @@ def build_spec(pcm: np.ndarray, *, stats: dict | None = None,
     stamp it anyway."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
-    if not np.issubdtype(pcm.dtype, np.integer):
-        raise ValueError(f"integer PCM required, got dtype {pcm.dtype}")
+    if not np.issubdtype(pcm.dtype, np.integer) \
+            and pcm.dtype != np.float32:
+        raise ValueError(f"integer or float32 PCM required, got dtype "
+                         f"{pcm.dtype}")
     return _spec_from_stats(stats if stats is not None else pcm_stats(pcm),
                             **options)
 
@@ -121,9 +212,33 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
         raise ValueError("empty PCM")
     if block_samples <= 0:
         raise ValueError(f"block_samples must be positive, got {block_samples}")
-    lim = 1 << (bytes_per_sample * 8 - 1)
-    if st["minv"] < -lim or st["maxv"] >= lim:
-        raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
+    is_float = st.get("float", False)
+    if is_float:
+        if hybrid:
+            raise ValueError(
+                "hybrid float is inherently lossy (the reference flags "
+                "such blocks lossy, UnpackUtils.cs:57-64); wvpk encodes "
+                "float losslessly only")
+        k = st["k_req"] if st["k_req"] is not None else 23
+        norm_exp = 150 - k
+        if not 1 <= norm_exp <= 255:
+            raise ValueError(
+                f"float grid exponent 2**-{k} is outside the FLOAT_INFO "
+                "norm_exp byte range; content is not losslessly "
+                "representable as FLOAT_DATA")
+        if st["fmax"] * 2.0 ** k > 8388607:
+            raise ValueError(
+                "float PCM spans more than 24 bits of mantissa on its "
+                f"grid (needs |f| <= {8388607 * 2.0 ** -k:g} at grid "
+                f"2**-{k}); not losslessly representable as FLOAT_DATA "
+                "(the reference treats such content as lossy, "
+                "UnpackUtils.cs:57-64)")
+        bytes_per_sample = 4
+    else:
+        norm_exp = 0
+        lim = 1 << (bytes_per_sample * 8 - 1)
+        if st["minv"] < -lim or st["maxv"] >= lim:
+            raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
     terms, deltas = PRESETS[preset]
     mono = ch == 1
     # false stereo: identical channels collapse to one encoded channel
@@ -135,7 +250,7 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
         # the segment's stereo pairs keep them)
         kept = [(t, d) for t, d in zip(terms, deltas) if t > 0]
         terms, deltas = tuple(t for t, _ in kept), tuple(d for _, d in kept)
-    shift, zeros = ((0, 0) if hybrid
+    shift, zeros = ((0, 0) if hybrid or is_float
                     else _auto_shift(st["or_acc"], bytes_per_sample))
     # wide 32-bit content: the stored-domain magnitude must stay in the
     # entropy coder's comfortable range (24-bit-audio scale; the log2
@@ -146,15 +261,20 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
     # alone don't get us there.
     int32_mode = "zeros" if zeros else None
     sent_bits = 0
-    maxabs = st["maxabs"]
-    excess = maxabs.bit_length() - 23 - zeros
-    if bytes_per_sample >= 4 and excess > 0:
-        if hybrid:
-            raise ValueError(
-                "hybrid encoding supports up to ~24-bit magnitudes; "
-                f"content needs {maxabs.bit_length()} bits")
-        int32_mode, zeros, sent_bits = "wvx", 0, maxabs.bit_length() - 23
+    if not is_float:
+        maxabs = st["maxabs"]
+        excess = maxabs.bit_length() - 23 - zeros
+        if bytes_per_sample >= 4 and excess > 0:
+            if hybrid:
+                raise ValueError(
+                    "hybrid encoding supports up to ~24-bit magnitudes; "
+                    f"content needs {maxabs.bit_length()} bits")
+            int32_mode, zeros, sent_bits = "wvx", 0, maxabs.bit_length() - 23
     return EncodeSpec(
+        float_data=is_float,
+        float_shift=0,
+        float_max_exp=norm_exp,
+        float_norm_exp=norm_exp,
         block_samples=block_samples,
         mono=mono,
         false_stereo=false_stereo,
@@ -189,9 +309,9 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     hybrid=True runs the fused lossy scan (peel -> error-limit coding ->
     reconstruction-feedback apply, `hybrid_encode_scan`); hybrid blocks
     never start zero-run escapes (~2 bits/word above the host encoder in
-    digital silence — see engine/device_encoder.py). Wide-32bit wvx
-    routing stays on the host path and raises ValueError here; use
-    `encode` instead. >2ch emits a multichannel segment with each
+    digital silence — see engine/device_encoder.py). Wide-32bit content
+    emits the wvx sent-bits sidecar per block (host-packed, device-
+    coded high bits). >2ch emits a multichannel segment with each
     stream's blocks as one lane batch.
 
     warmup (default 512, 0 disables): adapt each block's decorr state
@@ -214,14 +334,18 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     spec = build_spec(pcm, **options)
+    digest = None
+    if spec.float_data:
+        pcm, digest = _float_stored_and_digest(pcm, spec)
     if pcm.shape[1] > 2:
         return encode_multichannel_device(
             pcm, replace(spec, mono=False, false_stereo=False),
-            warmup=warmup, mesh=mesh)
+            warmup=warmup, mesh=mesh, md5_digest=digest)
     if spec.false_stereo:
         pcm = pcm[:, :1]
     return b"".join(encode_blocks_device(pcm, spec, mesh=mesh,
-                                         warmup=warmup))
+                                         warmup=warmup,
+                                         md5_digest=digest))
 
 
 def encode_wav_file(in_path, out_path, *, device: bool = False,
@@ -253,7 +377,9 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     from .io.pcm import format_samples
     from .io.wav import decode_pcm_bytes, scan_wav_file
 
-    ch, rate, bits, off, size, header, trailer = scan_wav_file(in_path)
+    (ch, rate, bits, off, size, header, trailer,
+     fmt_tag) = scan_wav_file(in_path)
+    is_float = fmt_tag == 3
     bps = (bits + 7) // 8
     options.setdefault("bytes_per_sample", bps)
     options.setdefault("sample_rate", rate)
@@ -276,24 +402,22 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
         done = 0
         while done < total:
             m = min(total - done, win)
-            v = decode_pcm_bytes(f.read(m * frame), bps).reshape(-1, ch)
+            v = decode_pcm_bytes(f.read(m * frame), bps,
+                                 float_data=is_float).reshape(-1, ch)
             st = merge_pcm_stats(st, pcm_stats(v))
             if hasher is not None:
                 # the stored MD5 covers the formatted output bytes
-                # (false-stereo duplication == the original channels)
-                hasher.update(format_samples(
-                    v, options["bytes_per_sample"]))
+                # (false-stereo duplication == the original channels;
+                # for float that image IS the source float32 bytes)
+                hasher.update(
+                    v.astype("<f4").tobytes() if is_float
+                    else format_samples(v, options["bytes_per_sample"]))
             done += m
     spec = replace(_spec_from_stats(st, **options),
                    total_samples_override=total)
     if ch > 2:
         # segment encoder stamps checksums itself; strip false_stereo
         spec = replace(spec, mono=False, false_stereo=False)
-    if device and spec.int32_mode == "wvx":
-        # fail before any output is written: wide-32bit wvx routing is
-        # host-only (same contract as encode_device)
-        raise ValueError("device encode does not support >24-bit "
-                         "magnitudes (wvx routing); drop device=True")
     digest = hasher.digest() if hasher is not None else None
 
     if device:
@@ -309,7 +433,10 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
         done = 0
         while done < total:
             m = min(total - done, win)
-            v = decode_pcm_bytes(f.read(m * frame), bps).reshape(-1, ch)
+            v = decode_pcm_bytes(f.read(m * frame), bps,
+                                 float_data=is_float).reshape(-1, ch)
+            if is_float:
+                v = float_to_stored(v, spec.float_norm_exp)
             if spec.false_stereo:
                 v = v[:, :1]
             first, last = done == 0, done + m >= total
@@ -342,23 +469,152 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             "windows": nwin}
 
 
+def float_md5_digest(f: np.ndarray) -> bytes:
+    """MD5 of a float stream's decode-side byte image (little-endian
+    float32, all channels) — what the float formatter emits and
+    --verify-md5 hashes."""
+    import hashlib
+    return hashlib.md5(
+        np.ascontiguousarray(f.astype("<f4")).tobytes()).digest()
+
+
+def _float_stored_and_digest(pcm: np.ndarray, spec: EncodeSpec):
+    """float32 (n, ch) -> (stored int domain, md5 digest or None)."""
+    digest = float_md5_digest(pcm) if spec.md5 else None
+    return float_to_stored(pcm, spec.float_norm_exp), digest
+
+
+def encode_dsd(data: np.ndarray, mode: int = 0, *,
+               dsd_rate: int = 2822400, block_samples: int | None = None,
+               md5: bool = True, history_bits: int = 1,
+               header: bytes | None = None, trailer: bytes | None = None,
+               file_format: int | None = None,
+               block_checksum: int = 0) -> bytes:
+    """Encode raw DSD byte-samples to a WavPack stream.
+
+    data: (n,) mono or (n, ch<=2) uint8 byte-samples (8 DSD bits each,
+    MSB-first — WavPack's native DSD domain; io/dsf.py converts DSF's
+    LSB-first bytes). mode 0 stores raw bytes + CRC (DsdUtils.cs:73-82),
+    mode 1 the "fast" range coder over history-bin probability tables
+    (:244-304), mode 3 the "high" adaptive arithmetic coder (:391-493).
+    dsd_rate is the 1-bit sampling frequency (2822400 = DSD64); it must
+    factor as base * 2**m * 8 with base in the header rate table.
+    md5 stamps ID_MD5_CHECKSUM over the native byte image (what
+    --verify-md5 hashes). header/trailer store an original container
+    prefix/suffix verbatim (ID_ALT_HEADER / ID_ALT_TRAILER) and
+    file_format (consts.FORMAT_DSF etc.) rides ID_NEW_CONFIG_BLOCK, so
+    the CLI can reproduce the source file byte-exactly. Decode of any
+    mode is bit-exact (mode 0/1/3 roundtrip identity is asserted in
+    tests)."""
+    from .testgen.dsd_encoder import encode_dsd_file
+    from .testgen.multichannel import _inject_metadata
+
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    if data.dtype != np.uint8:
+        if not np.issubdtype(data.dtype, np.integer):
+            raise ValueError("DSD data must be uint8 byte-samples")
+        if data.size and (int(data.min()) < 0 or int(data.max()) > 255):
+            raise ValueError("DSD byte-samples must be in 0..255")
+        data = data.astype(np.uint8)
+    n, ch = data.shape
+    if n == 0:
+        raise ValueError("empty DSD data")
+    if ch > 2:
+        raise ValueError("DSD encode supports mono/stereo")
+    if mode not in (0, 1, 3):
+        raise ValueError(f"DSD mode must be 0, 1 or 3, got {mode}")
+    # dsd_rate = base * multiplier * 8 bits/byte, multiplier = 1<<m
+    # (WavpackGetSampleRate(native) inverts this, api.py)
+    choice = None
+    for base in sorted(set(consts.SAMPLE_RATES), reverse=True):
+        q, r = divmod(dsd_rate, base * 8)
+        if r == 0 and q > 0 and (q & (q - 1)) == 0:
+            choice = (base, q.bit_length() - 1)
+            break
+    if choice is None:
+        raise ValueError(f"dsd_rate {dsd_rate} does not factor as "
+                         "base * 2**m * 8 with a standard base rate")
+    base_rate, mult_log = choice
+    if block_samples is None:
+        block_samples = min(n, 1 << 16)
+
+    wv = encode_dsd_file(data.astype(np.int64), mode,
+                         mono=ch == 1, mult_log=mult_log,
+                         sample_rate=base_rate, history_bits=history_bits,
+                         block_samples=block_samples,
+                         block_checksum=0)
+    # split the stream back into blocks for metadata injection
+    blobs = []
+    pos = 0
+    while pos < len(wv):
+        ck = int.from_bytes(wv[pos + 4:pos + 8], "little") + 8
+        blobs.append(wv[pos:pos + ck])
+        pos += ck
+    first_md = []
+    if file_format is not None:
+        first_md.append(mkmeta(consts.ID_NEW_CONFIG_BLOCK,
+                               bytes([file_format])))
+    if header is not None:
+        first_md.append(mkmeta(consts.ID_ALT_HEADER, header))
+    last_md = []
+    if md5:
+        import hashlib
+        last_md.append(mkmeta(
+            consts.ID_MD5_CHECKSUM,
+            hashlib.md5(np.ascontiguousarray(data).tobytes()).digest()))
+    if trailer is not None:
+        last_md.append(mkmeta(consts.ID_ALT_TRAILER, trailer))
+    out = []
+    for i, blk in enumerate(blobs):
+        if i == 0:
+            for md in reversed(first_md):
+                blk = _inject_metadata(blk, md)
+        if i == len(blobs) - 1:
+            for md in last_md:
+                blk = _append_metadata(blk, md)
+        if block_checksum:
+            from .container.checksum import add_block_checksum
+            blk = add_block_checksum(blk, block_checksum)
+        out.append(blk)
+    return b"".join(out)
+
+
+def _append_metadata(block: bytes, meta: bytes) -> bytes:
+    """Append a metadata sub-block at the end of a block, growing ckSize
+    (the tail mirror of testgen.multichannel._inject_metadata)."""
+    blk = bytearray(block)
+    ck = int.from_bytes(blk[4:8], "little") + len(meta)
+    blk[4:8] = ck.to_bytes(4, "little")
+    return bytes(blk) + meta
+
+
 def encode(pcm: np.ndarray, **options) -> bytes:
-    """Encode integer PCM to a WavPack stream.
+    """Encode integer or float32 PCM to a WavPack stream.
 
     pcm: (n,) mono or (n, ch) interleaved ints, signed, within the
-    `bytes_per_sample` range. ch > 2 emits a multichannel segment
-    (INITIAL/FINAL stream runs + ID_CHANNEL_INFO) decodable with
-    OPEN_ALL_CHANNELS. Keyword options: see build_spec. Returns the
-    `.wv` byte stream.
+    `bytes_per_sample` range — or float32 on a lossless FLOAT_DATA
+    grid (see the float grid note above; off-grid content raises).
+    ch > 2 emits a multichannel segment (INITIAL/FINAL stream runs +
+    ID_CHANNEL_INFO) decodable with OPEN_ALL_CHANNELS. Keyword
+    options: see build_spec. Returns the `.wv` byte stream.
     """
+    from .testgen.encoder import encode_blocks
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     spec = build_spec(pcm, **options)
+    digest = None
+    if spec.float_data:
+        pcm, digest = _float_stored_and_digest(pcm, spec)
     if pcm.shape[1] > 2:
         # segment encoder stamps checksums itself; strip false_stereo
         return encode_multichannel(pcm, replace(spec, mono=False,
-                                                 false_stereo=False))
+                                                 false_stereo=False),
+                                   md5_digest=digest)
     if spec.false_stereo:
         pcm = pcm[:, :1]
+    if digest is not None:
+        return b"".join(encode_blocks(pcm, spec, md5_digest=digest))
     return encode_file(pcm, spec)
