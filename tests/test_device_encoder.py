@@ -158,9 +158,23 @@ def test_public_encode_device():
     pcm = sig(1500, 2, seed=5)
     data = encode_device(pcm, block_samples=512, preset="high")
     oracle_roundtrip(data, pcm)
-    # wide 32-bit content routes through wvx — host-only path
-    with pytest.raises(ValueError):
-        encode_device((pcm * (1 << 14)) | 1, bytes_per_sample=4)
+
+
+def test_encode_device_wvx():
+    # wide 32-bit content: device scans + host-packed sent-bits sidecar
+    # (ID_WVX_BITSTREAM with crc_mvx, UnpackUtils.cs:1271-1314)
+    base = sig(1500, 2, seed=5)
+    wide = (base * (1 << 14)).astype(np.int64) | 1
+    data = encode_device(wide, block_samples=512, bytes_per_sample=4)
+    oracle_roundtrip(data, wide)
+    # mono and false-stereo variants (false stereo exercises the
+    # decoder's 2x-entry fixup with EOF-filled upper-half reads)
+    mono = wide[:, :1]
+    oracle_roundtrip(encode_device(mono, block_samples=512,
+                                   bytes_per_sample=4), mono)
+    fs = np.repeat(mono, 2, axis=1)
+    oracle_roundtrip(encode_device(fs, block_samples=512,
+                                   bytes_per_sample=4), fs)
 
 
 def test_encode_device_multichannel():

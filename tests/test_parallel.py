@@ -186,6 +186,31 @@ def test_sharded_device_encode():
     assert sharded == plain
 
 
+def test_sharded_device_encode_wvx():
+    """Wide-32-bit device encode (wvx sent-bits sidecar) sharded over
+    the mesh: byte-identical to unsharded, and the stream decodes
+    sample-exact with the crc_mvx stamp verifying."""
+    from wvpk.container import parse_blocks
+    from wvpk.encode import build_spec
+    from wvpk.engine import decode_states
+    from wvpk.engine.device_encoder import encode_blocks_device
+    from wvpk.parallel import make_mesh
+
+    rng = np.random.default_rng(17)
+    pcm = (rng.integers(-(1 << 30), 1 << 30, (5 * 300, 2)) | 1) \
+        .astype(np.int64)
+    spec = build_spec(pcm, bytes_per_sample=4, block_samples=300)
+    assert spec.int32_mode == "wvx"
+    mesh = make_mesh(8)
+    sharded = encode_blocks_device(pcm, spec, mesh=mesh)
+    assert sharded == encode_blocks_device(pcm, spec)
+    res = decode_states([b.state for b in
+                         parse_blocks(b"".join(sharded))])
+    assert not any(r.crc_error or r.mute_error for r in res)
+    np.testing.assert_array_equal(
+        np.concatenate([r.samples for r in res]), pcm)
+
+
 def test_public_encode_device_mesh():
     """Public encode_device(mesh=...): block-identical to unsharded
     fresh-seeded, for stereo AND a >2ch segment."""

@@ -127,6 +127,63 @@ def _final_flush(pvalid, poc, pbits, pnb):
     return tails
 
 
+def _crc_x_fast(vals: np.ndarray, crc0: int = 0xFFFFFFFF) -> int:
+    """Closed-form extended CRC: the affine recurrence
+    crc_x = crc_x*9 + lo16*3 + hi16 (UnpackUtils.cs:1308) over the
+    decoder's post-injection values, evaluated as
+    9^M*crc0 + sum 9^(M-1-j)*g_j mod 2^32 (numpy uint32 wraps like C#)."""
+    x = vals.astype(np.int64).astype(np.uint32)
+    m = x.size
+    if m == 0:
+        return crc0
+    g = ((x & 0xFFFF) * np.uint32(3) + (x >> np.uint32(16)))
+    p = np.full(m, 9, np.uint32)
+    p[0] = 1
+    p = np.multiply.accumulate(p)            # 9^j mod 2^32
+    acc = int(np.add.reduce(p[::-1] * g, dtype=np.uint32))
+    return (acc + pow(9, m, 1 << 32) * crc0) & 0xFFFFFFFF
+
+
+def _wvx_meta_fast(spec: EncodeSpec, full_pcm: np.ndarray) -> bytes:
+    """Vectorized old-style wvx sidecar for one block: sent_bits low
+    bits per value, LSB-first in (time, channel) order, plus the
+    closed-form crc_mvx stamp (reference read side
+    UnpackUtils.cs:1271-1314; the host encoder's scalar analog is
+    testgen/encoder.py::_build_wvx).
+
+    FALSE_STEREO blocks need care: the decoder runs fixup over
+    2*block_samples entries with the upper half zeros
+    (UnpackUtils.cs:1265), so entries past the written payload read the
+    BitWriter zero padding and then the 0xff EOF fill — deterministic
+    junk whose crc_x contribution must be reproduced exactly for the
+    crc_mvx stamp to verify."""
+    assert spec.int32_max_width == 0, "device encoder emits old-style wvx"
+    sent = spec.int32_sent_bits
+    mask = (1 << sent) - 1
+    vals = full_pcm.reshape(-1).astype(np.int64)   # (time, ch) interleave
+    lows = (vals & mask).astype(np.uint16)
+    bits = ((lows[:, None] >> np.arange(sent, dtype=np.uint16)) & 1)
+    payload = np.packbits(bits.reshape(-1).astype(np.uint8),
+                          bitorder="little").tobytes()
+    if len(payload) & 1:
+        payload += b"\x00"
+    if spec.false_stereo:
+        n = full_pcm.shape[0]
+        stream = np.concatenate([
+            np.unpackbits(np.frombuffer(payload, np.uint8),
+                          bitorder="little"),
+            np.ones(2 * n * sent, np.uint8)])[:2 * n * sent]
+        data = (stream.reshape(2 * n, sent).astype(np.int64)
+                << np.arange(sent, dtype=np.int64)).sum(axis=1)
+        # upper-half entries are zeros; injected value == junk data
+        dec_vals = np.concatenate([vals, data[n:]])
+    else:
+        dec_vals = vals
+    crc_x = _crc_x_fast(dec_vals)
+    return mkmeta(consts.ID_WVX_BITSTREAM,
+                  crc_x.to_bytes(4, "little") + payload)
+
+
 def _zero_underived_slots(p) -> None:
     """Zero the ring slots the decoder does NOT derive from metadata.
     They are write-before-read in the scan (ring terms read slot k at
@@ -155,10 +212,16 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     always a valid stream, ~2 bits/word above the host encoder in
     digital silence — a documented tradeoff like fresh seeding).
 
-    Restrictions (fall back to the host encoders otherwise): no wvx
-    sidecar; hybrid excludes float/int32 content; stored magnitudes
-    < 2^27 (keeps medians in the non-wrapping regime the kernels
-    contract on). Both lossless and hybrid shard over a
+    Wide-32-bit content (int32_mode == "wvx") emits the sent-bits
+    low-bit sidecar per block (ID_WVX_BITSTREAM + crc_mvx,
+    UnpackUtils.cs:1271-1314): the device scans code the stored high
+    bits while the sidecar is packed vectorized on host (pure
+    elementwise bit packing — no serial state, so it costs no device
+    round trip and shards trivially).
+
+    Restrictions (fall back to the host encoders otherwise): hybrid
+    excludes float/int32 content; stored magnitudes < 2^27 (keeps
+    medians in the non-wrapping regime the kernels contract on). Both lossless and hybrid shard over a
     `jax.sharding.Mesh` (pure lane data-parallelism), with or without
     warmup — the warm lookahead scan shards the same way
     (`sharded_invert_warm_state`), so sharded output is block-identical
@@ -178,8 +241,6 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     """
     from ..ops.encode_select import invert_any, words_any
 
-    if spec.int32_mode == "wvx":
-        raise ValueError("device encoder: non-wvx only")
     hybrid = bool(spec.hybrid)
     if hybrid and (spec.float_data or spec.int32_mode is not None):
         raise ValueError("device encoder: hybrid is plain-PCM only")
@@ -365,6 +426,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         if i == 0 and first and spec.riff_header is not None:
             mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
         mdl.append(mkmeta(consts.ID_WV_BITSTREAM, payloads[i]))
+        if spec.int32_mode == "wvx" and spec.int32_sent_bits:
+            # sent-bits low-bit sidecar, built vectorized on host (pure
+            # elementwise packing; the device scans code the stored
+            # high bits above)
+            mdl.append(_wvx_meta_fast(spec, pcm[s0:s0 + nb]))
         if i == L - 1 and last and spec.md5:
             digest = md5_digest
             if digest is None:
