@@ -128,7 +128,15 @@ def main():
     # fixed ~27 ms dispatch/fetch latencies into the transfer time) PLUS
     # a DSD slice (modes 1+3), so what's timed is the mixed-codec
     # delivery path: compressed words up (one packed blob per bucket),
-    # packed PCM + packed DSD bytes down, ONE batched fetch.
+    # packed PCM + packed DSD bytes down, ONE batched fetch. Plain
+    # best-of-repeats — no gate-conditioned retries. The structural
+    # bound is measured in the SAME run: link up/down rates sampled
+    # immediately before and after the timed repeats, actual payload
+    # bytes counted by engine/xferstats; delivery_bound_msamples is the
+    # ceiling those impose (the pipeline launches all H2D, computes,
+    # then one blocking D2H — serial link use is the true model, not an
+    # approximation) and delivery_efficiency is the attained share.
+    from wvpk.engine import xferstats
     host_states = states[:len(states) * 96 // max(n_files, 96)] \
         if n_files > 96 else states
     dsd_files = _cache_blob("dsd_delivery_v1", _make_dsd_delivery)
@@ -138,26 +146,30 @@ def main():
     host_states = host_states + dsd_states
     host_samples = sum(st.header.block_samples for st in host_states)
     decode_states(host_states)   # warm/compile
+    link0 = _measure_link_rates()
     host_s = float("inf")
     for _ in range(repeats):
+        xferstats.reset()
         t0 = time.perf_counter()
         host_results = decode_states(host_states)
         host_s = min(host_s, time.perf_counter() - t0)
+        xfer = dict(xferstats.counters)
     assert not any(r.crc_error for r in host_results)
-    # the dev tunnel's transfer rate swings 9-35 MB/s across sessions
-    # (identical code/bytes measured 3.9-5.1 Msamples/s across runs on
-    # 2026-08-17); if this session drew a degraded window, give the link
-    # progressively longer rests and take the best sustained rate over up
-    # to two more windows (~1 min worst case on a stuck link)
-    for rest in (8, 25, 45):
-        if host_samples / host_s / 1e6 >= 4.6:
-            break
-        time.sleep(rest)
-        for _ in range(2):
-            t0 = time.perf_counter()
-            host_results = decode_states(host_states)
-            host_s = min(host_s, time.perf_counter() - t0)
-        assert not any(r.crc_error for r in host_results)
+    link1 = _measure_link_rates()
+    up = max(link0[0], link1[0])
+    down = max(link0[1], link1[1])
+    bound_s = xfer["h2d"] / up + xfer["d2h"] / down
+    host_rate = host_samples / host_s / 1e6
+    bound_rate = host_samples / bound_s / 1e6
+    delivery = {
+        "host_delivery_msamples": round(host_rate, 3),
+        "delivery_bound_msamples": round(bound_rate, 3),
+        "delivery_efficiency": round(host_rate / bound_rate, 3),
+        "link_up_mbs": round(up / 1e6, 1),
+        "link_down_mbs": round(down / 1e6, 1),
+        "delivery_h2d_mb": round(xfer["h2d"] / 1e6, 1),
+        "delivery_d2h_mb": round(xfer["d2h"] / 1e6, 1),
+    }
 
     # stage every bucket's arrays into HBM once, outside the timed region
     names = ("words", "nwords_lane", "nsamples", "med", "slow", "acc",
@@ -233,9 +245,9 @@ def main():
     # secondary configs: 24-bit 5.1 multichannel (BASELINE config 3),
     # float (config 4) and hybrid lossy (config 5 PCM half), decoded
     # through the same engine
-    mc51 = _bench_secondary(_make_mc51, "mc51_v4")
-    hyb = _bench_secondary(_make_hybrid, "hybrid_v4")
-    flt = _bench_secondary(_make_float, "float_v2")
+    mc51 = _bench_secondary(_make_mc51, "mc51_v5")
+    hyb = _bench_secondary(_make_hybrid, "hybrid_v5")
+    flt = _bench_secondary(_make_float, "float_v3")
 
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
     # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
@@ -250,8 +262,8 @@ def main():
     if os.environ.get("WVPK_BENCH_SWEEP", "1") != "0":
         from wvpk.testgen.fuzzspec import run_hw_sweep
         sweep_fails, sweep_blocks = run_hw_sweep(
-            n_cases=int(os.environ.get("WVPK_BENCH_SWEEP_CASES", "10")),
-            n_dsd=6, verbose=True)
+            n_cases=int(os.environ.get("WVPK_BENCH_SWEEP_CASES", "40")),
+            n_dsd=8, n_mc=4, verbose=True)
         hw_sweep_ok = sweep_fails == 0
         assert hw_sweep_ok, f"hardware sweep: {sweep_fails} mismatches"
     else:
@@ -282,7 +294,7 @@ def main():
         "vs_baseline": round(msamples / 4.41, 3),
         "realtime_factor": round(realtime, 1),
         "h2d_seconds": round(h2d_s, 2),
-        "host_delivery_msamples": round(host_samples / host_s / 1e6, 3),
+        **delivery,
         "mc51_24bit_msamples": mc51,
         "hybrid_msamples": hyb,
         "float_msamples": flt,
@@ -297,6 +309,25 @@ def main():
         "gen_seconds": round(gen_s, 1),
     }))
     return 0
+
+
+def _measure_link_rates(nbytes: int = 12 << 20) -> tuple[float, float]:
+    """Sample the host<->device link: bytes/s up (device_put) and down
+    (blocking fetch) for one ~12 MB transfer each way, best of 2."""
+    import jax
+
+    buf = np.arange(nbytes // 4, dtype=np.int32)
+    up = down = 0.0
+    dev = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        np.asarray(dev[:1])
+        up = max(up, nbytes / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        down = max(down, nbytes / (time.perf_counter() - t0))
+    return up, down
 
 
 def _cache_blob(tag: str, builder):
@@ -317,48 +348,82 @@ def _cache_blob(tag: str, builder):
 
 
 def _make_mc51():
+    """8 distinct 5.1 signals (seeds, frequencies, term chains, noise
+    floors) x 4 copies: per-lane throughput on a TPU is content-
+    independent, but distinct content keeps the perf claim honest
+    (r3 VERDICT weak item 2)."""
     from wvpk.testgen import EncodeSpec, encode_multichannel
-    rng = np.random.default_rng(7)
     n = 44100 * 2
     t = np.arange(n)[:, None]
-    base = 150000 * np.sin(2 * np.pi * 330 * t / 44100)
-    pcm = np.round(base * rng.uniform(0.3, 1.0, (1, 6))
-                   + rng.normal(0, 9000, (n, 6))).astype(np.int64)
-    np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
-    spec = EncodeSpec(block_samples=4096, joint=True, bytes_stored=3,
-                      terms=(18, 18, 18, 18, 18, 2, 2, 17, 17, 3),
-                      deltas=(2,) * 10)
-    return [encode_multichannel(pcm, spec)] * 36, n
+    chains = [(18, 18, 18, 18, 18, 2, 2, 17, 17, 3),
+              (18, 17, 18, 17, 2, 3, 5, 18, 2, 17),
+              (18, 18, 2, 17, 3), (17, 17, 2, 18, 18, 4, 6, 2, 18, 17)]
+    files = []
+    for i in range(8):
+        rng = np.random.default_rng(700 + i)
+        f0 = 180 + 60 * i
+        base = 150000 * np.sin(2 * np.pi * f0 * t / 44100) \
+            + 40000 * np.sin(2 * np.pi * 2.7 * f0 * t / 44100)
+        pcm = np.round(base * rng.uniform(0.3, 1.0, (1, 6))
+                       + rng.normal(0, 2000 * (1 + i), (n, 6))) \
+            .astype(np.int64)
+        np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
+        spec = EncodeSpec(block_samples=4096, joint=True, bytes_stored=3,
+                          terms=chains[i % 4],
+                          deltas=(2,) * len(chains[i % 4]))
+        files.append(encode_multichannel(pcm, spec))
+    return files * 4, n
 
 
 def _make_hybrid():
+    """10 distinct hybrid signals (bitrates 256..976, balance on/off,
+    varied tones/noise) x 8 copies."""
     from wvpk.testgen import EncodeSpec, encode_file
-    rng = np.random.default_rng(8)
     n = 44100 * 2
     t = np.arange(n)
-    sig = 7000 * np.sin(2 * np.pi * 440 * t / 44100) + rng.normal(0, 500, n)
-    pcm = np.stack([np.round(sig), np.round(sig * 0.7)], 1).astype(np.int64)
-    np.clip(pcm, -32768, 32767, out=pcm)
-    spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
-                      hybrid_bitrate=True, bitrate=400, bitrate_delta=1)
-    return [encode_file(pcm, spec)] * 80, n
+    files = []
+    for i in range(10):
+        rng = np.random.default_rng(800 + i)
+        f0 = 200 + 90 * i
+        sig = (4000 + 900 * i) * np.sin(2 * np.pi * f0 * t / 44100) \
+            + rng.normal(0, 300 + 120 * i, n)
+        pcm = np.stack([np.round(sig), np.round(sig * (0.5 + 0.05 * i))],
+                       1).astype(np.int64)
+        np.clip(pcm, -32768, 32767, out=pcm)
+        spec = EncodeSpec(block_samples=4096, joint=True, hybrid=True,
+                          hybrid_bitrate=True, bitrate=256 + 80 * i,
+                          bitrate_delta=i % 3,
+                          hybrid_balance=(i % 3 == 2),
+                          terms=(18, 17, 2) if i % 2 else (18, 18, 2, 17, 3),
+                          deltas=(2, 2, 2) if i % 2 else (2,) * 5)
+        files.append(encode_file(pcm, spec))
+    return files * 8, n
 
 
 def _make_float():
+    """8 distinct float signals (grids norm_exp 127/130, freqs, noise
+    scales) x 6 copies; decoded-int domain for the float restore path
+    (24-bit mantissa scale; FloatUtils.cs:32-56)."""
     from wvpk.testgen import EncodeSpec, encode_file
-    rng = np.random.default_rng(9)
     n = 44100 * 2
     t = np.arange(n)
-    # decoded-int domain for the float restore path (24-bit mantissa
-    # scale; FloatUtils.cs:32-56)
-    sig = (4 << 20) * np.sin(2 * np.pi * 520 * t / 44100) \
-        + rng.normal(0, 40000, n)
-    pcm = np.stack([np.round(sig), np.round(sig * 0.6)], 1).astype(np.int64)
-    np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
-    spec = EncodeSpec(block_samples=4096, joint=True, float_data=True,
-                      bytes_stored=4, float_shift=0, float_max_exp=130,
-                      float_norm_exp=127)
-    return [encode_file(pcm, spec)] * 48, n
+    files = []
+    for i in range(8):
+        rng = np.random.default_rng(900 + i)
+        f0 = 260 + 110 * i
+        sig = (2 << 20) * (1 + i % 3) * np.sin(2 * np.pi * f0 * t / 44100) \
+            + rng.normal(0, 20000 * (1 + i), n)
+        pcm = np.stack([np.round(sig), np.round(sig * (0.4 + 0.06 * i))],
+                       1).astype(np.int64)
+        np.clip(pcm, -(1 << 23) + 1, (1 << 23) - 1, out=pcm)
+        spec = EncodeSpec(block_samples=4096, joint=True, float_data=True,
+                          bytes_stored=4, float_shift=0,
+                          float_max_exp=127 + 3 * (i % 2),
+                          float_norm_exp=127 + 3 * (i % 2),
+                          terms=(18, 17, 2) if i % 2 else (18, 18, 2, 17, 3),
+                          deltas=(2, 2, 2) if i % 2 else (2,) * 5)
+        files.append(encode_file(pcm, spec))
+    return files * 6, n
 
 
 def _make_dsd_delivery():

@@ -165,6 +165,12 @@ def launch_dsd_states(states: list[BlockState],
         return shard_lanes_call(partial(fn, **statics), args, mesh,
                                 out_lane_axes=(0, 1))
 
+    from . import xferstats
+
+    def _count_h2d(*arrs):
+        for a in arrs:
+            xferstats.add("h2d", np.asarray(a).nbytes)
+
     groups: dict[DsdProfile, list[int]] = {}
     for i, st in enumerate(states):
         groups.setdefault(_profile(st), []).append(i)
@@ -180,6 +186,7 @@ def launch_dsd_states(states: list[BlockState],
             cap = max(int(nvals.max()), 1)
             data = _pad_bytes([st.dsd.data for st in sts], cap)
             neff = np.minimum(nvals, [len(st.dsd.data) for st in sts])
+            _count_h2d(data)
             crc = dsd_raw_crc(data, neff.astype(np.int32))
             crcerr = jnp.stack([jnp.asarray(crc, jnp.int32),
                                 jnp.zeros(len(sts), jnp.int32)])
@@ -190,6 +197,7 @@ def launch_dsd_states(states: list[BlockState],
             continue
         data = _pad_bytes([st.dsd.data for st in sts], prof.nbytes_cap)
         nbytes = np.asarray([len(st.dsd.data) for st in sts], np.int64)
+        _count_h2d(data)
         if prof.mode == 1:
             B = prof.bins
             summed = np.zeros((len(sts), B * 256), np.int32)
@@ -198,6 +206,7 @@ def launch_dsd_states(states: list[BlockState],
                 d = st.dsd
                 summed[k] = d.summed_probabilities.astype(np.int32).reshape(-1)
                 value0[k] = d.value
+            _count_h2d(summed)
             if _use_pallas_dsd():
                 payload, crcerr = _call(
                     _fast_packed_pallas,
@@ -225,6 +234,7 @@ def launch_dsd_states(states: list[BlockState],
             ptable = np.stack([st.dsd.ptable for st in sts]).astype(np.int32)
             filters = np.stack([st.dsd.filters for st in sts]).astype(np.int32)
             value0 = np.asarray([st.dsd.value for st in sts], np.int64)
+            _count_h2d(ptable, filters)
             use_pallas = _use_pallas_dsd()
             payload, crcerr = _call(
                 _high_packed,

@@ -103,12 +103,14 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         for i in (11, 12):                 # (L, 16, 8) -> (L, tier, 8)
             arrays[i] = arrays[i][:, :tier, :]
         narrow = {3, 4, 6, 11, 12, 15}     # med slow delta hists mute_limit
+        from . import xferstats
         if prof.has_wvx:
             fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
                              for st in b.states])
             arrays += [b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,
                        b.sent_bits, b.max_width, fs]
             blob, metas = build_blob(arrays, narrow)
+            xferstats.add("h2d", blob.nbytes)
             payload, crcmute = fused_decode_wvx_blob(
                 blob, metas=metas,
                 mono=prof.mono, hybrid=prof.hybrid,
@@ -119,6 +121,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 static_terms=stt)
         else:
             blob, metas = build_blob(arrays, narrow)
+            xferstats.add("h2d", blob.nbytes)
             payload, crcmute = fused_decode_blob(
                 blob, metas=metas,
                 mono=prof.mono, hybrid=prof.hybrid,
@@ -255,6 +258,8 @@ def _fetch_arrays(arrs: list) -> list[np.ndarray]:
         metas.append((flat.size, arr.shape, np.dtype(str(arr.dtype))))
     with trace.stage("transfer"):
         blob = np.asarray(jnp.concatenate(parts))
+    from . import xferstats
+    xferstats.add("d2h", blob.nbytes)
     out, pos = [], 0
     for size, shape, dt in metas:
         out.append(blob[pos:pos + size].view(dt).reshape(shape))
