@@ -46,7 +46,8 @@ def profile_bucket(b, tag):
         out, crc, mute = fused_decode(
             *(dev[k] for k in names), **kw, is_float=prof.is_float,
             int32_expand=prof.is_int32 and not prof.has_wvx,
-            num_terms_max=ntm)
+            num_terms_max=ntm, static_terms=b.static_terms,
+            chain_segments=b.chain_segments)
         return jnp.sum(out) + jnp.sum(crc)
 
     @jax.jit
