@@ -206,7 +206,8 @@ def main():
                     int32_expand=prof.is_int32 and not prof.has_wvx,
                     nsteps=prof.nsteps,
                     num_terms_max=int(b.num_terms.max()),
-                    static_terms=b.static_terms)
+                    static_terms=b.static_terms,
+                    chain_segments=b.chain_segments)
                 packed = pack_samples(out, bps=2)
                 # keep `packed` resident on device; fetch only CRC + mute
                 handles.append(jnp.stack([crc.astype(jnp.int32),
@@ -626,7 +627,8 @@ def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
                     int32_expand=prof.is_int32 and not prof.has_wvx,
                     nsteps=prof.nsteps,
                     num_terms_max=int(b.num_terms.max()),
-                    static_terms=b.static_terms)
+                    static_terms=b.static_terms,
+                    chain_segments=b.chain_segments)
                 handles.append(jnp.stack([crc.astype(jnp.int32),
                                           mute.astype(jnp.int32)]))
         # one cross-bucket fetch (fixed tunnel latency paid once)

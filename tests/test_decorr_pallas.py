@@ -233,3 +233,63 @@ def test_fold_post_static_chain():
 
 def test_fold_post_chunk_boundary():
     check_fold(T=1030, L=3, mono=False, seed=405, tight_mute=True)
+
+
+def test_chain_segments_match_golden():
+    """Mixed-chain lane partition: per-segment specialized kernels +
+    generic tail inside one decorr_post_any call must equal the XLA
+    decorr + joint_mute_crc pair lane-for-lane."""
+    from wvpk import config
+    from wvpk.ops.decorr_select import decorr_post_any
+    from wvpk.ops.post import joint_mute_crc
+
+    rng = np.random.default_rng(500)
+    T, C = 96, 2
+    chains = [(18, 17, 2), (18, 18, 2, 17, 3), (17, 17, 2, 18, 18, 4, 6, 2)]
+    counts = [7, 5, 6]
+    segs, pos = [], 0
+    terms_rows, nt_rows = [], []
+    for chain, k in zip(chains, counts):
+        row = np.zeros(16, np.int32)
+        row[:len(chain)] = chain
+        terms_rows += [row] * k
+        nt_rows += [len(chain)] * k
+        segs.append((chain, pos, pos + k, len(chain)))
+        pos += k
+    # ragged generic tail (mixed chains incl. a zero-term lane)
+    tail = [(2,), (), (18, -1)]
+    for chain in tail:
+        row = np.zeros(16, np.int32)
+        row[:len(chain)] = chain
+        terms_rows.append(row)
+        nt_rows.append(len(chain))
+    segs.append((None, pos, pos + len(tail), 2))
+    L = pos + len(tail)
+    terms = np.stack(terms_rows)
+    nt = np.asarray(nt_rows, np.int32)
+    deltas = np.where(terms != 0, 2, 0).astype(np.int32)
+    res = rng.integers(-2**14, 2**14, (T, L, C)).astype(np.int32)
+    wa = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    wb = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    ha = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    hb = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    nsamples = rng.integers(T // 2, T + 1, L).astype(np.int32)
+    joint = rng.random(L) < 0.5
+    ml = rng.integers(4, 4000, L).astype(np.int64)
+    broke = rng.random(L) < 0.2
+
+    dec = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb,
+                                   nt, mono=False))
+    w_out, w_crc, w_mute = (np.asarray(x) for x in joint_mute_crc(
+        dec, nsamples, joint, ml, broke, mono=False))
+    config.set_options(decorr_kernel="pallas")
+    try:
+        g_out, g_crc, g_mute = (np.asarray(x) for x in decorr_post_any(
+            res, terms, deltas, wa, wb, ha, hb, nt, nsamples, joint, ml,
+            broke, mono=False, num_terms_max=int(nt.max()),
+            chain_segments=tuple(segs)))
+    finally:
+        config.set_options(decorr_kernel="auto")
+    np.testing.assert_array_equal(w_out, g_out)
+    np.testing.assert_array_equal(w_crc, g_crc)
+    np.testing.assert_array_equal(w_mute, g_mute)

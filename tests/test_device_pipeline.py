@@ -229,3 +229,51 @@ def test_dev_chunked_delivery():
         compare(data)
     finally:
         config.set_options(delivery_chunk_blocks=0)
+
+
+def test_chain_segment_staging_and_mapping(monkeypatch):
+    """Mixed-chain corpora: staging sorts a bucket's lanes by term chain
+    and records static (chain, start, stop, ntm) segments; results must
+    still map back to the caller's block order after the permutation."""
+    from wvpk.engine import staging
+
+    monkeypatch.setattr(staging, "SEGMENT_MIN_LANES", 2)
+    chains = [(18, 17, 2), (18, 18, 2, 17, 3), (17, 2)]
+    datas = []
+    for i, ch in enumerate(chains):
+        pcm = noise(750, 2, 1500, seed=40 + i)
+        datas.append(encode_file(pcm, EncodeSpec(
+            block_samples=250, joint=bool(i % 2), terms=ch,
+            deltas=(2,) * len(ch))))
+    # interleave the three files' blocks so staging must reorder
+    data = b"".join(datas)
+    states = [b.state for b in parse_blocks(data)]
+    order = sorted(range(len(states)), key=lambda i: i % 3)
+    states = [states[i] for i in order]
+    buckets = staging.group_blocks(states)
+    assert len(buckets) == 1
+    b = buckets[0]
+    assert b.static_terms is None
+    assert b.chain_segments is not None
+    covered = 0
+    for chain, s, e, ntm in b.chain_segments:
+        assert s == covered
+        covered = e
+        seg_states = b.states[s:e]
+        if chain is not None:
+            assert ntm == len(chain)
+            for st in seg_states:
+                assert tuple(st.terms[:st.num_terms]) == chain
+    assert covered == len(b.states)
+    assert {id(s) for s in b.states} == {id(s) for s in states}
+    # end-to-end: decode through the pipeline, results in caller order
+    compare(data)
+
+
+def test_chain_segment_uniform_bucket_has_none():
+    data = encode_file(noise(600, 2, 1000, seed=50),
+                       EncodeSpec(block_samples=300, joint=True))
+    from wvpk.engine.staging import group_blocks
+    b = group_blocks([blk.state for blk in parse_blocks(data)])[0]
+    assert b.static_terms is not None
+    assert b.chain_segments is None

@@ -29,7 +29,7 @@ from ..ops.post import fixup, wvx_inject
 @partial(jax.jit, static_argnames=(
     "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
     "is_float", "int32_expand", "nsteps", "num_terms_max",
-    "static_terms"))
+    "static_terms", "chain_segments"))
 def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
                  terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
                  joint, mute_limit, shift, bytes_stored, float_shift_eff,
@@ -37,7 +37,8 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
                  mono: bool, hybrid: bool, hybrid_bitrate: bool,
                  hybrid_balance: bool, is_float: bool, int32_expand: bool,
                  nsteps: int, num_terms_max: int | None = None,
-                 static_terms: tuple | None = None):
+                 static_terms: tuple | None = None,
+                 chain_segments: tuple | None = None):
     residuals, broke, _ndec = entropy_decode_any(
         words, nwords_lane, med, slow, acc, delta,
         mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
@@ -45,7 +46,8 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
     out, crc, mute = decorr_post_any(
         residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
         nsamples, joint, mute_limit, broke, mono=mono,
-        num_terms_max=num_terms_max, static_terms=static_terms)
+        num_terms_max=num_terms_max, static_terms=static_terms,
+        chain_segments=chain_segments)
     out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
                 is_float=is_float, int32_expand=int32_expand, hybrid=hybrid)
     return out, crc, mute
@@ -53,7 +55,8 @@ def fused_decode(words, nwords_lane, nsamples, med, slow, acc, delta,
 
 @partial(jax.jit, static_argnames=(
     "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
-    "has_false_stereo", "nsteps", "num_terms_max", "static_terms"))
+    "has_false_stereo", "nsteps", "num_terms_max", "static_terms",
+    "chain_segments"))
 def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
                      terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
                      joint, mute_limit, shift, bytes_stored,
@@ -62,7 +65,8 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
                      mono: bool, hybrid: bool, hybrid_bitrate: bool,
                      hybrid_balance: bool, has_false_stereo: bool,
                      nsteps: int, num_terms_max: int | None = None,
-                     static_terms: tuple | None = None):
+                     static_terms: tuple | None = None,
+                     chain_segments: tuple | None = None):
     """Single-dispatch decode for INT32+wvx buckets: the wvx low-bit
     injection (with its own expansion + crc_x, UnpackUtils.cs:1271-1314)
     runs BETWEEN joint/CRC and the final fixup shift — the same ordering
@@ -75,7 +79,8 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
     out, crc, mute = decorr_post_any(
         residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
         nsamples, joint, mute_limit, broke, mono=mono,
-        num_terms_max=num_terms_max, static_terms=static_terms)
+        num_terms_max=num_terms_max, static_terms=static_terms,
+        chain_segments=chain_segments)
     out, crc_x = wvx_inject(
         out, nsamples, wvx_words, wvx_start_bit, wvx_start_bc, sent_bits,
         max_width, int32_zod,
@@ -182,16 +187,18 @@ def _deliver(out, crc, mute, crc_x, pack_bps):
 @partial(jax.jit, static_argnames=(
     "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
     "is_float", "int32_expand", "nsteps", "num_terms_max", "pack_bps",
-    "static_terms"))
+    "static_terms", "chain_segments"))
 def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                       hybrid_balance, is_float, int32_expand, nsteps,
-                      num_terms_max, pack_bps, static_terms=None):
+                      num_terms_max, pack_bps, static_terms=None,
+                      chain_segments=None):
     args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute = fused_decode(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, is_float=is_float,
         int32_expand=int32_expand, nsteps=nsteps,
-        num_terms_max=num_terms_max, static_terms=static_terms)
+        num_terms_max=num_terms_max, static_terms=static_terms,
+        chain_segments=chain_segments)
     crc_x = jnp.full(crc.shape, -1, jnp.int32)
     return _deliver(out, crc, mute, crc_x, pack_bps)
 
@@ -199,14 +206,15 @@ def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
 @partial(jax.jit, static_argnames=(
     "metas", "mono", "hybrid", "hybrid_bitrate", "hybrid_balance",
     "has_false_stereo", "nsteps", "num_terms_max", "pack_bps",
-    "static_terms"))
+    "static_terms", "chain_segments"))
 def fused_decode_wvx_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
                           hybrid_balance, has_false_stereo, nsteps,
-                          num_terms_max, pack_bps, static_terms=None):
+                          num_terms_max, pack_bps, static_terms=None,
+                          chain_segments=None):
     args = _restore_terms(_unpack_blob(blob, metas))
     out, crc, mute, crc_x = fused_decode_wvx(
         *args, mono=mono, hybrid=hybrid, hybrid_bitrate=hybrid_bitrate,
         hybrid_balance=hybrid_balance, has_false_stereo=has_false_stereo,
         nsteps=nsteps, num_terms_max=num_terms_max,
-        static_terms=static_terms)
+        static_terms=static_terms, chain_segments=chain_segments)
     return _deliver(out, crc, mute, crc_x, pack_bps)

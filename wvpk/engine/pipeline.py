@@ -87,6 +87,8 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
             fused_decode_wvx_blob
         ntm = int(b.num_terms.max()) if len(b.states) else None
         stt = b.static_terms if should_specialize() else None
+        segs = (b.chain_segments
+                if should_specialize() and stt is None else None)
         bps = _bucket_bps(b) if opts.packed_delivery else None
         names = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
                  "delta", "terms", "deltas16", "wa", "wb", "hist_a",
@@ -118,7 +120,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 hybrid_balance=prof.hybrid_balance,
                 has_false_stereo=bool(fs.any()),
                 nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps,
-                static_terms=stt)
+                static_terms=stt, chain_segments=segs)
         else:
             blob, metas = build_blob(arrays, narrow)
             xferstats.add("h2d", blob.nbytes)
@@ -130,7 +132,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
                 is_float=prof.is_float,
                 int32_expand=prof.is_int32,
                 nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps,
-                static_terms=stt)
+                static_terms=stt, chain_segments=segs)
         return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
                               bps=bps)
 
