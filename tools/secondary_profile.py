@@ -85,9 +85,9 @@ def main():
     from wvpk.engine.staging import group_blocks
 
     which = sys.argv[1:] or ["mc51", "hybrid", "float"]
-    builders = {"mc51": ("mc51_v5", _make_mc51),
-                "hybrid": ("hybrid_v5", _make_hybrid),
-                "float": ("float_v3", _make_float)}
+    builders = {"mc51": ("mc51_v6", _make_mc51),
+                "hybrid": ("hybrid_v6", _make_hybrid),
+                "float": ("float_v4", _make_float)}
     for w in which:
         tag, builder = builders[w]
         files, _n = _cache_blob(tag, builder)
