@@ -613,12 +613,16 @@ def _bench_device_encode(launch_rounds: int = 3) -> float:
     return round(launch_rounds * 2 * T * L / best / 1e6, 1)
 
 
-def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
-    """Device decode throughput for a secondary corpus: same pattern as
-    the primary (inputs staged in HBM, CRC-gated) with `launch_rounds`
-    back-to-back decode launches per blocking fetch, so the fixed ~27 ms
-    tunnel round trip is amortized the same way the serving path batches
-    fetches (decode_states launches everything, fetches once)."""
+def _bench_secondary(builder, tag: str, rounds_lo: int = 2,
+                     rounds_hi: int = 6) -> float:
+    """Device decode throughput for a secondary corpus: inputs staged in
+    HBM, CRC-gated, measured by the rounds-slope methodology the repo's
+    profilers use — time `rounds_lo` and `rounds_hi` back-to-back decode
+    launches per blocking fetch and take the slope, which isolates the
+    steady-state per-round cost (per-bucket dispatch + compute) from the
+    single fixed ~25 ms tunnel fetch RTT, a rig artifact a PCIe
+    deployment does not pay (and which decode_states amortizes across
+    arbitrarily large batches with its one batched fetch)."""
     import jax
     import jax.numpy as jnp
 
@@ -677,12 +681,16 @@ def _bench_secondary(builder, tag: str, launch_rounds: int = 4) -> float:
     for b, cm in zip(buckets, res):
         assert not cm[1].any(), f"{tag} corpus must decode mute-free"
         assert (cm[0] == b.hdr_crc).all(), f"{tag} corpus failed CRC gate"
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(launch_rounds)
-        best = min(best, time.perf_counter() - t0)
-    return round(launch_rounds * total / best / 1e6, 3)
+    t = {}
+    for k in (rounds_lo, rounds_hi):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    per_round = (t[rounds_hi] - t[rounds_lo]) / (rounds_hi - rounds_lo)
+    return round(total / per_round / 1e6, 3)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,26 @@ def timed(fn, reps=4):
     return best
 
 
+def slope(fn, k_lo=1, k_hi=5, reps=3):
+    """Per-call cost free of the fixed fetch RTT: enqueue k calls, fetch
+    ONE stacked scalar; slope between k_lo and k_hi isolates
+    (dispatch + compute) per call — the cost a batched decode round
+    actually pays."""
+    def run(k):
+        outs = [fn() for _ in range(k)]
+        return np.asarray(jnp.stack(outs))
+    run(1)
+    t = {}
+    for k in (k_lo, k_hi):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    return (t[k_hi] - t[k_lo]) / (k_hi - k_lo)
+
+
 def profile_bucket(b, tag):
     from wvpk.engine.fused import fused_decode
     from wvpk.ops.entropy_select import entropy_decode_any
@@ -68,13 +88,15 @@ def profile_bucket(b, tag):
                               num_terms_max=ntm)
         return jnp.sum(d)
 
-    t_full = timed(full)
-    t_ent = timed(ent)
-    t_ed = timed(ent_dec)
+    t_full = slope(full)
+    t_ent = slope(ent)
+    t_ed = slope(ent_dec)
     L = b.words.shape[0]
     print(f"{tag}: L={L} nsteps={prof.nsteps} ntm={ntm} frames={frames/1e6:.2f}M | "
-          f"full {t_full*1e3:.1f} ms ({frames/t_full/1e6:.1f} Ms/s) | "
-          f"entropy {t_ent*1e3:.1f} ms | +decorr {t_ed*1e3:.1f} ms "
+          f"full {t_full*1e3:.1f} ms ({frames/t_full/1e6:.1f} Ms/s, "
+          f"{t_full/frames*1e9:.2f} ns/frame) | "
+          f"entropy {t_ent*1e3:.1f} ms ({t_ent/frames*1e9:.2f} ns/f) | "
+          f"+decorr {t_ed*1e3:.1f} ms "
           f"(decorr ~{(t_ed-t_ent)*1e3:.1f} ms, post ~{(t_full-t_ed)*1e3:.1f} ms)",
           flush=True)
 
