@@ -293,3 +293,66 @@ def test_chain_segments_match_golden():
     np.testing.assert_array_equal(w_out, g_out)
     np.testing.assert_array_equal(w_crc, g_crc)
     np.testing.assert_array_equal(w_mute, g_mute)
+
+
+def _seg_case(T, mono, seed, chains, counts, tail):
+    from wvpk import config
+    from wvpk.ops.decorr_select import decorr_post_any
+    from wvpk.ops.post import joint_mute_crc
+
+    rng = np.random.default_rng(seed)
+    C = 1 if mono else 2
+    segs, pos, terms_rows, nt_rows = [], 0, [], []
+    for chain, k in zip(chains, counts):
+        row = np.zeros(16, np.int32)
+        row[:len(chain)] = chain
+        terms_rows += [row] * k
+        nt_rows += [len(chain)] * k
+        segs.append((chain, pos, pos + k, len(chain)))
+        pos += k
+    for chain in tail:
+        row = np.zeros(16, np.int32)
+        row[:len(chain)] = chain
+        terms_rows.append(row)
+        nt_rows.append(len(chain))
+    if tail:
+        segs.append((None, pos, pos + len(tail),
+                     max(max((len(c) for c in tail)), 1)))
+    L = pos + len(tail)
+    terms = np.stack(terms_rows)
+    nt = np.asarray(nt_rows, np.int32)
+    deltas = np.where(terms != 0, 2, 0).astype(np.int32)
+    res = rng.integers(-2**14, 2**14, (T, L, C)).astype(np.int32)
+    wa = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    wb = rng.integers(-1024, 1024, (L, 16)).astype(np.int32)
+    ha = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    hb = rng.integers(-2**15, 2**15, (L, 16, 8)).astype(np.int64)
+    nsamples = rng.integers(T // 2, T + 1, L).astype(np.int32)
+    joint = (rng.random(L) < 0.5) if not mono else np.zeros(L, bool)
+    ml = rng.integers(4, 4000, L).astype(np.int64)
+    broke = rng.random(L) < 0.2
+    dec = np.asarray(decorr_decode(res, terms, deltas, wa, wb, ha, hb,
+                                   nt, mono=mono))
+    w = [np.asarray(x) for x in joint_mute_crc(
+        dec, nsamples, joint, ml, broke, mono=mono)]
+    config.set_options(decorr_kernel="pallas")
+    try:
+        g = [np.asarray(x) for x in decorr_post_any(
+            res, terms, deltas, wa, wb, ha, hb, nt, nsamples, joint, ml,
+            broke, mono=mono, num_terms_max=int(nt.max()),
+            chain_segments=tuple(segs))]
+    finally:
+        config.set_options(decorr_kernel="auto")
+    for want, got in zip(w, g):
+        np.testing.assert_array_equal(want, got)
+
+
+def test_chain_segments_mono():
+    _seg_case(T=96, mono=True, seed=510,
+              chains=[(18, 17, 2), (17, 17, 2, 18, 18, 4)],
+              counts=[6, 5], tail=[(2,), ()])
+
+
+def test_chain_segments_chunk_boundary_no_tail():
+    _seg_case(T=1030, mono=False, seed=511,
+              chains=[(18, 18, 2), (18, 17)], counts=[4, 3], tail=[])
