@@ -550,11 +550,13 @@ def _bench_dsd(mode: int) -> float:
     return round(rounds * total / best / 705600, 1)
 
 
-def _bench_device_encode(launch_rounds: int = 3) -> float:
+def _bench_device_encode(rounds_lo: int = 2, rounds_hi: int = 6) -> float:
     """Device-encode throughput in Mvalues/s: the two lossless encode
     scans (decorr inversion + entropy word coding; Pallas on TPU via
     ops/encode_select) with inputs staged in HBM and only a scalar-sized
-    row fetched per round batch. Correctness is gated by a full
+    row fetched per round batch, reported as the rounds-slope per-round
+    rate (same methodology as _bench_secondary; the single fixed tunnel
+    fetch RTT is a rig artifact). Correctness is gated by a full
     end-to-end encode -> device-decode roundtrip on a small batch (the
     encoded stream must decode mute/CRC-free and sample-exact)."""
     import jax
@@ -605,12 +607,16 @@ def _bench_device_encode(launch_rounds: int = 3) -> float:
         return np.asarray(jnp.concatenate(hs))
 
     run()   # warm/compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(launch_rounds)
-        best = min(best, time.perf_counter() - t0)
-    return round(launch_rounds * 2 * T * L / best / 1e6, 1)
+    t = {}
+    for k in (rounds_lo, rounds_hi):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    per_round = (t[rounds_hi] - t[rounds_lo]) / (rounds_hi - rounds_lo)
+    return round(2 * T * L / per_round / 1e6, 1)
 
 
 def _bench_secondary(builder, tag: str, rounds_lo: int = 2,

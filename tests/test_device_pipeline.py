@@ -235,9 +235,12 @@ def test_chain_segment_staging_and_mapping(monkeypatch):
     """Mixed-chain corpora: staging sorts a bucket's lanes by term chain
     and records static (chain, start, stop, ntm) segments; results must
     still map back to the caller's block order after the permutation."""
+    from wvpk import config
     from wvpk.engine import staging
 
-    monkeypatch.setattr(staging, "SEGMENT_MIN_LANES", 2)
+    monkeypatch.setattr(config, "_default",
+                        config.replace(config._default,
+                                       decorr_segment_min=2))
     chains = [(18, 17, 2), (18, 18, 2, 17, 3), (17, 2)]
     datas = []
     for i, ch in enumerate(chains):

@@ -41,6 +41,13 @@ class DecodeOptions:
     # of a bucket share one term chain (~2.6x decorr compute on deep
     # chains; one compiled variant per distinct chain)
     decorr_specialize: bool = True
+    # mixed-chain buckets: a chain class earns its own specialized
+    # decorr segment when it fills at least this many lanes (below it,
+    # kernel lane-tile padding outweighs the specialized step rate);
+    # at most decorr_segment_classes classes keep the fused program's
+    # compile time bounded on adversarial corpora
+    decorr_segment_min: int = 64
+    decorr_segment_classes: int = 8
     # DSD kernel selection (modes 1 and 3), same scheme
     dsd_kernel: str = "auto"
     # device ENCODE kernel selection, same scheme ("auto" = Pallas on

@@ -143,14 +143,6 @@ def _chain_of(st: BlockState) -> tuple:
     return tuple(int(t) for t in st.terms[:st.num_terms])
 
 
-# a chain class must fill at least this many lanes to earn its own
-# specialized decorr segment (below it, the per-kernel lane-tile padding
-# outweighs the ~2.6x specialized step rate); at most 8 classes keep the
-# fused program's compile time bounded on adversarial corpora
-SEGMENT_MIN_LANES = 64
-SEGMENT_MAX_CLASSES = 8
-
-
 def _order_by_chain(states: list[BlockState], indices: list[int],
                     mono: bool):
     """Sort a bucket's lanes so same-chain lanes are contiguous and
@@ -160,6 +152,7 @@ def _order_by_chain(states: list[BlockState], indices: list[int],
     every lane); everything else coalesces into one generic tail
     segment. Lane order inside a bucket is free — results map back
     through Bucket.states/indices."""
+    opts = get_options()
     chains = [_chain_of(st) for st in states]
     counts: dict[tuple, int] = {}
     for c in chains:
@@ -168,9 +161,9 @@ def _order_by_chain(states: list[BlockState], indices: list[int],
         return states, indices, None     # uniform: static_terms covers it
     specializable = sorted(
         (c for c, n in counts.items()
-         if n >= SEGMENT_MIN_LANES and len(c) > 0
+         if n >= opts.decorr_segment_min and len(c) > 0
          and not (mono and any(t < 0 for t in c))),
-        key=lambda c: -counts[c])[:SEGMENT_MAX_CLASSES]
+        key=lambda c: -counts[c])[:opts.decorr_segment_classes]
     if not specializable:
         return states, indices, None
     rank = {c: k for k, c in enumerate(specializable)}
