@@ -550,13 +550,18 @@ def _bench_dsd(mode: int) -> float:
     return round(rounds * total / best / 705600, 1)
 
 
-def _bench_device_encode(rounds_lo: int = 2, rounds_hi: int = 6) -> float:
+def _bench_device_encode(rounds_lo: int = 2, rounds_hi: int = 12) -> float:
     """Device-encode throughput in Mvalues/s: the two lossless encode
     scans (decorr inversion + entropy word coding; Pallas on TPU via
     ops/encode_select) with inputs staged in HBM and only a scalar-sized
     row fetched per round batch, reported as the rounds-slope per-round
     rate (same methodology as _bench_secondary; the single fixed tunnel
-    fetch RTT is a rig artifact). Correctness is gated by a full
+    fetch RTT is a rig artifact). The rounds loop runs INSIDE one jitted
+    fori_loop (optimization_barrier pins each round; the carried XOR
+    consumes the output) so a timed call is one dispatch + pure device
+    compute — per-Python-dispatch timing through the tunnel jittered
+    6-12 ms per call and produced rates swinging 339-713 Mvalues/s at
+    the (2,6)-rounds/256-lane scale. Correctness is gated by a full
     end-to-end encode -> device-decode roundtrip on a small batch (the
     encoded stream must decode mute/CRC-free and sample-exact)."""
     import jax
@@ -590,23 +595,37 @@ def _bench_device_encode(rounds_lo: int = 2, rounds_hi: int = 6) -> float:
 
     # timed region: the device scans only (packing overlaps device work
     # in a real pipeline and is reported by tools/encode_device_profile)
-    L = 256
+    L = 512
     targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
     z16 = jnp.zeros((L, 16), jnp.int64)
     z168 = jnp.zeros((L, 16, 8), jnp.int64)
 
-    def run(rounds=1):
-        hs = []
-        for _ in range(rounds):
-            res = invert_any(targ, terms16, deltas16, nt, z16, z16,
-                             z168, z168, mono=False,
-                             static_terms=(18, 18, 2, 17, 3))
-            words = res.transpose(0, 2, 1).reshape(2 * T, L)
-            segs = words_any(words, med0, nvals, mono=False)
-            hs.append(segs[2][-1])
-        return np.asarray(jnp.concatenate(hs))
+    import functools
 
-    run()   # warm/compile
+    from jax import lax
+
+    def one_round(targ_r):
+        res = invert_any(targ_r, terms16, deltas16, nt, z16, z16,
+                         z168, z168, mono=False,
+                         static_terms=(18, 18, 2, 17, 3))
+        words = res.transpose(0, 2, 1).reshape(2 * T, L)
+        segs = words_any(words, med0, nvals, mono=False)
+        return segs[2][-1]
+
+    @functools.partial(jax.jit, static_argnames="rounds")
+    def run_j(targ_r, rounds):
+        def body(_i, acc):
+            t_b, a_b = lax.optimization_barrier((targ_r, acc))
+            return a_b ^ one_round(t_b)
+        return lax.fori_loop(0, rounds, body,
+                             jnp.zeros_like(jax.eval_shape(one_round,
+                                                           targ_r)))
+
+    def run(rounds):
+        return np.asarray(run_j(targ, rounds))
+
+    run(rounds_lo)   # warm/compile
+    run(rounds_hi)
     t = {}
     for k in (rounds_lo, rounds_hi):
         best = float("inf")
