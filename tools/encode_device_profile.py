@@ -124,6 +124,55 @@ def run_rounds(L, T, backend, rounds, repeats=3):
     return best
 
 
+def run_fori(L, T, backend, rounds, repeats=3):
+    """Like run_rounds, but the rounds loop runs INSIDE one jitted
+    fori_loop (optimization_barrier pins each round): a timed call is
+    one dispatch + pure device compute. Python-level round launches
+    each pay a 6-12 ms host dispatch through the tunnel, which at
+    ~4-10 ms/round of real compute dominates the slope and jitters the
+    reported rate (measured 339-713 Mvalues/s run to run; the in-jit
+    form is stable at ~1.1-1.2 Gvalues/s)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from wvpk.config import set_options
+    from wvpk.ops.encode_select import invert_any, words_any
+
+    targ, terms16, deltas16, nt, med0, nvals = stage(L, T)
+    z16 = jnp.zeros((L, 16), jnp.int64)
+    z168 = jnp.zeros((L, 16, 8), jnp.int64)
+    set_options(encode_kernel=backend)
+
+    def one_round(targ_r):
+        res = invert_any(targ_r, terms16, deltas16, nt, z16, z16, z168,
+                         z168, mono=False,
+                         static_terms=(18, 18, 2, 17, 3))
+        words = res.transpose(0, 2, 1).reshape(2 * T, L)
+        segs = words_any(words, med0, nvals, mono=False)
+        return segs[2][-1]
+
+    @functools.partial(jax.jit, static_argnames="rounds")
+    def run_j(targ_r, rounds):
+        def body(_i, acc):
+            t_b, a_b = lax.optimization_barrier((targ_r, acc))
+            return a_b ^ one_round(t_b)
+        return lax.fori_loop(0, rounds, body,
+                             jnp.zeros_like(jax.eval_shape(one_round,
+                                                           targ_r)))
+
+    np.asarray(run_j(targ, rounds))   # compile
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(run_j(targ, rounds))
+        best = min(best, time.perf_counter() - t0)
+    set_options(encode_kernel="auto")
+    return best
+
+
 def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
@@ -146,6 +195,20 @@ def main():
         per = (t_hi - t_lo) / (r_hi - r_lo)
         ms = L * T / per / 1e6
         print(f"[{backend}] rounds slope: t{r_lo}={t_lo*1e3:.1f} ms "
+              f"t{r_hi}={t_hi*1e3:.1f} ms per-round={per*1e3:.2f} ms "
+              f"-> {ms:.1f} Mframes/s ({ms*2:.1f} Mvalues/s)")
+
+    # in-jit rounds slope (one dispatch per timed call; the honest
+    # device-compute rate — the Python-rounds slope above additionally
+    # pays a jittery 6-12 ms host dispatch per round)
+    for backend in ("pallas", "xla"):
+        if backend == "xla" and T * L > 1 << 21:
+            continue
+        t_lo = run_fori(L, T, backend, r_lo)
+        t_hi = run_fori(L, T, backend, r_hi)
+        per = (t_hi - t_lo) / (r_hi - r_lo)
+        ms = L * T / per / 1e6
+        print(f"[{backend}] in-jit rounds slope: t{r_lo}={t_lo*1e3:.1f} ms "
               f"t{r_hi}={t_hi*1e3:.1f} ms per-round={per*1e3:.2f} ms "
               f"-> {ms:.1f} Mframes/s ({ms*2:.1f} Mvalues/s)")
 
