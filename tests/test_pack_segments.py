@@ -87,6 +87,20 @@ def test_native_matches_reference(seed, W, L):
     assert pack_segments(*case) == _ref_pack(*case)
 
 
+@pytest.mark.parametrize("seed,W,L", [(6, 23, 33), (7, 9, 70)])
+def test_batched_all_crosses_lane_tiles(seed, W, L):
+    """The one-call batched packer (wvpk_pack_lanes_all) walks lanes in
+    tiles of 32; L=33/70 exercise the partial last tile, and the result
+    must match both the per-bit reference and the per-lane C path."""
+    lib = native.get_encode_lib()
+    if lib is None or not hasattr(lib, "wvpk_pack_lanes_all"):
+        pytest.skip("no C toolchain / stale cached .so")
+    rng = np.random.default_rng(seed)
+    case = _random_case(rng, W, L)
+    got = native._pack_lanes_all(lib, *case)
+    assert got == _ref_pack(*case)
+
+
 def test_empty_and_tail_only():
     W, L = 4, 3
     z32 = np.zeros((W, L), np.int32)

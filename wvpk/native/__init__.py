@@ -207,12 +207,71 @@ def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
     return buf.raw[:nbytes], decoded
 
 
+def _pack_lanes_all(lib, sa_lo, sa_hi, sa_len, sb_bits, sb_len, tails):
+    """One-call batched packer: wvpk_pack_lanes_all walks the row-major
+    (W, L) segment arrays in lane tiles, so no transposed copies of the
+    ~35 MB of segment data and one ctypes crossing instead of L (the
+    per-lane path spent most of its time in numpy strided copies)."""
+    if not hasattr(lib, "_packall_sig"):
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.wvpk_pack_lanes_all.restype = ctypes.c_long
+        lib.wvpk_pack_lanes_all.argtypes = [
+            u64p, u64p, i32p, u64p, i32p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_char_p, i64p, i32p,
+            ctypes.c_char_p, i64p, i64p, i64p]
+        lib._packall_sig = True
+    W, L = sa_len.shape
+    if L == 0:
+        return []
+    a_lo = np.ascontiguousarray(sa_lo, np.uint64)
+    a_hi = np.ascontiguousarray(sa_hi, np.uint64)
+    a_ln = np.ascontiguousarray(sa_len, np.int32)
+    b_bits = np.ascontiguousarray(sb_bits, np.uint64)
+    b_ln = np.ascontiguousarray(sb_len, np.int32)
+    total = (a_ln.sum(axis=0, dtype=np.int64)
+             + b_ln.sum(axis=0, dtype=np.int64))
+    tail_lens = np.asarray([len(tb) for tb, _ in tails], np.int64)
+    tail_bits = np.asarray([tn for _, tn in tails], np.int32)
+    tail_offs = np.zeros(L, np.int64)
+    np.cumsum(tail_lens[:-1], out=tail_offs[1:])
+    tails_blob = b"".join(bytes(tb) for tb, _ in tails)
+    caps = (((total + tail_bits) // 8 + 24) & ~7).astype(np.int64)
+    out_offs = np.zeros(L, np.int64)
+    np.cumsum(caps[:-1], out=out_offs[1:])
+    out = np.zeros(int(caps.sum()), np.uint8)
+    bitlens = np.zeros(L, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.wvpk_pack_lanes_all(
+        a_lo.ctypes.data_as(u64p), a_hi.ctypes.data_as(u64p),
+        a_ln.ctypes.data_as(i32p), b_bits.ctypes.data_as(u64p),
+        b_ln.ctypes.data_as(i32p), W, L,
+        tails_blob, tail_offs.ctypes.data_as(i64p),
+        tail_bits.ctypes.data_as(i32p),
+        out.ctypes.data_as(ctypes.c_char_p),
+        out_offs.ctypes.data_as(i64p), caps.ctypes.data_as(i64p),
+        bitlens.ctypes.data_as(i64p))
+    if rc != 0:
+        return None
+    return [out[int(out_offs[i]):int(out_offs[i])
+                + (int(bitlens[i]) + 7) // 8].tobytes()
+            for i in range(L)]
+
+
 def pack_lanes_native(sa_lo, sa_hi, sa_len, sb_bits, sb_len, tails):
     """C packing of the device-encoder's (W, L) segment arrays into
     per-lane payload bytes; None -> numpy fallback."""
     lib = get_encode_lib()
     if lib is None or not hasattr(lib, "wvpk_pack_lane"):
         return None
+    if hasattr(lib, "wvpk_pack_lanes_all"):
+        res = _pack_lanes_all(lib, sa_lo, sa_hi, sa_len, sb_bits, sb_len,
+                              tails)
+        if res is not None:
+            return res
     if not hasattr(lib, "_pack_sig"):
         lib.wvpk_pack_lane.restype = ctypes.c_long
         lib.wvpk_pack_lane.argtypes = [

@@ -750,3 +750,58 @@ long wvpk_pack_lane(const uint64_t *sa_lo, const uint64_t *sa_hi,
     *bitlen_out = b.pos;
     return 0;
 }
+
+/* All lanes in one call, straight from the device's row-major (W, L)
+ * segment arrays: lanes are processed in tiles of PACK_TILE so each
+ * step row's tile slice (contiguous in memory) is touched once — no
+ * host-side transposed copy of the ~35 MB of segment data, and one
+ * ctypes crossing instead of L. Per-lane output regions (out + offs,
+ * 8-byte aligned, zeroed, caps include word-write headroom) and tail
+ * bits are caller-provided; bitlens[lane] gets the payload bit count.
+ */
+#define PACK_TILE 32
+
+long wvpk_pack_lanes_all(const uint64_t *sa_lo, const uint64_t *sa_hi,
+                         const int32_t *sa_len, const uint64_t *sb_bits,
+                         const int32_t *sb_len, long W, long L,
+                         const uint8_t *tails, const int64_t *tail_offs,
+                         const int32_t *tail_bits,
+                         uint8_t *out, const int64_t *out_offs,
+                         const int64_t *out_caps, int64_t *bitlens)
+{
+    bw_t bw[PACK_TILE];
+    for (long lane0 = 0; lane0 < L; lane0 += PACK_TILE) {
+        int tl = (int)(L - lane0 < PACK_TILE ? L - lane0 : PACK_TILE);
+        for (int k = 0; k < tl; k++) {
+            bw[k].buf = out + out_offs[lane0 + k];
+            bw[k].cap_bits = (out_caps[lane0 + k] - 8) * 8;
+            bw[k].pos = 0;
+            bw[k].err = 0;
+        }
+        for (long i = 0; i < W; i++) {
+            const long row = i * L + lane0;
+            for (int k = 0; k < tl; k++) {
+                int la = sa_len[row + k];
+                if (la > 0) {
+                    append_bits(&bw[k], sa_lo[row + k],
+                                la < 64 ? la : 64);
+                    if (la > 64)
+                        append_bits(&bw[k], sa_hi[row + k], la - 64);
+                }
+                int lb = sb_len[row + k];
+                if (lb > 0)
+                    append_bits(&bw[k], sb_bits[row + k], lb);
+            }
+        }
+        for (int k = 0; k < tl; k++) {
+            const uint8_t *tail = tails + tail_offs[lane0 + k];
+            long tb = tail_bits[lane0 + k];
+            for (long t = 0; t < tb; t++)
+                putbit(&bw[k], (tail[t >> 3] >> (t & 7)) & 1);
+            if (bw[k].err)
+                return -(lane0 + k + 1);
+            bitlens[lane0 + k] = bw[k].pos;
+        }
+    }
+    return 0;
+}
