@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import consts
+from .. import consts, trace
 from ..testgen.encoder import (EncodeSpec, EncPass, WordsState, _auto_medians,
                                _crc_fast, _make_words_state, _quantize_decorr,
                                _quantize_entropy, _quantize_hybrid,
@@ -196,6 +196,29 @@ def _zero_underived_slots(p) -> None:
         p.sb[k] = 0
 
 
+def _prep_targets(pcm, spec: EncodeSpec, stored, starts, L, T, C, mono):
+    """Joint transform + lane staging arrays (vectorized; encoder.py
+    semantics). Returns (targ, nsamp, targ_d, terms16, deltas16, nt)."""
+    bs = spec.block_samples
+    targ = np.zeros((L, T, C), np.int64)
+    nsamp = np.zeros(L, np.int32)
+    for i, s0 in enumerate(starts):
+        blk = stored[s0:s0 + bs].astype(np.int64)
+        nsamp[i] = blk.shape[0]
+        if not mono and (spec.flags() & consts.JOINT_STEREO):
+            sd = (blk[:, 0] - blk[:, 1]).astype(np.int32).astype(np.int64)
+            blk = np.stack([sd, (blk[:, 1] + (sd >> 1)).astype(np.int32)], 1)
+        targ[i, :blk.shape[0]] = blk
+
+    terms16 = np.zeros((L, 16), np.int32)
+    deltas16 = np.zeros((L, 16), np.int32)
+    nt = np.full(L, len(spec.terms), np.int32)
+    terms16[:, :len(spec.terms)] = spec.terms
+    deltas16[:, :len(spec.terms)] = spec.deltas
+    targ_d = np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32))
+    return targ, nsamp, targ_d, terms16, deltas16, nt
+
+
 def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                          mesh=None, warmup: int = 0, *,
                          start_sample: int = 0, first: bool = True,
@@ -259,23 +282,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
     T = min(bs, max(n, pad_to or 0))
 
     # joint transform per block (vectorized; encoder.py semantics)
-    targ = np.zeros((L, T, C), np.int64)
-    nsamp = np.zeros(L, np.int32)
-    for i, s0 in enumerate(starts):
-        blk = stored[s0:s0 + bs].astype(np.int64)
-        nsamp[i] = blk.shape[0]
-        if not mono and (spec.flags() & consts.JOINT_STEREO):
-            sd = (blk[:, 0] - blk[:, 1]).astype(np.int32).astype(np.int64)
-            blk = np.stack([sd, (blk[:, 1] + (sd >> 1)).astype(np.int32)], 1)
-        targ[i, :blk.shape[0]] = blk
-
-    terms16 = np.zeros((L, 16), np.int32)
-    deltas16 = np.zeros((L, 16), np.int32)
-    nt = np.full(L, len(spec.terms), np.int32)
-    terms16[:, :len(spec.terms)] = spec.terms
-    deltas16[:, :len(spec.terms)] = spec.deltas
-    targ_d = np.ascontiguousarray(targ.transpose(1, 0, 2).astype(np.int32))
-
+    with trace.stage("enc_prep"):
+        targ, nsamp, targ_d, terms16, deltas16, nt = _prep_targets(
+            pcm, spec, stored, starts, L, T, C, mono)
+    import time as _time
+    _t = _time.perf_counter()
     # per-block seeds: fresh (zeros) or WARM — adapt the decorr state
     # over the block's own first `warmup` samples on device, quantize it
     # exactly like the metadata stores it, and seed the main scan with
@@ -305,6 +316,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         warm = True
     else:
         warm = False
+    _t = trace.mark("enc_warm", _t)
 
     med0 = np.zeros((L, 2, 3), np.int64)
     slow0 = np.zeros((L, 2), np.int64)
@@ -348,6 +360,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         med0[i, 1] = w.c[1].median
         metas.append((tmd, wmd, smd, emd, hmd))
 
+    _t = trace.mark("enc_meta", _t)
     # device: residuals, then the entropy word automaton (optionally
     # lane-sharded over a jax.sharding.Mesh — pure data parallelism)
     nvals = nsamp * C
@@ -382,12 +395,15 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                          static_terms=tuple(spec.terms))
         words = res.transpose(0, 2, 1).reshape(T * C, L)
         segs = words_any(words, med0, nvals, mono=mono)
+    _t = trace.mark("enc_scan", _t)
     (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
-     pnb) = (np.asarray(x) for x in segs)
+     pnb) = [np.asarray(x) for x in segs]
+    _t = trace.mark("enc_fetch", _t)
 
     payloads = pack_segments(sa_lo, sa_hi, sa_len, sb_bits, sb_len,
                              _final_flush(pvalid, poc, pbits, pnb))
 
+    _t = trace.mark("enc_pack", _t)
     # container assembly (mirrors encoder.py::encode_block)
     total = spec.total_samples_override
     if total is None:
@@ -472,6 +488,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
             from ..container.checksum import add_block_checksum
             block = add_block_checksum(block, spec.block_checksum)
         out.append(block)
+    trace.mark("enc_assemble", _t)
     return out
 
 

@@ -49,6 +49,17 @@ def stage(name: str):
         sink[name] += time.perf_counter() - t0
 
 
+def mark(name: str, t0: float) -> float:
+    """Add elapsed-since-t0 seconds to the active collector (no-op
+    otherwise) and return a fresh timestamp — the non-indenting
+    alternative to `stage` for instrumenting straight-line stages."""
+    now = time.perf_counter()
+    sink = _sink()
+    if sink is not None:
+        sink[name] += now - t0
+    return now
+
+
 @contextlib.contextmanager
 def xla_trace(log_dir: str):
     """XLA-level profiler trace (viewable with TensorBoard/xprof)."""
