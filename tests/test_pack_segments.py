@@ -101,6 +101,48 @@ def test_batched_all_crosses_lane_tiles(seed, W, L):
     assert got == _ref_pack(*case)
 
 
+@pytest.mark.parametrize("seed,W,L", [(8, 37, 5), (9, 200, 33), (10, 3, 1)])
+def test_device_packer_matches_reference(seed, W, L):
+    """ops/encode_pack.py packs segments ON DEVICE (scatter-add of
+    shifted word contributions); must be byte-identical to the per-bit
+    reference, including zero-length steps, 64/128-bit edges, and the
+    host-appended tail flush at arbitrary bit offsets."""
+    import jax.numpy as jnp
+
+    from wvpk.ops.encode_pack import pack_segments_device
+    rng = np.random.default_rng(seed)
+    lo, hi, ln, sb, sbl, tails = _random_case(rng, W, L)
+    segs = (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ln),
+            jnp.asarray(sb), jnp.asarray(sbl))
+    got = pack_segments_device(segs, tails)
+    assert got == _ref_pack(lo, hi, ln, sb, sbl, tails)
+
+
+def test_device_packer_junk_values_at_zero_len():
+    """Zero-length segments may carry junk value bits (the scan's where
+    masks normally zero them; the packer must not rely on it)."""
+    import jax.numpy as jnp
+
+    from wvpk.ops.encode_pack import pack_segments_device
+    W, L = 6, 4
+    ln = np.zeros((W, L), np.int32)
+    ln[0, :] = 5
+    lo = np.full((W, L), 0xDEADBEEFDEADBEEF, np.uint64)
+    lo[0, :] = 0x15                      # 5 valid bits
+    hi = np.full((W, L), 0xFFFFFFFFFFFFFFFF, np.uint64)
+    hi[0, :] = 0
+    sbl = np.zeros((W, L), np.int32)
+    sb = np.full((W, L), 0xABCDABCDABCDABCD, np.uint64)
+    tails = [(b"", 0)] * L
+    segs = tuple(jnp.asarray(x) for x in (lo, hi, ln, sb, sbl))
+    got = pack_segments_device(segs, tails)
+    lo2, hi2, sb2 = lo.copy(), hi.copy(), sb.copy()
+    lo2[1:] = 0
+    hi2[1:] = 0
+    sb2[:] = 0
+    assert got == _ref_pack(lo2, hi2, ln, sb2, sbl, tails)
+
+
 def test_empty_and_tail_only():
     W, L = 4, 3
     z32 = np.zeros((W, L), np.int32)

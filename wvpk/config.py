@@ -54,6 +54,12 @@ class DecodeOptions:
     # TPU for the lossless two-scan path; hybrid stays the XLA fused
     # scan)
     encode_kernel: str = "auto"
+    # pack the encode word scan's bit segments into dense per-lane
+    # payloads ON DEVICE (ops/encode_pack.py) so only the compressed
+    # bytes cross the host link, instead of fetching ~16 B of sparse
+    # segment descriptors per coded value; False = fetch + host packer
+    # (the C/numpy paths, kept as the byte-identity oracle)
+    encode_device_pack: bool = True
     # deliver PCM from the device as packed bytes (bytes_stored+1 wide)
     # instead of int32 samples when the bucket allows it: 2-4x smaller
     # device->host transfers on the API/CLI delivery path

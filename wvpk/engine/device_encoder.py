@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import consts, trace
+from ..ops.encode_pack import finish_crc
 from ..testgen.encoder import (EncodeSpec, EncPass, WordsState, _auto_medians,
                                _crc_fast, _make_words_state, _quantize_decorr,
                                _quantize_entropy, _quantize_hybrid,
@@ -382,7 +383,7 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
                 hybrid_bitrate=bool(spec.hybrid_bitrate),
                 hybrid_balance=bool(spec.hybrid_balance),
                 static_terms=tuple(spec.terms))
-        segs, recon = out[:9], np.asarray(out[9]).astype(np.int64)
+        segs, recon_dev = out[:9], out[9]
     elif mesh is not None:
         from ..parallel.mesh import sharded_encode_scans
         segs = sharded_encode_scans(targ_d, terms16, deltas16, nt, med0,
@@ -396,12 +397,44 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         words = res.transpose(0, 2, 1).reshape(T * C, L)
         segs = words_any(words, med0, nvals, mono=mono)
     _t = trace.mark("enc_scan", _t)
-    (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
-     pnb) = [np.asarray(x) for x in segs]
-    _t = trace.mark("enc_fetch", _t)
+    from ..config import get_options
+    recon = crc_acc = None
+    if get_options().encode_device_pack and mesh is None:
+        # device-side packing: ONE small batched fetch (per-lane bit
+        # totals + pending-flush state + the hybrid CRC accumulator) +
+        # the dense payload fetch, instead of ~16 B of sparse segment
+        # descriptors per value (and, for hybrid, the whole (T, L, C)
+        # reconstruction fetched only to stamp CRCs)
+        import jax.numpy as jnp
 
-    payloads = pack_segments(sa_lo, sa_hi, sa_len, sb_bits, sb_len,
-                             _final_flush(pvalid, poc, pbits, pnb))
+        from ..ops.encode_pack import hybrid_crc_acc, \
+            pack_segments_device, segment_total_bits
+        rows = [segment_total_bits(segs[2], segs[4]).astype(jnp.uint64),
+                segs[5].astype(jnp.uint64), segs[6].astype(jnp.uint64),
+                segs[7].astype(jnp.uint64), segs[8].astype(jnp.uint64)]
+        if hybrid:
+            rows.append(hybrid_crc_acc(
+                recon_dev, jnp.asarray(nvals),
+                joint=bool(spec.flags() & consts.JOINT_STEREO),
+                mono=mono).astype(jnp.uint64))
+        small = np.asarray(jnp.stack(rows))
+        total, pvalid, poc, pbits, pnb = small[:5]
+        if hybrid:
+            crc_acc = small[5].astype(np.uint32)
+        _t = trace.mark("enc_fetch", _t)
+        payloads = pack_segments_device(
+            segs[:5], _final_flush(pvalid.astype(bool), poc,
+                                   pbits, pnb),
+            total=total.astype(np.int64))
+    else:
+        if hybrid:
+            recon = np.asarray(recon_dev).astype(np.int64)
+        (sa_lo, sa_hi, sa_len, sb_bits, sb_len, pvalid, poc, pbits,
+         pnb) = [np.asarray(x) for x in segs]
+        _t = trace.mark("enc_fetch", _t)
+
+        payloads = pack_segments(sa_lo, sa_hi, sa_len, sb_bits, sb_len,
+                                 _final_flush(pvalid, poc, pbits, pnb))
 
     _t = trace.mark("enc_pack", _t)
     # container assembly (mirrors encoder.py::encode_block)
@@ -477,12 +510,16 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
         # the joint-undone targets (same as encoder.py's fast stamp);
         # hybrid: over the scan's lossy reconstruction (what the
         # decoder's crc*3 accumulation sees, UnpackUtils.cs:577,626)
-        final = recon[:nb, i, :] if hybrid else blk_targ
-        if not mono and (flags & consts.JOINT_STEREO):
-            r = (final[:, 1] - (final[:, 0] >> 1)).astype(np.int32)
-            left = (final[:, 0] + r).astype(np.int32)
-            final = np.stack([left, r], 1)
-        header[28:32] = _crc_fast(final).to_bytes(4, "little")
+        if crc_acc is not None and hybrid:
+            crc_val = finish_crc(int(crc_acc[i]), nb * C)
+        else:
+            final = recon[:nb, i, :] if hybrid else blk_targ
+            if not mono and (flags & consts.JOINT_STEREO):
+                r = (final[:, 1] - (final[:, 0] >> 1)).astype(np.int32)
+                left = (final[:, 0] + r).astype(np.int32)
+                final = np.stack([left, r], 1)
+            crc_val = _crc_fast(final)
+        header[28:32] = crc_val.to_bytes(4, "little")
         block = bytes(header) + body
         if spec.block_checksum:
             from ..container.checksum import add_block_checksum
