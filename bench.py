@@ -147,8 +147,13 @@ def main():
     host_samples = sum(st.header.block_samples for st in host_states)
     decode_states(host_states)   # warm/compile
     link0 = _measure_link_rates()
+    # delivery gets its own (fixed, unconditional) repeat count: each
+    # repeat is one ~4 s link-bound round trip and the tunnel's rate
+    # swings 9-45 MB/s between windows, so best-of-5 samples the link
+    # honestly where best-of-3 samples the weather
+    d_repeats = int(os.environ.get("WVPK_BENCH_DELIVERY_REPEATS", "5"))
     host_s = float("inf")
-    for _ in range(repeats):
+    for _ in range(d_repeats):
         xferstats.reset()
         t0 = time.perf_counter()
         host_results = decode_states(host_states)
