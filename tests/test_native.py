@@ -106,3 +106,93 @@ def test_parse_block_native_differential():
     # the walk must actually engage on update-free blocks (first/last
     # blocks carry config/RIFF updates and legitimately fall back)
     assert native_hits >= 8
+
+
+# ---------------------------------------------------------------------------
+# native DSD stream coders (modes 1/3) vs the pure-Python differential
+# oracle (testgen/dsd_encoder.py; inverses of DsdUtils.cs:244-304,391-493)
+# ---------------------------------------------------------------------------
+
+def _signal(rng, n, kind):
+    if kind == "random":
+        return rng.integers(0, 256, n).astype(np.int64)
+    if kind == "tone":
+        base = (128 + 110 * np.sin(np.arange(n) / 13.0)).astype(np.int64)
+        return np.clip(base + rng.integers(-9, 10, n), 0, 255)
+    return np.full(n, 0x55, np.int64)        # DSD silence idiom
+
+
+@pytest.mark.parametrize("mono", [True, False])
+@pytest.mark.parametrize("bits", [1, 2, 3, 5])
+@pytest.mark.parametrize("kind", ["random", "tone", "silence"])
+def test_dsd_fast_native_matches_python(mono, bits, kind):
+    from wvpk.native import dsd_encode_fast_native
+    from wvpk.testgen.dsd_encoder import (_build_fast_tables,
+                                          _encode_fast_stream_py)
+    rng = np.random.default_rng(bits * 7 + (0 if mono else 1))
+    bins = 1 << bits
+    nch = 1 if mono else 2
+    data = _signal(rng, 1200 * nch, kind)
+    probs = _build_fast_tables(data, bins, mono)
+    summed = np.cumsum(probs.astype(np.int64), axis=1)
+    nat = dsd_encode_fast_native(data, probs, summed, bins, mono)
+    assert nat is not None, "cc present; native DSD fast coder must build"
+    assert nat == _encode_fast_stream_py(data.tolist(), probs, summed,
+                                         bins, mono)
+
+
+@pytest.mark.parametrize("mono", [True, False])
+@pytest.mark.parametrize("kind", ["random", "tone", "silence"])
+def test_dsd_high_native_matches_python(mono, kind):
+    from wvpk.container.blockstate import _init_ptable
+    from wvpk.native import dsd_encode_high_native
+    from wvpk.testgen.dsd_encoder import PRECISION, _encode_high_stream_py
+    rng = np.random.default_rng(11 if mono else 12)
+    nch = 1 if mono else 2
+    data = _signal(rng, 1024 * nch, kind)
+    ptable = _init_ptable(10, 20)
+    filters_init = np.zeros((2, 8), np.int64)
+    filters_init[:, :5] = 0x80 << (PRECISION - 8)
+    nat = dsd_encode_high_native(data, filters_init[:nch], ptable, nch)
+    assert nat is not None, "cc present; native DSD high coder must build"
+    assert nat == _encode_high_stream_py(data, filters_init, ptable, mono)
+
+
+def test_dsd_histogram_vectorized_matches_scalar_chain():
+    from wvpk.testgen.dsd_encoder import _build_fast_tables
+    rng = np.random.default_rng(3)
+    for mono in (True, False):
+        for bits in (1, 3, 5):
+            bins = 1 << bits
+            data = rng.integers(0, 256, 4000).astype(np.int64)
+            probs_scalar = np.zeros((bins, 256), np.int64)
+            p0 = p1 = 0
+            for code in data.tolist():
+                probs_scalar[p0, code] += 1
+                if mono:
+                    p0 = code & (bins - 1)
+                else:
+                    p0, p1 = p1, code & (bins - 1)
+            # _build_fast_tables scales after histogramming; redo only
+            # the histogram comparison through its internals
+            lag = 1 if mono else 2
+            bin_idx = np.zeros(data.size, np.int64)
+            bin_idx[lag:] = data[:-lag] & (bins - 1)
+            probs_vec = np.zeros((bins, 256), np.int64)
+            np.add.at(probs_vec, (bin_idx, data), 1)
+            np.testing.assert_array_equal(probs_vec, probs_scalar)
+
+
+def test_dsd_closed_form_crc_matches_oracle_stamp(monkeypatch):
+    """The closed-form CRC stamp must equal the decode-and-stamp path
+    (WVPK_DSD_ORACLE_STAMP) for every mode."""
+    import os
+    from wvpk.testgen.dsd_encoder import encode_dsd_file
+    rng = np.random.default_rng(5)
+    d = rng.integers(0, 256, (2048, 2)).astype(np.int64)
+    for mode in (0, 1, 3):
+        monkeypatch.delenv("WVPK_DSD_ORACLE_STAMP", raising=False)
+        fast = encode_dsd_file(d, mode, history_bits=2)
+        monkeypatch.setenv("WVPK_DSD_ORACLE_STAMP", "1")
+        slow = encode_dsd_file(d, mode, history_bits=2)
+        assert fast == slow, f"mode {mode} stamp divergence"

@@ -261,6 +261,74 @@ def _pack_lanes_all(lib, sa_lo, sa_hi, sa_len, sb_bits, sb_len, tails):
             for i in range(L)]
 
 
+def dsd_encode_fast_native(codes: np.ndarray, probs: np.ndarray,
+                           summed: np.ndarray, bins: int,
+                           mono: bool) -> bytes | None:
+    """C range-encode of interleaved DSD byte-samples over per-bin
+    probability tables (mode 1 "fast"; the inverse of
+    DsdUtils.cs:244-304). None -> Python fallback."""
+    lib = get_encode_lib()
+    if lib is None or not hasattr(lib, "wvpk_dsd_encode_fast"):
+        return None
+    if not hasattr(lib, "_dsd_fast_sig"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wvpk_dsd_encode_fast.restype = ctypes.c_long
+        lib.wvpk_dsd_encode_fast.argtypes = [
+            i32p, ctypes.c_long, i32p, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib._dsd_fast_sig = True
+    codes = np.ascontiguousarray(codes, np.int32)
+    probs = np.ascontiguousarray(probs, np.int32)
+    summed = np.ascontiguousarray(summed, np.int32)
+    cap = codes.size * 4 + 64
+    buf = ctypes.create_string_buffer(cap)
+    outlen = ctypes.c_int64(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.wvpk_dsd_encode_fast(
+        codes.ctypes.data_as(i32p), codes.size,
+        probs.ctypes.data_as(i32p), summed.ctypes.data_as(i32p),
+        int(bins), int(mono), buf, cap, ctypes.byref(outlen))
+    if rc != 0:
+        return None
+    return buf.raw[:int(outlen.value)]
+
+
+def dsd_encode_high_native(data: np.ndarray, filters_init: np.ndarray,
+                           ptable: np.ndarray, nch: int) -> bytes | None:
+    """C arithmetic-encode of (nframes, nch) DSD byte-samples with the
+    adaptive ptable + filter-bank predictor (mode 3 "high"; the inverse
+    of DsdUtils.cs:391-493). None -> Python fallback."""
+    lib = get_encode_lib()
+    if lib is None or not hasattr(lib, "wvpk_dsd_encode_high"):
+        return None
+    if not hasattr(lib, "_dsd_high_sig"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wvpk_dsd_encode_high.restype = ctypes.c_long
+        lib.wvpk_dsd_encode_high.argtypes = [
+            i32p, ctypes.c_long, ctypes.c_int, i32p, i32p,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib._dsd_high_sig = True
+    data = np.ascontiguousarray(data, np.int32)
+    filters_init = np.ascontiguousarray(filters_init, np.int32)
+    ptable = np.ascontiguousarray(ptable, np.int32)
+    nframes = data.size // nch
+    # worst case ~1 emitted byte per coded bit before the adaptive
+    # table converges, + flush
+    cap = data.size * 9 + 64
+    buf = ctypes.create_string_buffer(cap)
+    outlen = ctypes.c_int64(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.wvpk_dsd_encode_high(
+        data.ctypes.data_as(i32p), nframes, int(nch),
+        filters_init.ctypes.data_as(i32p), ptable.ctypes.data_as(i32p),
+        buf, cap, ctypes.byref(outlen))
+    if rc != 0:
+        return None
+    return buf.raw[:int(outlen.value)]
+
+
 def pack_lanes_native(sa_lo, sa_hi, sa_len, sb_bits, sb_len, tails):
     """C packing of the device-encoder's (W, L) segment arrays into
     per-lane payload bytes; None -> numpy fallback."""

@@ -805,3 +805,186 @@ long wvpk_pack_lanes_all(const uint64_t *sa_lo, const uint64_t *sa_hi,
     }
     return 0;
 }
+
+/* ---------------- DSD encode (modes 1 "fast" and 3 "high") ----------- */
+
+/* C ports of the repo's own Python DSD stream encoders
+ * (wvpk/testgen/dsd_encoder.py::_encode_fast_stream/_encode_high_stream),
+ * which are the exact inverses of the reference decoders
+ * (DsdUtils.cs:244-304 fast range decoder, :391-493 high arithmetic
+ * decoder). The Python coders remain the differential oracle. */
+
+static inline int32_t I32(int64_t v)
+{
+    return (int32_t)(uint32_t)(uint64_t)v;
+}
+
+/* Range-encode `codes` (interleaved byte-samples) over per-history-bin
+ * probability tables. probs/summed are (bins, 256) int32 row-major;
+ * summed is the inclusive prefix sum of probs. Returns 0 and *outlen
+ * bytes in out; -1 on a degenerate table, -2 when cap is too small. */
+long wvpk_dsd_encode_fast(const int32_t *codes, long n,
+                          const int32_t *probs, const int32_t *summed,
+                          int bins, int mono,
+                          uint8_t *out, long cap, int64_t *outlen)
+{
+    uint32_t low = 0, high = 0xFFFFFFFFu;
+    long w = 0;
+    int p0 = 0, p1 = 0;
+    for (long i = 0; i < n; i++) {
+        int code = codes[i];
+        int32_t total = summed[p0 * 256 + 255];
+        if (total <= 0 || code < 0 || code > 255)
+            return -1;
+        uint32_t mult = (uint32_t)(high - low) / (uint32_t)total;
+        if (mult == 0) {
+            /* interval exhausted: the decoder reads 4 fresh bytes
+             * (DsdUtils.cs:263-274); emit the position and reset */
+            if (w + 4 > cap)
+                return -2;
+            high = low;
+            for (int k = 0; k < 4; k++) {
+                out[w++] = (uint8_t)(high >> 24);
+                high <<= 8;
+            }
+            low = 0;
+            high = 0xFFFFFFFFu;
+            mult = high / (uint32_t)total;
+        }
+        if (code > 0)
+            low += (uint32_t)summed[p0 * 256 + code - 1] * mult;
+        high = low + (uint32_t)probs[p0 * 256 + code] * mult - 1;
+        if (mono) {
+            p0 = code & (bins - 1);
+        } else {
+            p0 = p1;
+            p1 = code & (bins - 1);
+        }
+        while (((high ^ low) & 0xFF000000u) == 0) {
+            if (w >= cap)
+                return -2;
+            out[w++] = (uint8_t)(high >> 24);
+            high = (high << 8) | 0xFFu;
+            low <<= 8;
+        }
+    }
+    if (w + 4 > cap)
+        return -2;
+    high = low;                 /* flush: terminate with value == low */
+    for (int k = 0; k < 4; k++) {
+        out[w++] = (uint8_t)(high >> 24);
+        high <<= 8;
+    }
+    *outlen = w;
+    return 0;
+}
+
+#define DSD_PRECISION     20
+#define DSD_PRECISION_USE 12
+#define DSD_VALUE_ONE     (1 << DSD_PRECISION)
+#define DSD_PTABLE_MASK   255
+#define DSD_UP            0x010000FE
+#define DSD_DOWN          0x00010000
+#define DSD_DECAY         8
+
+typedef struct {
+    int32_t value, f0, f1, f2, f3, f4, f5, f6, factor;
+} dsdf_t;
+
+/* Arithmetic-encode `data` ((nframes, nch) interleaved byte-samples, 8
+ * bits each MSB-first) with the adaptive ptable + 6-stage filter-bank
+ * predictor (the inverse of DsdUtils.cs:391-493). filters_init is
+ * (nch, 8) int32 with f1..f5 at slots 0..4 and factor at slot 6;
+ * ptable_init is 256 int32. */
+long wvpk_dsd_encode_high(const int32_t *data, long nframes, int nch,
+                          const int32_t *filters_init,
+                          const int32_t *ptable_init,
+                          uint8_t *out, long cap, int64_t *outlen)
+{
+    uint32_t low = 0, high = 0xFFFFFFFFu;
+    long w = 0;
+    int32_t pt[256];
+    dsdf_t f[2];
+    if (nch < 1 || nch > 2)
+        return -1;
+    memcpy(pt, ptable_init, sizeof pt);
+    for (int ch = 0; ch < nch; ch++) {
+        f[ch].value = 0;
+        f[ch].f0 = 0;
+        f[ch].f1 = filters_init[ch * 8 + 0];
+        f[ch].f2 = filters_init[ch * 8 + 1];
+        f[ch].f3 = filters_init[ch * 8 + 2];
+        f[ch].f4 = filters_init[ch * 8 + 3];
+        f[ch].f5 = filters_init[ch * 8 + 4];
+        f[ch].f6 = 0;
+        f[ch].factor = filters_init[ch * 8 + 6];
+    }
+    for (long t = 0; t < nframes; t++) {
+        for (int ch = 0; ch < nch; ch++)
+            f[ch].value = I32((int64_t)f[ch].f1 - f[ch].f5
+                + (I32((int64_t)f[ch].f6 * f[ch].factor) >> 2));
+        for (int bi = 0; bi < 8; bi++) {
+            for (int ch = 0; ch < nch; ch++) {
+                dsdf_t *sp = &f[ch];
+                int b = (data[t * nch + ch] >> (7 - bi)) & 1;
+                int pp = (sp->value >> (DSD_PRECISION - DSD_PRECISION_USE))
+                         & DSD_PTABLE_MASK;
+                uint32_t split = low + ((uint32_t)(high - low) >> 8)
+                                 * ((uint32_t)pt[pp] >> 16);
+                if (b) {
+                    high = split;
+                    pt[pp] = I32((int64_t)pt[pp]
+                        + (((int64_t)DSD_UP - pt[pp]) >> DSD_DECAY));
+                    sp->f0 = -1;
+                } else {
+                    low = split + 1;
+                    pt[pp] = I32((int64_t)pt[pp]
+                        + (((int64_t)DSD_DOWN - pt[pp]) >> DSD_DECAY));
+                    sp->f0 = 0;
+                }
+                while (((high ^ low) & 0xFF000000u) == 0) {
+                    if (w >= cap)
+                        return -2;
+                    out[w++] = (uint8_t)(high >> 24);
+                    high = (high << 8) | 0xFFu;
+                    low <<= 8;
+                }
+                sp->value = I32((int64_t)sp->value
+                                + I32((int64_t)sp->f6 * 8));
+                {
+                    int32_t v = sp->value;
+                    int32_t vm = I32((int64_t)v - I32((int64_t)sp->f6 * 16));
+                    sp->factor = I32((int64_t)sp->factor
+                        + ((((int64_t)(v ^ sp->f0) >> 31) | 1)
+                           & ((int64_t)(v ^ vm) >> 31)));
+                }
+                sp->f1 = I32((int64_t)sp->f1
+                    + (((int64_t)(sp->f0 & DSD_VALUE_ONE) - sp->f1) >> 6));
+                sp->f2 = I32((int64_t)sp->f2
+                    + (((int64_t)(sp->f0 & DSD_VALUE_ONE) - sp->f2) >> 4));
+                sp->f3 = I32((int64_t)sp->f3
+                    + (((int64_t)sp->f2 - sp->f3) >> 4));
+                sp->f4 = I32((int64_t)sp->f4
+                    + (((int64_t)sp->f3 - sp->f4) >> 4));
+                sp->value = (int32_t)(((int64_t)sp->f4 - sp->f5) >> 4);
+                sp->f5 = I32((int64_t)sp->f5 + sp->value);
+                sp->f6 = I32((int64_t)sp->f6
+                    + (((int64_t)sp->value - sp->f6) >> 3));
+                sp->value = I32((int64_t)sp->f1 - sp->f5
+                    + (I32((int64_t)sp->f6 * sp->factor) >> 2));
+            }
+        }
+        for (int ch = 0; ch < nch; ch++)
+            f[ch].factor = I32((int64_t)f[ch].factor
+                               - (((int64_t)f[ch].factor + 512) >> 10));
+    }
+    if (w + 4 > cap)
+        return -2;
+    high = low;
+    for (int k = 0; k < 4; k++) {
+        out[w++] = (uint8_t)(high >> 24);
+        high <<= 8;
+    }
+    *outlen = w;
+    return 0;
+}

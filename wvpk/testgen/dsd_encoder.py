@@ -40,8 +40,19 @@ class _RangeEmitter:
             self.high = u32(self.high << 8)
 
 
-def _encode_fast_stream(codes: list[int], probs: np.ndarray,
+def _encode_fast_stream(codes, probs: np.ndarray,
                         summed: np.ndarray, bins: int, mono: bool) -> bytes:
+    from .. import native as _native
+    res = _native.dsd_encode_fast_native(
+        np.asarray(codes, np.int64), probs, summed, bins, mono)
+    if res is not None:
+        return res
+    return _encode_fast_stream_py(list(codes), probs, summed, bins, mono)
+
+
+def _encode_fast_stream_py(codes: list[int], probs: np.ndarray,
+                           summed: np.ndarray, bins: int,
+                           mono: bool) -> bytes:
     em = _RangeEmitter()
     p0 = p1 = 0
     for code in codes:
@@ -69,15 +80,18 @@ def _encode_fast_stream(codes: list[int], probs: np.ndarray,
 
 
 def _build_fast_tables(data: np.ndarray, bins: int, mono: bool):
-    """Histogram per history bin, scaled to byte probabilities."""
+    """Histogram per history bin, scaled to byte probabilities.
+
+    The history-bin chain unrolls in closed form: the bin used at step i
+    is data[i-1] & mask (mono) or data[i-2] & mask (stereo: p0/p1 swap
+    per step), with bin 0 for the first one/two steps — so the
+    histogram is one vectorized np.add.at instead of a per-value loop."""
+    lag = 1 if mono else 2
+    bin_idx = np.zeros(data.size, np.int64)
+    if data.size > lag:
+        bin_idx[lag:] = data[:-lag] & (bins - 1)
     probs = np.zeros((bins, 256), np.int64)
-    p0 = p1 = 0
-    for code in data.tolist():
-        probs[p0, code] += 1
-        if mono:
-            p0 = code & (bins - 1)
-        else:
-            p0, p1 = p1, code & (bins - 1)
+    np.add.at(probs, (bin_idx, data), 1)
     out = np.zeros((bins, 256), np.uint8)
     for bi in range(bins):
         total = probs[bi].sum()
@@ -114,6 +128,17 @@ def _rle_table(probs: np.ndarray, max_probability: int = 0xA0) -> bytes:
 
 def _encode_high_stream(data: np.ndarray, filters_init: np.ndarray,
                         ptable: np.ndarray, mono: bool) -> bytes:
+    from .. import native as _native
+    nch = 1 if mono else 2
+    res = _native.dsd_encode_high_native(
+        np.asarray(data, np.int64), filters_init[:nch], ptable, nch)
+    if res is not None:
+        return res
+    return _encode_high_stream_py(data, filters_init, ptable, mono)
+
+
+def _encode_high_stream_py(data: np.ndarray, filters_init: np.ndarray,
+                           ptable: np.ndarray, mono: bool) -> bytes:
     em = _RangeEmitter()
     pt = [int(x) for x in ptable]
     nch = 1 if mono else 2
@@ -246,12 +271,23 @@ def _encode_dsd_block(data: np.ndarray, mode: int, mono: bool, mult_log: int,
     header[24:28] = flags.to_bytes(4, "little")
     block = bytes(header) + body
 
-    # stamp crc via the DSD oracle
-    from ..container import decode_block_state, iter_metadata, read_next_header
-    from ..ref.dsd_oracle import unpack_dsd_samples
-    hdr = read_next_header(block, 0)
-    st, _ = decode_block_state(hdr, iter_metadata(block, hdr))
-    res = unpack_dsd_samples(st)
+    # stamp crc in closed form: decode output == source bytes for every
+    # mode (roundtrip identity is asserted in tests), and the DSD CRC
+    # crc = crc*3 + b from -1 (DsdUtils.cs:73-101) is the same affine
+    # recurrence _crc_fast evaluates — no per-block oracle decode needed
+    # (WVPK_DSD_ORACLE_STAMP=1 restores the decode-and-stamp path as a
+    # differential check)
+    import os
     blk = bytearray(block)
-    blk[28:32] = (res.crc & 0xFFFFFFFF).to_bytes(4, "little")
+    if os.environ.get("WVPK_DSD_ORACLE_STAMP"):
+        from ..container import (decode_block_state, iter_metadata,
+                                 read_next_header)
+        from ..ref.dsd_oracle import unpack_dsd_samples
+        hdr = read_next_header(block, 0)
+        st, _ = decode_block_state(hdr, iter_metadata(block, hdr))
+        crc = unpack_dsd_samples(st).crc
+    else:
+        from .encoder import _crc_fast
+        crc = _crc_fast(interleaved & 0xFF)
+    blk[28:32] = (crc & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(blk)
