@@ -271,7 +271,8 @@ def encode_dsf_one(path: str, out_path: str, *, mode: int,
 def encode_one(path: str, out_path: str, *, preset: str, block: int,
                hybrid_bitrate: int, checksum_bytes: int = 0,
                quiet: bool = False, device: bool = False,
-               streaming: bool = False, dsd_mode: int = 0) -> int:
+               streaming: bool = False, dsd_mode: int = 0,
+               float_lossy: bool = False) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
     import os
 
@@ -294,6 +295,7 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
                 path, out_path, device=device, block_samples=block,
                 preset=preset, hybrid=hybrid_bitrate > 0,
                 bitrate=hybrid_bitrate or 512,
+                float_lossy=float_lossy,
                 block_checksum=checksum_bytes)
             dt = time.perf_counter() - t0
             if not quiet:
@@ -305,9 +307,17 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
             return 0
         blob = open(path, "rb").read()
         pcm, rate, bits, header, trailer = read_wav(blob)
+        if float_lossy and pcm.dtype == np.float32 and not quiet:
+            from .encode import float_grid_info
+            gi = float_grid_info(pcm)
+            if not gi["lossless"]:
+                print(f"float content is off-grid: quantizing to grid "
+                      f"2**{gi['norm_exp'] - 150} (max error "
+                      f"{gi['max_error']:.3g})")
         wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
                     block_samples=block, preset=preset,
                     hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
+                    float_lossy=float_lossy,
                     block_checksum=checksum_bytes,
                     riff_header=header, riff_trailer=trailer)
     except (ValueError, struct.error) as e:
@@ -372,6 +382,10 @@ def main(argv=None) -> int:
     p.add_argument("--dsd-mode", type=int, choices=(0, 1, 3), default=0,
                    help="DSD encode mode for .dsf inputs: 0 raw, "
                         "1 fast range coder, 3 high arithmetic coder")
+    p.add_argument("--float-lossy", action="store_true",
+                   help="encode off-grid float32 WAVs by quantizing to "
+                        "the nearest FLOAT_DATA grid (stream is stamped "
+                        "lossy); without it such content is rejected")
     args = p.parse_args(argv)
 
     if args.output and len(args.inputs) > 1 and not args.batch:
@@ -391,7 +405,8 @@ def main(argv=None) -> int:
                              checksum_bytes=args.checksum_bytes,
                              quiet=args.quiet, device=args.device,
                              streaming=args.streaming,
-                             dsd_mode=args.dsd_mode)
+                             dsd_mode=args.dsd_mode,
+                             float_lossy=args.float_lossy)
         return rc
 
     if args.verify_checksums:

@@ -77,18 +77,22 @@ def _auto_shift(or_acc: int, bytes_per_sample: int) -> tuple[int, int]:
 # (UnpackUtils.cs:57-64) and is rejected with a clear error.
 # ---------------------------------------------------------------------------
 
-def _float_grid_req(f: np.ndarray) -> tuple[int | None, float]:
+def _float_grid_req(f: np.ndarray,
+                    lossy: bool = False) -> tuple[int | None, float]:
     """(max over values of the minimal k with f*2**k integral, max|f|).
 
     Rejects NaN/Inf and -0.0 (no lossless int representation in the
-    FLOAT_DATA domain)."""
+    FLOAT_DATA domain). With lossy=True, -0.0 is tolerated (it
+    quantizes to +0.0 like any off-grid value); NaN/Inf still raise —
+    the int grid has no value to quantize them to."""
     bits = np.ascontiguousarray(f, np.float32).view(np.uint32).reshape(-1)
     if (bits & 0x7F800000 == 0x7F800000).any():
         raise ValueError("float PCM contains NaN or Inf; FLOAT_DATA "
-                         "blocks cannot represent them losslessly")
-    if (bits == 0x80000000).any():
+                         "blocks cannot represent them (even lossily)")
+    if not lossy and (bits == 0x80000000).any():
         raise ValueError("float PCM contains -0.0, which decodes as +0.0; "
-                         "normalize the sign of zeros before encoding")
+                         "normalize the sign of zeros before encoding, or "
+                         "pass float_lossy=True")
     exp = (bits >> 23) & 0xFF
     man = bits & 0x7FFFFF
     sig = np.where(exp > 0, man | (1 << 23), man).astype(np.int64)
@@ -104,12 +108,18 @@ def _float_grid_req(f: np.ndarray) -> tuple[int | None, float]:
     return k_req, float(np.abs(f).max())
 
 
-def float_to_stored(f: np.ndarray, norm_exp: int) -> np.ndarray:
+def float_to_stored(f: np.ndarray, norm_exp: int,
+                    lossy: bool = False) -> np.ndarray:
     """float32 (n, ch) -> stored int64 domain on the norm_exp grid
     (i = f * 2**(150 - norm_exp); raises if any value is off-grid or
-    outside the 24-bit range the decoder clips to)."""
+    outside the 24-bit range the decoder clips to). lossy=True rounds
+    off-grid values to the nearest grid point and clips to the 24-bit
+    range instead of raising."""
     scaled = f.astype(np.float64) * 2.0 ** (150 - norm_exp)
     i = np.round(scaled).astype(np.int64)
+    if lossy:
+        np.clip(i, -8388607, 8388607, out=i)
+        return i
     if not (i == scaled).all():
         raise ValueError("float PCM is off the norm_exp grid")
     if i.size and int(np.abs(i).max()) > 8388607:
@@ -117,19 +127,20 @@ def float_to_stored(f: np.ndarray, norm_exp: int) -> np.ndarray:
     return i
 
 
-def pcm_stats(pcm: np.ndarray) -> dict:
+def pcm_stats(pcm: np.ndarray, float_lossy: bool = False) -> dict:
     """Whole-stream facts build_spec derives from the audio. Chunk-safe:
     `merge_pcm_stats` folds per-window stats into the same answer, so
     the streaming encoder can derive an identical spec from one bounded
     pre-scan pass. float32 input yields float-grid stats instead of the
-    integer fields (see the FLOAT_DATA grid note above)."""
+    integer fields (see the FLOAT_DATA grid note above); float_lossy
+    tolerates -0.0 (quantized to +0.0 by the lossy grid path)."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     if pcm.dtype.kind == "f":
         if pcm.dtype != np.float32:
             raise ValueError("float PCM must be float32 (WAV format "
                              "tag 3); float64 has no FLOAT_DATA analog")
-        k_req, fmax = _float_grid_req(pcm)
+        k_req, fmax = _float_grid_req(pcm, lossy=float_lossy)
         return {
             "n": pcm.shape[0],
             "ch": pcm.shape[1],
@@ -196,8 +207,10 @@ def build_spec(pcm: np.ndarray, *, stats: dict | None = None,
             and pcm.dtype != np.float32:
         raise ValueError(f"integer or float32 PCM required, got dtype "
                          f"{pcm.dtype}")
-    return _spec_from_stats(stats if stats is not None else pcm_stats(pcm),
-                            **options)
+    if stats is None:
+        stats = pcm_stats(pcm,
+                          float_lossy=options.get("float_lossy", False))
+    return _spec_from_stats(stats, **options)
 
 
 def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
@@ -205,6 +218,7 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
                      preset: str = "default", joint: bool = True,
                      hybrid: bool = False, bitrate: int = 512,
                      md5: bool | None = None, block_checksum: int = 0,
+                     float_lossy: bool = False,
                      riff_header: bytes | None = None,
                      riff_trailer: bytes | None = None) -> EncodeSpec:
     n, ch = st["n"], st["ch"]
@@ -213,6 +227,7 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
     if block_samples <= 0:
         raise ValueError(f"block_samples must be positive, got {block_samples}")
     is_float = st.get("float", False)
+    lossy_float = False
     if is_float:
         if hybrid:
             raise ValueError(
@@ -220,19 +235,35 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
                 "such blocks lossy, UnpackUtils.cs:57-64); wvpk encodes "
                 "float losslessly only")
         k = st["k_req"] if st["k_req"] is not None else 23
-        norm_exp = 150 - k
-        if not 1 <= norm_exp <= 255:
+        fits = (1 <= 150 - k <= 255
+                and st["fmax"] * 2.0 ** k <= 8388607)
+        if not fits and float_lossy:
+            # opt-in lossy: quantize to the FINEST grid whose 24-bit
+            # range covers the content (the widest restorable domain the
+            # reference's shift+clip restore defines, FloatUtils.cs:
+            # 32-56), clamped to the norm_exp byte; the stream is
+            # stamped CONFIG_LOSSY_MODE so WavpackGetMode never claims
+            # MODE_LOSSLESS for it
+            import math
+            k = (int(math.floor(math.log2(8388607.0 / st["fmax"])))
+                 if st["fmax"] > 0 else 23)
+            k = max(-105, min(149, k))
+            lossy_float = True
+        elif not 1 <= 150 - k <= 255:
             raise ValueError(
                 f"float grid exponent 2**-{k} is outside the FLOAT_INFO "
                 "norm_exp byte range; content is not losslessly "
-                "representable as FLOAT_DATA")
-        if st["fmax"] * 2.0 ** k > 8388607:
+                "representable as FLOAT_DATA (pass float_lossy=True to "
+                "quantize to the nearest representable grid)")
+        elif st["fmax"] * 2.0 ** k > 8388607:
             raise ValueError(
                 "float PCM spans more than 24 bits of mantissa on its "
                 f"grid (needs |f| <= {8388607 * 2.0 ** -k:g} at grid "
                 f"2**-{k}); not losslessly representable as FLOAT_DATA "
                 "(the reference treats such content as lossy, "
-                "UnpackUtils.cs:57-64)")
+                "UnpackUtils.cs:57-64; pass float_lossy=True to "
+                "quantize to the nearest representable grid)")
+        norm_exp = 150 - k
         bytes_per_sample = 4
     else:
         norm_exp = 0
@@ -290,7 +321,11 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
         hybrid=hybrid,
         hybrid_bitrate=hybrid,
         bitrate=bitrate,
-        md5=(not hybrid) if md5 is None else md5,
+        # like the hybrid default: a stored MD5 covers the SOURCE audio,
+        # which a lossy decode legitimately won't match
+        md5=(not hybrid and not lossy_float) if md5 is None else md5,
+        config_flags=consts.CONFIG_LOSSY_MODE if lossy_float else 0,
+        float_lossy=lossy_float,
         block_checksum=block_checksum,
         riff_header=riff_header,
         riff_trailer=riff_trailer,
@@ -404,7 +439,8 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             m = min(total - done, win)
             v = decode_pcm_bytes(f.read(m * frame), bps,
                                  float_data=is_float).reshape(-1, ch)
-            st = merge_pcm_stats(st, pcm_stats(v))
+            st = merge_pcm_stats(st, pcm_stats(
+                v, float_lossy=options.get("float_lossy", False)))
             if hasher is not None:
                 # the stored MD5 covers the formatted output bytes
                 # (false-stereo duplication == the original channels;
@@ -418,6 +454,11 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
     if ch > 2:
         # segment encoder stamps checksums itself; strip false_stereo
         spec = replace(spec, mono=False, false_stereo=False)
+    if spec.float_lossy and md5_opt is None:
+        # content turned out lossy on its grid: the default-MD5 source
+        # digest would never verify against the decode, drop it (the
+        # same default hybrid gets)
+        hasher = None
     digest = hasher.digest() if hasher is not None else None
 
     if device:
@@ -436,7 +477,8 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
             v = decode_pcm_bytes(f.read(m * frame), bps,
                                  float_data=is_float).reshape(-1, ch)
             if is_float:
-                v = float_to_stored(v, spec.float_norm_exp)
+                v = float_to_stored(v, spec.float_norm_exp,
+                                    lossy=spec.float_lossy)
             if spec.false_stereo:
                 v = v[:, :1]
             first, last = done == 0, done + m >= total
@@ -479,9 +521,36 @@ def float_md5_digest(f: np.ndarray) -> bytes:
 
 
 def _float_stored_and_digest(pcm: np.ndarray, spec: EncodeSpec):
-    """float32 (n, ch) -> (stored int domain, md5 digest or None)."""
+    """float32 (n, ch) -> (stored int domain, md5 digest or None). A
+    stamped MD5 covers the SOURCE audio (the hybrid convention), which
+    for a lossy-float encode the decode output won't match."""
     digest = float_md5_digest(pcm) if spec.md5 else None
-    return float_to_stored(pcm, spec.float_norm_exp), digest
+    return float_to_stored(pcm, spec.float_norm_exp,
+                           lossy=spec.float_lossy), digest
+
+
+def float_grid_info(pcm: np.ndarray) -> dict:
+    """Grid diagnostics for float32 content: the lossless FLOAT_DATA
+    grid when one exists, else the grid encode(float_lossy=True) would
+    quantize to. Returns {"norm_exp", "lossless", "grid_step",
+    "max_error"} (max_error = largest |quantized - source|, 0.0 when
+    lossless)."""
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    st = pcm_stats(pcm, float_lossy=True)
+    spec = _spec_from_stats(st, float_lossy=True)
+    stored = float_to_stored(pcm, spec.float_norm_exp,
+                             lossy=spec.float_lossy)
+    step = 2.0 ** (spec.float_norm_exp - 150)
+    err = 0.0
+    if spec.float_lossy:
+        err = float(np.abs(stored.astype(np.float64) * step
+                           - pcm.astype(np.float64)).max())
+    return {"norm_exp": spec.float_norm_exp,
+            "lossless": not spec.float_lossy,
+            "grid_step": step,
+            "max_error": err}
 
 
 def encode_dsd(data: np.ndarray, mode: int = 0, *,

@@ -472,6 +472,11 @@ def encode_blocks_device(pcm: np.ndarray, spec: EncodeSpec,
             mdl.append(mkmeta(consts.ID_SAMPLE_RATE,
                               (spec.sample_rate & 0xFFFFFF)
                               .to_bytes(3, "little")))
+        if i == 0 and first and spec.config_flags:
+            cf = spec.config_flags
+            mdl.append(mkmeta(consts.ID_CONFIG_BLOCK,
+                              bytes([(cf >> 8) & 0xFF, (cf >> 16) & 0xFF,
+                                     (cf >> 24) & 0xFF])))
         if i == 0 and first and spec.riff_header is not None:
             mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
         mdl.append(mkmeta(consts.ID_WV_BITSTREAM, payloads[i]))

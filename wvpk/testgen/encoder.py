@@ -76,6 +76,15 @@ class EncodeSpec:
     # (MetadataUtils.cs:184-186); wvpk's container/checksum.py audit
     # extension verifies it (CLI --verify-checksums).
     block_checksum: int = 0
+    # informational CONFIG_* bits stamped as ID_CONFIG_BLOCK in the
+    # first block (read at UnpackUtils.cs:432-455; WavpackGetMode
+    # reports them). The lossy-float path sets CONFIG_LOSSY_MODE so
+    # quantized streams never claim MODE_LOSSLESS.
+    config_flags: int = 0
+    # float32 content off any lossless FLOAT_DATA grid: quantize to the
+    # nearest grid point instead of raising (opt-in; see
+    # wvpk/encode.py's float grid note)
+    float_lossy: bool = False
 
     @property
     def nch_data(self) -> int:
@@ -735,6 +744,11 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
         # blockstate.py ID_SAMPLE_RATE / reference UnpackUtils.cs:461-472)
         mdl.append(mkmeta(consts.ID_SAMPLE_RATE,
                           (spec.sample_rate & 0xFFFFFF).to_bytes(3, "little")))
+    if is_first and spec.config_flags:
+        cf = spec.config_flags
+        mdl.append(mkmeta(consts.ID_CONFIG_BLOCK,
+                          bytes([(cf >> 8) & 0xFF, (cf >> 16) & 0xFF,
+                                 (cf >> 24) & 0xFF])))
     if is_first and spec.riff_header is not None:
         mdl.append(mkmeta(consts.ID_RIFF_HEADER, spec.riff_header))
     mdl.append(mkmeta(consts.ID_WV_BITSTREAM, wv_payload))
