@@ -280,3 +280,44 @@ def test_chain_segment_uniform_bucket_has_none():
     b = group_blocks([blk.state for blk in parse_blocks(data)])[0]
     assert b.static_terms is not None
     assert b.chain_segments is None
+
+
+def test_chunked_delivery_fixed_lane_buckets(monkeypatch):
+    """Per-(profile, chain) chunking must produce repeated bucket lane
+    counts (every full chunk identical), so one compiled fused program
+    serves all full chunks — the property that makes pipelined delivery
+    recompile-free."""
+    from wvpk import config
+    from wvpk.container import parse_blocks
+    from wvpk.engine import pipeline
+
+    a = encode_file(noise(64 * 21, 2, 2500, 17),
+                    EncodeSpec(block_samples=64, joint=True))
+    b = encode_file(noise(64 * 9, 1, 700, 18),
+                    EncodeSpec(block_samples=64, mono=True,
+                               terms=(17, 2), deltas=(2, 2)))
+    states = [blk.state for blk in parse_blocks(a + b)]
+
+    seen = []
+    real = pipeline.launch_bucket
+
+    def spy(bucket):
+        seen.append((bucket.profile, len(bucket.states)))
+        return real(bucket)
+
+    monkeypatch.setattr(pipeline, "launch_bucket", spy)
+    config.set_options(delivery_chunk_blocks=8)
+    try:
+        res = pipeline.decode_states(states)
+    finally:
+        config.set_options(delivery_chunk_blocks=0)
+    assert len(res) == len(states)
+    # stereo: 21 blocks -> chunks of 8, 8, 5; mono: 9 -> 8, 1
+    stereo = sorted(n for p, n in seen if not p.mono)
+    mono = sorted(n for p, n in seen if p.mono)
+    assert stereo == [5, 8, 8]
+    assert mono == [1, 8]
+    # and the results must be bit-exact vs the oracle
+    for st, r in zip(states, res):
+        np.testing.assert_array_equal(r.samples,
+                                      decode_block(st).samples)

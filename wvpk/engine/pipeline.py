@@ -241,25 +241,38 @@ def finalize_bucket(lb: LaunchedBucket,
     return results
 
 
-def _fetch_arrays(arrs: list) -> list[np.ndarray]:
-    """ONE device->host transfer for an arbitrary list of device arrays:
-    each array is bitcast to a flat int32 vector on device, concatenated,
-    and fetched with a single blocking asarray. The tunneled dev setup
-    pays ~27 ms per fetch regardless of size, and real PCIe pays latency
-    per transfer too — batching makes delivery cost scale with bytes,
-    not with array count."""
+def _start_fetch(arrs: list):
+    """Begin ONE device->host transfer for a list of device arrays:
+    bitcast each to a flat int32 vector, concatenate on device, and
+    start the D2H copy asynchronously (copy_to_host_async) — the
+    transfer runs as soon as the producing compute finishes, overlapping
+    any later host staging / H2D / compute the caller queues before
+    `_finish_fetch` blocks. Returns an opaque (device_blob, metas)
+    handle."""
     import jax
     import jax.numpy as jnp
 
     if not arrs:
-        return []
+        return None, []
     parts, metas = [], []
     for arr in arrs:
         flat = jax.lax.bitcast_convert_type(arr, jnp.int32).reshape(-1)
         parts.append(flat)
         metas.append((flat.size, arr.shape, np.dtype(str(arr.dtype))))
+    blob = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    try:
+        blob.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass                     # backend without async copy: asarray pays it
+    return blob, metas
+
+
+def _finish_fetch(handle) -> list[np.ndarray]:
+    blob_dev, metas = handle
+    if blob_dev is None:
+        return []
     with trace.stage("transfer"):
-        blob = np.asarray(jnp.concatenate(parts))
+        blob = np.asarray(blob_dev)
     from . import xferstats
     xferstats.add("d2h", blob.nbytes)
     out, pos = [], 0
@@ -267,6 +280,15 @@ def _fetch_arrays(arrs: list) -> list[np.ndarray]:
         out.append(blob[pos:pos + size].view(dt).reshape(shape))
         pos += size
     return out
+
+
+def _fetch_arrays(arrs: list) -> list[np.ndarray]:
+    """ONE device->host transfer for an arbitrary list of device arrays
+    (see _start_fetch). The tunneled dev setup pays ~27 ms per fetch
+    regardless of size, and real PCIe pays latency per transfer too —
+    batching makes delivery cost scale with bytes, not with array
+    count."""
+    return _finish_fetch(_start_fetch(arrs))
 
 
 def _fetch_launched(lbs: list[LaunchedBucket]
@@ -303,15 +325,33 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
             pcm_states.append(st)
             pcm_indices.append(i)
     remap = {id(st): i for st, i in zip(pcm_states, pcm_indices)}
-    # chunked pipelining: chunk k+1's staging + launch runs while chunk
-    # k's payload fetch blocks, overlapping H2D/compute with D2H on the
-    # transfer link. Small corpora stay single-chunk single-fetch.
+    # chunked pipelining: chunk k's payload fetch starts ASYNC the
+    # moment its compute finishes (copy_to_host_async, _start_fetch)
+    # and drains while chunk k+1's staging + H2D + compute proceed —
+    # D2H overlaps host CPU work always, and H2D too when the link is
+    # duplex. Chunks are cut per (profile, term-chain) run at a fixed
+    # lane count, so each chunk stages to ONE bucket whose compiled
+    # fused program is shared by every same-shape chunk (no per-chunk
+    # recompiles — the cost that sank the naive order-split chunking).
+    # Small corpora stay single-chunk single-fetch.
     CH = get_options().delivery_chunk_blocks
     if CH and len(pcm_states) > CH * 3 // 2:
-        n = len(pcm_states)
-        k = (n + CH - 1) // CH
-        bounds = [n * i // k for i in range(k + 1)]   # even split, no tail
-        chunks = [pcm_states[bounds[i]:bounds[i + 1]] for i in range(k)]
+        from .staging import _chain_of, profile_of
+        order = sorted(
+            range(len(pcm_states)),
+            key=lambda i: (repr(profile_of(pcm_states[i])),
+                           _chain_of(pcm_states[i])))
+        chunks, run, run_prof = [], [], None
+        for i in order:
+            st = pcm_states[i]
+            p = profile_of(st)
+            if run and (p != run_prof or len(run) >= CH):
+                chunks.append(run)
+                run = []
+            run.append(st)
+            run_prof = p
+        if run:
+            chunks.append(run)
     else:
         chunks = [pcm_states] if pcm_states else []
 
@@ -320,10 +360,9 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
             buckets = group_blocks(chunk_states)
         return [launch_bucket(bucket) for bucket in buckets]
 
-    launched_chunks = [_launch_chunk(chunks[0])] if chunks else []
     dsd_launched = launch_dsd_states(dsd_states) if dsd_states else []
 
-    def _finalize_batch(lbs, with_dsd):
+    def _chunk_arrs(lbs, with_dsd):
         arrs = [a for lb in lbs for a in (lb.crcmute, lb.payload)]
         dsd_slots = []
         if with_dsd:
@@ -332,7 +371,14 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
                 arrs.append(ld.crcerr)
                 if ld.payload is not None:
                     arrs.append(ld.payload)
-        fetched = _fetch_arrays(arrs)
+        return arrs, dsd_slots
+
+    def _launch_and_start(chunk_states, with_dsd):
+        lbs = _launch_chunk(chunk_states)
+        arrs, dsd_slots = _chunk_arrs(lbs, with_dsd)
+        return lbs, _start_fetch(arrs), dsd_slots
+
+    def _consume(lbs, fetched, dsd_slots):
         for k, lb in enumerate(lbs):
             pair = (fetched[2 * k], fetched[2 * k + 1])
             for st, res in zip(lb.bucket.states,
@@ -345,12 +391,18 @@ def decode_states(states: list[BlockState]) -> list[DecodedBlock]:
                 results[dsd_indices[i]] = res
 
     if not chunks and dsd_launched:
-        _finalize_batch([], with_dsd=True)
+        arrs, dsd_slots = _chunk_arrs([], with_dsd=True)
+        _consume([], _finish_fetch(_start_fetch(arrs)), dsd_slots)
+    inflight = []
+    if chunks:
+        inflight.append(_launch_and_start(chunks[0],
+                                          with_dsd=len(chunks) == 1))
     for ci in range(len(chunks)):
         if ci + 1 < len(chunks):
-            launched_chunks.append(_launch_chunk(chunks[ci + 1]))
-        _finalize_batch(launched_chunks[ci],
-                        with_dsd=(ci == len(chunks) - 1))
+            inflight.append(_launch_and_start(
+                chunks[ci + 1], with_dsd=(ci + 1 == len(chunks) - 1)))
+        lbs, handle, dsd_slots = inflight[ci]
+        _consume(lbs, _finish_fetch(handle), dsd_slots)
     if get_options().oracle_check:
         from ..ref import decode_block as oracle_decode
         for st, res in zip(states, results):
