@@ -150,24 +150,48 @@ def main():
     # delivery gets its own (fixed, unconditional) repeat count: each
     # repeat is one ~4 s link-bound round trip and the tunnel's rate
     # swings 9-45 MB/s between windows, so best-of-5 samples the link
-    # honestly where best-of-3 samples the weather
+    # honestly where best-of-3 samples the weather. Two modes are
+    # measured with the same repeats: the single-batched-fetch path
+    # (CH=0) and the pipelined path (fixed-lane chunks + async D2H,
+    # engine/pipeline.py), whose fetches overlap later chunks'
+    # staging/H2D/compute; the headline is the better of the two and
+    # both are reported. Every per-repeat timing lands in the JSON so
+    # the best-of-N claim is verifiable from the artifact alone.
+    from wvpk import config as _config
     d_repeats = int(os.environ.get("WVPK_BENCH_DELIVERY_REPEATS", "5"))
-    host_s = float("inf")
+    d_chunk = int(os.environ.get("WVPK_BENCH_DELIVERY_CHUNK", "768"))
+    d_times: dict[int, list] = {0: [], d_chunk: []}
+    _config.set_options(delivery_chunk_blocks=d_chunk)
+    decode_states(host_states)   # warm/compile the chunked programs
+    _config.set_options(delivery_chunk_blocks=0)
+    xfer = None
     for _ in range(d_repeats):
-        xferstats.reset()
-        t0 = time.perf_counter()
-        host_results = decode_states(host_states)
-        host_s = min(host_s, time.perf_counter() - t0)
-        xfer = dict(xferstats.counters)
-    assert not any(r.crc_error for r in host_results)
+        for ch in (0, d_chunk):
+            _config.set_options(delivery_chunk_blocks=ch)
+            xferstats.reset()
+            t0 = time.perf_counter()
+            host_results = decode_states(host_states)
+            d_times[ch].append(round(time.perf_counter() - t0, 3))
+            if xfer is None:
+                xfer = dict(xferstats.counters)
+            assert not any(r.crc_error for r in host_results)
+    _config.set_options(delivery_chunk_blocks=0)
     link1 = _measure_link_rates()
     up = max(link0[0], link1[0])
     down = max(link0[1], link1[1])
     bound_s = xfer["h2d"] / up + xfer["d2h"] / down
-    host_rate = host_samples / host_s / 1e6
+    single_rate = host_samples / min(d_times[0]) / 1e6
+    chunked_rate = host_samples / min(d_times[d_chunk]) / 1e6
+    host_rate = max(single_rate, chunked_rate)
     bound_rate = host_samples / bound_s / 1e6
     delivery = {
         "host_delivery_msamples": round(host_rate, 3),
+        "delivery_single_msamples": round(single_rate, 3),
+        "delivery_chunked_msamples": round(chunked_rate, 3),
+        "delivery_chunk_blocks": d_chunk,
+        "d_repeats": d_repeats,
+        "delivery_single_s": d_times[0],
+        "delivery_chunked_s": d_times[d_chunk],
         "delivery_bound_msamples": round(bound_rate, 3),
         "delivery_efficiency": round(host_rate / bound_rate, 3),
         "link_up_mbs": round(up / 1e6, 1),
@@ -255,11 +279,20 @@ def main():
     hyb = _bench_secondary(_make_hybrid, "hybrid_v6")
     flt = _bench_secondary(_make_float, "float_v4")
 
+    # sparse / silence-heavy corpus (the zero-run escape path,
+    # WordsUtils.cs:304-352): alternating silence and tone blocks plus
+    # an all-silence file, so the entropy kernel's speculative repair
+    # body is a measured number instead of an untimed hope
+    sparse = _bench_secondary(_make_sparse, "sparse_v1")
+
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
     # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
     # vs the DSD64 stereo byte rate (2ch x 2.8224 MHz / 8 = 705600
-    # byte-values/s)
+    # byte-values/s). Mode 1 is measured at BOTH history_bits=2 (the
+    # easy table) and history_bits=5 / bins=32, the reference's hardest
+    # fast-mode table (DsdUtils.cs:170)
     dsd_fast = _bench_dsd(1)
+    dsd_fast_b32 = _bench_dsd(1, history_bits=5)
     dsd_high = _bench_dsd(3)
 
     # gated hardware differential coverage: a compact randomized
@@ -275,7 +308,13 @@ def main():
     else:
         hw_sweep_ok, sweep_blocks = None, 0
 
-    # host-side encode rate (native C path; no device involvement)
+    # host-side encode rate (native C path; no device involvement).
+    # Warm-up + best-of-3 with every repeat recorded: the r4 artifact's
+    # 9.4x came from a single cold call right after the memory-heavy
+    # sweep phases — on this 1-CPU rig the first call after a multi-GB
+    # working-set shift pays page-fault recovery (reproduced: 8.8x on
+    # the first call under a 6 GB ballast, 25-29x warm), which is rig
+    # state, not encoder speed.
     from wvpk.encode import encode as _encode
     rng = np.random.default_rng(7)
     tgrid = np.arange(44100 * 4)
@@ -283,13 +322,26 @@ def main():
         + rng.normal(0, 300, tgrid.size)
     epcm = np.clip(np.round(np.stack([esig, esig * 0.7], 1)),
                    -32768, 32767).astype(np.int64)
-    t_enc = time.perf_counter()
-    _encode(epcm, md5=False)
-    enc_rt = 4.0 / (time.perf_counter() - t_enc)
+    _encode(epcm, md5=False)               # warm (page the working set in)
+    enc_all = []
+    for _ in range(3):
+        t_enc = time.perf_counter()
+        _encode(epcm, md5=False)
+        enc_all.append(round(4.0 / (time.perf_counter() - t_enc), 1))
+    enc_rt = max(enc_all)
 
-    # device-side encode rate (the two lossless encode scans; Pallas on
-    # TPU via ops/encode_select)
+    # host-side DSD encode rate (native C range/arithmetic coders),
+    # DSD64 stereo realtime factor, warm best-of-3
+    dsd_enc_rt = _bench_dsd_encode()
+
+    # device-side encode: the scan-only in-jit rate (explicitly named
+    # *_scan_*: it times the two lossless encode scans, not the e2e
+    # path) and the honest END-TO-END rate — PCM in host memory to
+    # finished .wv bytes on host through encode_blocks_device with
+    # device-side segment packing (the encode analog of the demo's
+    # timed whole-file loop, WvDemo.cs:107-137)
     enc_dev = _bench_device_encode()
+    enc_e2e = _bench_device_encode_e2e()
 
     msamples = total_samples / best / 1e6
     realtime = (total_samples / 44100) / best
@@ -304,10 +356,15 @@ def main():
         "mc51_24bit_msamples": mc51,
         "hybrid_msamples": hyb,
         "float_msamples": flt,
+        "sparse_msamples": sparse,
         "dsd_fast_realtime_x": dsd_fast,
+        "dsd_fast_b32_realtime_x": dsd_fast_b32,
         "dsd_high_realtime_x": dsd_high,
-        "encode_realtime_x": round(enc_rt, 1),
-        "encode_device_mvalues": enc_dev,
+        "encode_realtime_x": enc_rt,
+        "encode_realtime_all": enc_all,
+        "dsd_encode_realtime_x": dsd_enc_rt,
+        "encode_device_scan_mvalues": enc_dev,
+        "encode_e2e_device_msamples": enc_e2e,
         "hw_sweep_ok": hw_sweep_ok,
         "hw_sweep_blocks": sweep_blocks,
         "corpus_samples": total_samples,
@@ -465,6 +522,91 @@ def _make_float():
     return _fill_copies(files), n
 
 
+def _make_sparse():
+    """Silence-heavy corpus for the zero-run escape path: 8 distinct
+    signals whose every other 4096-sample block is digital silence
+    (plus scattered intra-block zero gaps) and one all-silence file,
+    tile-filled per class (_fill_copies). Silence drives all medians
+    below 2, so the entropy kernel's speculative common path mispredicts
+    into its whole-iteration repair body (zero-run gammas,
+    WordsUtils.cs:304-352) at the highest rate any real content
+    produces."""
+    from wvpk.testgen import EncodeSpec, encode_file
+    n = 44100 * 2
+    t = np.arange(n)
+    files = []
+    for i in range(8):
+        rng = np.random.default_rng(1000 + i)
+        f0 = 210 + 85 * i
+        sig = (5000 + 500 * i) * np.sin(2 * np.pi * f0 * t / 44100) \
+            + rng.normal(0, 180 + 40 * i, n)
+        pcm = np.stack([np.round(sig), np.round(sig * 0.6)],
+                       1).astype(np.int64)
+        np.clip(pcm, -32768, 32767, out=pcm)
+        for b0 in range(0 if i % 2 else 4096, n, 8192):
+            pcm[b0:b0 + 4096] = 0           # every other block silent
+        for g0 in range(2048, n, 4096 * 3):
+            pcm[g0:g0 + 192 + 32 * i] = 0   # short zero runs inside tone
+        spec = EncodeSpec(block_samples=4096, joint=True,
+                          terms=(18, 17, 2) if i % 2 else (18, 18, 2, 17, 3),
+                          deltas=(2, 2, 2) if i % 2 else (2,) * 5)
+        files.append(encode_file(pcm, spec))
+    files.append(encode_file(np.zeros((n, 2), np.int64),
+                             EncodeSpec(block_samples=4096, joint=True)))
+    return _fill_copies(files), n
+
+
+def _bench_dsd_encode() -> float:
+    """Host DSD encode (native C coders, modes 1+3 averaged-worst):
+    DSD64 stereo realtime factor, warm best-of-3 on 1 s of content.
+    Returns the SLOWER of the two coded modes (the honest promise)."""
+    from wvpk.encode import encode_dsd
+    rng = np.random.default_rng(31)
+    nvals = 705600                       # 1 s of DSD64 stereo byte-values
+    d = rng.integers(0, 256, (nvals // 2, 2)).astype(np.uint8)
+    worst = float("inf")
+    for mode in (1, 3):
+        encode_dsd(d, mode, history_bits=2 if mode == 1 else 1)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            encode_dsd(d, mode, history_bits=2 if mode == 1 else 1)
+            best = min(best, time.perf_counter() - t0)
+        worst = min(worst, 1.0 / best)
+    return round(worst, 1)
+
+
+def _bench_device_encode_e2e() -> float:
+    """END-TO-END device encode in Msamples(frames)/s: PCM in host
+    memory -> finished .wv block bytes on host, through the public
+    encode_device path (warmup seeding, device scans, device-side
+    segment packing, container assembly). Warm best-of-3; the output of
+    the warm-up run is decode-gated (CRC-clean + sample-exact)."""
+    from wvpk.container import parse_blocks
+    from wvpk.encode import encode_device
+    from wvpk.engine import decode_states
+
+    rng = np.random.default_rng(21)
+    T, nblk = 4096, 64
+    tg = np.arange(nblk * T)
+    sig = 7000 * np.sin(2 * np.pi * 330 * tg / 44100) \
+        + rng.normal(0, 260, tg.size)
+    pcm = np.clip(np.round(np.stack([sig, sig * 0.7], 1)),
+                  -32768, 32767).astype(np.int64)
+    wv = encode_device(pcm, md5=False, block_samples=T)   # warm/compile
+    outs = decode_states([b.state for b in parse_blocks(wv)])
+    assert not any(r.crc_error or r.mute_error for r in outs), \
+        "device e2e encode failed the CRC gate"
+    assert np.array_equal(np.concatenate([r.samples for r in outs]), pcm), \
+        "device e2e encode roundtrip not sample-exact"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_device(pcm, md5=False, block_samples=T)
+        best = min(best, time.perf_counter() - t0)
+    return round(pcm.shape[0] / best / 1e6, 3)
+
+
 def _make_dsd_delivery():
     """Small DSD slice (modes 1 + 3) folded into the host-delivery corpus
     so the mixed PCM+DSD single-fetch path is what the bench times."""
@@ -479,9 +621,11 @@ def _make_dsd_delivery():
     return files
 
 
-def _bench_dsd(mode: int) -> float:
+def _bench_dsd(mode: int, history_bits: int = 2) -> float:
     """DSD batch decode realtime factor for one mode (1=fast, 3=high):
-    Pallas lane kernels, inputs staged in HBM, CRC-gated, one fetch."""
+    Pallas lane kernels, inputs staged in HBM, CRC-gated, one fetch.
+    history_bits sizes mode 1's per-bin tables (5 -> bins=32, the
+    reference's widest fast-mode table, DsdUtils.cs:170)."""
     import jax
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -492,7 +636,8 @@ def _bench_dsd(mode: int) -> float:
         dsd_high_decode_pallas
 
     L, n = 512, 4096
-    states = [st for st in build(mode, L, n) if _profile(st).mode == mode]
+    states = [st for st in build(mode, L, n, history_bits=history_bits)
+              if _profile(st).mode == mode]
     prof = _profile(states[0])
     data = _pad_bytes([st.dsd.data for st in states], prof.nbytes_cap)
     nbytes = np.asarray([len(st.dsd.data) for st in states], np.int64)

@@ -16,9 +16,10 @@ def timed(fn, reps=3):
     return best
 
 
-def build(mode, L, n):
+def build(mode, L, n, history_bits=2):
     import pickle, os, hashlib
-    tag = f"dsdprof_{mode}_{L}_{n}"
+    tag = f"dsdprof_{mode}_{L}_{n}" + (
+        f"_hb{history_bits}" if history_bits != 2 else "")
     cache = os.path.expanduser("~/.cache/wvpk-bench")
     path = os.path.join(cache, tag + ".pkl")
     if os.path.exists(path):
@@ -30,7 +31,8 @@ def build(mode, L, n):
     states = []
     for i in range(L):
         d = rng.integers(0, 256, (n, 2))
-        data = encode_dsd_file(d.astype(np.int64), mode, history_bits=2)
+        data = encode_dsd_file(d.astype(np.int64), mode,
+                               history_bits=history_bits)
         states += [b.state for b in parse_blocks(data)
                    if b.state.header.block_samples]
     os.makedirs(cache, exist_ok=True)
