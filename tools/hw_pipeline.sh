@@ -27,6 +27,7 @@ print(f'hw sweep 210000: {b} blocks, {f} mismatches')
 assert f == 0
 "
   run timeout 1800 python tools/stream_encode_soak.py 9400 20
+  run timeout 1800 python tools/r5_hw_soak.py 24
   echo "=== hw_pipeline done $(date -u +%FT%TZ) rc=$RC ==="
 } >> "$LOG" 2>&1
 exit "$RC"
