@@ -128,14 +128,14 @@ def main():
     # fixed ~27 ms dispatch/fetch latencies into the transfer time) PLUS
     # a DSD slice (modes 1+3), so what's timed is the mixed-codec
     # delivery path: compressed words up (one packed blob per bucket),
-    # packed PCM + packed DSD bytes down, ONE batched fetch. Plain
-    # best-of-repeats — no gate-conditioned retries. The structural
-    # bound is measured in the SAME run: link up/down rates sampled
-    # immediately before and after the timed repeats, actual payload
-    # bytes counted by engine/xferstats; delivery_bound_msamples is the
-    # ceiling those impose (the pipeline launches all H2D, computes,
-    # then one blocking D2H — serial link use is the true model, not an
-    # approximation) and delivery_efficiency is the attained share.
+    # packed PCM + packed DSD bytes down. Plain best-of-repeats — no
+    # gate-conditioned retries. The structural bound is measured in the
+    # SAME run: link up/down rates sampled immediately before and after
+    # the timed repeats, actual payload bytes counted by
+    # engine/xferstats; delivery_bound_msamples is the SERIAL-link
+    # ceiling those impose (all H2D, then all D2H, no overlap), so the
+    # pipelined mode exceeding efficiency 1.0 is itself evidence the
+    # link carries both directions at once.
     from wvpk.engine import xferstats
     host_states = states[:len(states) * 96 // max(n_files, 96)] \
         if n_files > 96 else states
