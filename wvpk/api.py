@@ -60,6 +60,11 @@ class WavpackContext:
     version: int = 0
     all_channels: bool = False
     streaming: bool = False
+    # hybrid-lossless (.wvc correction file) pairing state: number of
+    # audio blocks that received a correction payload, and whether
+    # EVERY hybrid audio block did (drives MODE_WVC/MODE_LOSSLESS)
+    wvc_paired: int = 0
+    wvc_all_paired: bool = False
     _decoded: dict = field(default_factory=dict)   # segment idx -> np array
     _first_audio: int = 0
     # segments: (block_index, end_index, [block positions]) per multichannel
@@ -149,6 +154,11 @@ class WavpackContext:
         mode = 0
         if self.config.flags & consts.CONFIG_HYBRID_FLAG:
             mode |= consts.MODE_HYBRID
+            if self.wvc_all_paired:
+                # hybrid-lossless: a full correction pairing restores
+                # the source exactly (libwavpack's MODE_WVC semantics;
+                # the reference never reaches this state)
+                mode |= consts.MODE_WVC | consts.MODE_LOSSLESS
         elif not (self.config.flags & consts.CONFIG_LOSSY_MODE):
             mode |= consts.MODE_LOSSLESS
         if self.lossy_blocks:
@@ -250,8 +260,33 @@ def _update_lossy(wpc: WavpackContext, st) -> None:
         wpc.lossy_blocks = True
 
 
+def _pair_wvc_source(wpc: WavpackContext, wvc_source) -> None:
+    """Attach a correction file's payloads to the open context. Never
+    raises: a broken correction file degrades to plain hybrid decode,
+    mirroring the concealment philosophy of the main path."""
+    try:
+        if wpc.streaming:
+            from .container.stream import WvcReader
+            is_path = (isinstance(wvc_source, str)
+                       or hasattr(wvc_source, "__fspath__"))
+            f = open(wvc_source, "rb") if is_path else wvc_source
+            wpc.wvc_paired = wpc.blocks.attach_wvc(WvcReader(f))
+        else:
+            from .container.blocks import pair_wvc
+            wpc.wvc_paired = pair_wvc(wpc.blocks, _read_source(wvc_source))
+        hybrid_audio = sum(
+            1 for h in _headers_of(wpc)
+            if h.block_samples > 0 and (h.flags & consts.HYBRID_FLAG))
+        wpc.wvc_all_paired = (hybrid_audio > 0
+                              and wpc.wvc_paired >= hybrid_audio)
+    except Exception:
+        wpc.wvc_paired = 0
+        wpc.wvc_all_paired = False
+
+
 def WavpackOpenFileInput(source, flags: int = 0,
-                         streaming: bool | None = None) -> WavpackContext:
+                         streaming: bool | None = None,
+                         wvc_source=None) -> WavpackContext:
     """Open a .wv source (bytes / path / file-like); reference
     WavPackUtils.cs:36-120.
 
@@ -259,7 +294,14 @@ def WavpackOpenFileInput(source, flags: int = 0,
     `DecodeOptions.stream_threshold` bytes open in bounded-memory
     streaming mode (header index eager, per-block payload parse lazy +
     LRU, decoded-segment cache evicted at `cache_segments`); everything
-    else parses eagerly. Pass True/False to force."""
+    else parses eagerly. Pass True/False to force.
+
+    `wvc_source` (bytes / path / file-like) pairs a hybrid-lossless
+    correction file; OPEN_WVC in `flags` auto-pairs the sibling
+    `<path>c` file instead (libwavpack's convention). The reference
+    notes it "will not handle correction files" (WavPackUtils.cs:31) —
+    this is a beyond-parity surface; a missing or corrupt correction
+    file silently falls back to plain (lossy) hybrid decode."""
     import os
 
     wpc = WavpackContext()
@@ -283,6 +325,13 @@ def WavpackOpenFileInput(source, flags: int = 0,
     except Exception as e:  # container-level failure
         wpc.error_message = f"invalid WavPack file: {e}"
         return wpc
+
+    if wvc_source is None and (flags & consts.OPEN_WVC) and is_path:
+        cand = os.fspath(source) + "c"
+        if os.path.exists(cand):
+            wvc_source = cand
+    if wvc_source is not None:
+        _pair_wvc_source(wpc, wvc_source)
 
     headers = _headers_of(wpc)
     first = None
@@ -460,6 +509,8 @@ def WavpackGetNumErrors(wpc):
 
 
 def WavpackLossy(wpc):
+    if wpc.wvc_all_paired and not wpc.lossy_blocks:
+        return False   # hybrid-lossless: corrections restore the source
     return wpc.lossy_blocks or bool(wpc.config.flags
                                     & consts.CONFIG_HYBRID_FLAG)
 

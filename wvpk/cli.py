@@ -23,12 +23,18 @@ from .report import build_report
 def decode_one(path: str, out_path: str | None, quiet: bool = False,
                show_trace: bool = False, report_json: bool = False,
                raw: bool = False, streaming: bool | None = None,
-               verify_md5: bool = False) -> int:
+               verify_md5: bool = False,
+               wvc: "str | None" = None, no_wvc: bool = False) -> int:
     t_open = time.perf_counter()
     # unlike the reference demo (first two channels only), decode every
-    # stream of multichannel files
-    wpc = api.WavpackOpenFileInput(path, flags=consts.OPEN_ALL_CHANNELS,
-                                   streaming=streaming)
+    # stream of multichannel files. A sibling .wvc correction file is
+    # picked up automatically (wvunpack behavior; --no-wvc disables,
+    # --wvc points elsewhere) — hybrid blocks then decode losslessly.
+    flags = consts.OPEN_ALL_CHANNELS
+    if not no_wvc and wvc is None:
+        flags |= consts.OPEN_WVC
+    wpc = api.WavpackOpenFileInput(path, flags=flags, streaming=streaming,
+                                   wvc_source=None if no_wvc else wvc)
     err = api.WavpackGetErrorMessage(wpc)
     if err:
         print(f"Error: {err}", file=sys.stderr)
@@ -52,7 +58,11 @@ def decode_one(path: str, out_path: str | None, quiet: bool = False,
         print(f"{bits} bits per sample")
         print(f"{sample_rate} samples/s")
         print(f"{total_samples} total samples = {dur:.3f}s")
-        print(f"{'Lossy' if api.WavpackLossy(wpc) else 'Lossless'} decoding")
+        if api.WavpackGetMode(wpc) & consts.MODE_WVC:
+            print("Lossless decoding (hybrid + wvc correction)")
+        else:
+            print(f"{'Lossy' if api.WavpackLossy(wpc) else 'Lossless'} "
+                  "decoding")
         level = api.WavpackGetCompressionLevel(wpc)
         if level:
             print(f"{level} compression level")
@@ -272,7 +282,7 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
                hybrid_bitrate: int, checksum_bytes: int = 0,
                quiet: bool = False, device: bool = False,
                streaming: bool = False, dsd_mode: int = 0,
-               float_lossy: bool = False) -> int:
+               float_lossy: bool = False, wvc: bool = False) -> int:
     """WAV -> .wv (beyond reference parity: the reference is decode-only)."""
     import os
 
@@ -317,15 +327,24 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
         wv = encode(pcm, sample_rate=rate, bytes_per_sample=(bits + 7) // 8,
                     block_samples=block, preset=preset,
                     hybrid=hybrid_bitrate > 0, bitrate=hybrid_bitrate or 512,
-                    float_lossy=float_lossy,
+                    float_lossy=float_lossy, wvc=wvc,
                     block_checksum=checksum_bytes,
                     riff_header=header, riff_trailer=trailer)
     except (ValueError, struct.error) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
     dt = time.perf_counter() - t0
+    wvc_bytes = None
+    if isinstance(wv, tuple):
+        wv, wvc_bytes = wv
     with open(out_path, "wb") as f:
         f.write(wv)
+    if wvc_bytes is not None:
+        with open(out_path + "c", "wb") as f:   # wvunpack's convention
+            f.write(wvc_bytes)
+        if not quiet:
+            print(f"wrote correction file {out_path}c "
+                  f"({len(wvc_bytes)} bytes)")
     if not quiet:
         print(f"encoded {pcm.shape[0]} samples x {pcm.shape[1]} ch "
               f"({bits}-bit) in {dt * 1000:.1f} ms: {len(blob)} -> "
@@ -386,6 +405,16 @@ def main(argv=None) -> int:
                    help="encode off-grid float32 WAVs by quantizing to "
                         "the nearest FLOAT_DATA grid (stream is stamped "
                         "lossy); without it such content is rejected")
+    p.add_argument("--wvc", nargs="?", const=True, default=None,
+                   metavar="PATH",
+                   help="decode: pair this correction file (default: "
+                        "the sibling <input>c is picked up "
+                        "automatically). encode: with --hybrid-bitrate, "
+                        "also write the hybrid-lossless correction "
+                        "file <output>c")
+    p.add_argument("--no-wvc", action="store_true",
+                   help="decode: ignore any sibling correction file "
+                        "(plain lossy hybrid decode)")
     args = p.parse_args(argv)
 
     if args.output and len(args.inputs) > 1 and not args.batch:
@@ -406,7 +435,8 @@ def main(argv=None) -> int:
                              quiet=args.quiet, device=args.device,
                              streaming=args.streaming,
                              dsd_mode=args.dsd_mode,
-                             float_lossy=args.float_lossy)
+                             float_lossy=args.float_lossy,
+                             wvc=bool(args.wvc))
         return rc
 
     if args.verify_checksums:
@@ -436,7 +466,10 @@ def main(argv=None) -> int:
                           show_trace=args.trace, report_json=args.report,
                           raw=args.raw,
                           streaming=True if args.streaming else None,
-                          verify_md5=args.verify_md5)
+                          verify_md5=args.verify_md5,
+                          wvc=args.wvc if isinstance(args.wvc, str)
+                          else None,
+                          no_wvc=args.no_wvc)
 
     rc = 0
     for path in args.inputs:
@@ -444,7 +477,8 @@ def main(argv=None) -> int:
         rc |= decode_one(path, out, args.quiet, show_trace=args.trace,
                          report_json=args.report, raw=args.raw,
                          streaming=True if args.streaming else None,
-                         verify_md5=args.verify_md5)
+                         verify_md5=args.verify_md5,
+                         no_wvc=args.no_wvc)
     return rc
 
 

@@ -11,6 +11,12 @@ FALSE, TRUE = 0, 1
 
 # open() flags
 OPEN_2CH_MAX = 0x8
+# extension beyond the reference: attempt to open the sibling `.wvc`
+# correction file (main path + "c", libwavpack's convention and flag
+# value) and decode hybrid blocks losslessly. The reference parses the
+# wvc bitstream item (UnpackUtils.cs:93-108) but notes "this function
+# will not handle 'correction' files" (WavPackUtils.cs:31)
+OPEN_WVC = 0x1
 # extension beyond the reference: decode every stream of a multichannel
 # segment (the reference refuses >2ch without OPEN_2CH_MAX and then plays
 # only the first stream, WavPackUtils.cs:100-112)

@@ -24,6 +24,52 @@ class Block:
     updates: ContextUpdates
 
 
+def pair_wvc(blocks: list[Block], wvc_data: bytes) -> int:
+    """Attach a .wvc correction file's per-block payloads to the audio
+    blocks (hybrid-lossless decode, beyond reference parity: the
+    reference opens only the main file and notes "Correction files are
+    not handled", WavPackUtils.cs:31).
+
+    Correction blocks are full wvpk blocks carrying ID_WVC_BITSTREAM,
+    written 1:1 and in order with the main file's audio blocks; pairing
+    is sequential with a (block_index, block_samples) sanity match.
+    Unmatched audio blocks simply stay lossy — the decoder falls back to
+    plain hybrid for them. Returns the number of blocks paired."""
+    from .. import consts
+
+    corr: list[tuple[BlockHeader, bytes]] = []
+    for hdr in scan_headers(wvc_data):
+        if hdr.block_samples <= 0 or hdr.block_samples > MAX_BLOCK_SAMPLES:
+            continue
+        if hdr.stream_position + hdr.ck_size + 8 > len(wvc_data):
+            continue
+        try:
+            items = iter_metadata(wvc_data, hdr)
+        except Exception:
+            continue
+        for it in items:
+            if it.id == consts.ID_WVC_BITSTREAM:
+                corr.append((hdr, it.data))
+                break
+
+    paired = 0
+    ci = 0
+    for blk in blocks:
+        if blk.header.block_samples <= 0 or ci >= len(corr):
+            continue
+        chdr, payload = corr[ci]
+        if (chdr.block_index != blk.header.block_index
+                or chdr.block_samples != blk.header.block_samples):
+            continue
+        ci += 1
+        if not (blk.state.flags & consts.HYBRID_FLAG):
+            continue                      # lossless blocks need no correction
+        blk.state.wvcbits = payload
+        blk.state.wvc_crc = chdr.crc
+        paired += 1
+    return paired
+
+
 def parse_blocks(data: bytes, strict: bool = False) -> list[Block]:
     """Index every decodable block. Truncated or metadata-corrupt blocks
     are skipped (their sample range gap-fills as zeros downstream) — the

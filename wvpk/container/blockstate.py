@@ -81,7 +81,13 @@ class BlockState:
     int32_dups: int = 0
     int32_max_width: int = 0
     wvbits: bytes | None = None
+    # correction bitstream (hybrid-lossless). The reference parses this
+    # item (UnpackUtils.cs:93-108) but never decodes it; wvpk attaches
+    # the payload from the paired .wvc file's block here (pair_wvc) and
+    # decodes it — a beyond-parity surface. wvc_crc is the paired
+    # correction block's header crc, which covers the EXACT samples.
     wvcbits: bytes | None = None
+    wvc_crc: int | None = None
     wvxbits: bytes | None = None      # payload after the 4-byte crc_mvx
     wvx_start_bit: int = 0            # 5/10 for ID_WVX_NEW_BITSTREAM fields
     crc_mvx: int = 0

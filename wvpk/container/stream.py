@@ -84,6 +84,38 @@ def scan_headers_file(f: io.BufferedIOBase,
     return out
 
 
+class WvcReader:
+    """Bounded-memory view of a `.wvc` correction file: eager header
+    index, per-block ID_WVC_BITSTREAM payload extracted on demand (the
+    streaming mirror of blocks.pair_wvc; hybrid-lossless is beyond
+    reference parity, WavPackUtils.cs:31)."""
+
+    def __init__(self, f: io.BufferedIOBase):
+        self._f = f
+        self.entries = [h for h in scan_headers_file(f)
+                        if h.block_samples > 0]
+
+    def payload(self, ordinal: int):
+        """(payload bytes | None, header) for the ordinal-th correction
+        block."""
+        from .. import consts
+        hdr = self.entries[ordinal]
+        self._f.seek(hdr.stream_position)
+        raw = self._f.read(hdr.ck_size + 8)
+        if len(raw) < hdr.ck_size + 8:
+            return None, hdr
+        try:
+            for it in iter_metadata(raw, replace(hdr, stream_position=0)):
+                if it.id == consts.ID_WVC_BITSTREAM:
+                    return it.data, hdr
+        except Exception:
+            pass
+        return None, hdr
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class LazyBlocks:
     """Sequence of Blocks parsed on demand from an open file.
 
@@ -98,6 +130,31 @@ class LazyBlocks:
         self.headers = headers
         self._cap = max(cache_blocks, 8)
         self._cache: OrderedDict[int, Block] = OrderedDict()
+        self._wvc: WvcReader | None = None
+        self._wvc_ordinal: dict[int, int] = {}
+
+    def attach_wvc(self, reader: WvcReader) -> int:
+        """Pair correction blocks with this file's audio blocks (by
+        order, with a (block_index, block_samples) sanity match against
+        the eager header index). Payload reads stay lazy; returns the
+        number of audio blocks that will decode hybrid-lossless."""
+        self._wvc = reader
+        self._wvc_ordinal = {}
+        self._cache.clear()   # re-parse any cached blocks with pairing
+        ci = paired = 0
+        for i, h in enumerate(self.headers):
+            if h.block_samples <= 0 or ci >= len(reader.entries):
+                continue
+            c = reader.entries[ci]
+            if (c.block_index != h.block_index
+                    or c.block_samples != h.block_samples):
+                continue
+            ci += 1
+            from .. import consts
+            if h.flags & consts.HYBRID_FLAG:
+                self._wvc_ordinal[i] = ci - 1
+                paired += 1
+        return paired
 
     def __len__(self) -> int:
         return len(self.headers)
@@ -141,6 +198,12 @@ class LazyBlocks:
             except Exception as e:
                 raise BlockParseError(str(e)) from e
             blk = Block(hdr, items, state, updates)
+        o = self._wvc_ordinal.get(i)
+        if o is not None:
+            payload, chdr = self._wvc.payload(o)
+            if payload is not None:
+                blk.state.wvcbits = payload
+                blk.state.wvc_crc = chdr.crc
         self._cache[i] = blk
         while len(self._cache) > self._cap:
             self._cache.popitem(last=False)

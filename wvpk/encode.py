@@ -23,7 +23,7 @@ from dataclasses import replace
 import numpy as np
 
 from . import consts
-from .testgen.encoder import EncodeSpec, encode_file, mkmeta
+from .testgen.encoder import EncodeSpec, mkmeta
 from .testgen.multichannel import encode_multichannel
 
 # Decorrelation filter presets (decode order). These are this encoder's
@@ -217,6 +217,7 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
                      bytes_per_sample: int = 2, block_samples: int = 4096,
                      preset: str = "default", joint: bool = True,
                      hybrid: bool = False, bitrate: int = 512,
+                     wvc: bool = False,
                      md5: bool | None = None, block_checksum: int = 0,
                      float_lossy: bool = False,
                      riff_header: bytes | None = None,
@@ -270,7 +271,17 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
         lim = 1 << (bytes_per_sample * 8 - 1)
         if st["minv"] < -lim or st["maxv"] >= lim:
             raise ValueError(f"PCM exceeds the {bytes_per_sample}-byte range")
+    if wvc and not hybrid:
+        raise ValueError("wvc=True (hybrid-lossless correction file) "
+                         "requires hybrid=True")
     terms, deltas = PRESETS[preset]
+    if wvc and any(t in (-1, -2) for t in terms):
+        # decode applies wvc corrections after the decorr chain; the
+        # intra-sample cross terms -1/-2 would need the other channel's
+        # CURRENT quantized value inside the peel (see encode_blocks'
+        # chain check). -3 predicts from the previous opposite-channel
+        # sample — same cross-channel idea, decode-consistent peel.
+        terms = tuple(-3 if t in (-1, -2) else t for t in terms)
     mono = ch == 1
     # false stereo: identical channels collapse to one encoded channel
     # (the decoder re-duplicates, UnpackUtils.cs:668-680)
@@ -321,9 +332,12 @@ def _spec_from_stats(st: dict, *, sample_rate: int = 44100,
         hybrid=hybrid,
         hybrid_bitrate=hybrid,
         bitrate=bitrate,
+        wvc=wvc,
         # like the hybrid default: a stored MD5 covers the SOURCE audio,
-        # which a lossy decode legitimately won't match
-        md5=(not hybrid and not lossy_float) if md5 is None else md5,
+        # which a lossy decode legitimately won't match — but a wvc
+        # pair restores the source exactly, so it gets the digest
+        md5=((not hybrid or wvc) and not lossy_float)
+        if md5 is None else md5,
         config_flags=consts.CONFIG_LOSSY_MODE if lossy_float else 0,
         float_lossy=lossy_float,
         block_checksum=block_checksum,
@@ -677,13 +691,21 @@ def encode(pcm: np.ndarray, **options) -> bytes:
     digest = None
     if spec.float_data:
         pcm, digest = _float_stored_and_digest(pcm, spec)
+    # hybrid-lossless: collect the parallel correction blocks and return
+    # (wv_bytes, wvc_bytes) — the caller writes the second beside the
+    # first as the `.wvc` file (beyond reference parity; the reference
+    # notes "Correction files are not handled", WavPackUtils.cs:31)
+    sink: list | None = [] if spec.wvc else None
     if pcm.shape[1] > 2:
         # segment encoder stamps checksums itself; strip false_stereo
-        return encode_multichannel(pcm, replace(spec, mono=False,
-                                                 false_stereo=False),
-                                   md5_digest=digest)
-    if spec.false_stereo:
-        pcm = pcm[:, :1]
-    if digest is not None:
-        return b"".join(encode_blocks(pcm, spec, md5_digest=digest))
-    return encode_file(pcm, spec)
+        wv = encode_multichannel(pcm, replace(spec, mono=False,
+                                              false_stereo=False),
+                                 md5_digest=digest, wvc_sink=sink)
+    else:
+        if spec.false_stereo:
+            pcm = pcm[:, :1]
+        wv = b"".join(encode_blocks(pcm, spec, md5_digest=digest,
+                                    wvc_sink=sink))
+    if sink is not None:
+        return wv, b"".join(sink)
+    return wv

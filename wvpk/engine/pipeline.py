@@ -30,6 +30,9 @@ class DecodedBlock:
     crc_x: int
     mute_error: bool
     crc_error: bool
+    # hybrid-lossless (wvc) extras, mirroring ref.oracle.BlockResult
+    crc_wvc: int = -1
+    wvc_applied: bool = False
 
 
 def _sync(x):
@@ -81,6 +84,7 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
     # (the ordering the reference requires, UnpackUtils.cs:1271-1314)
     if (trace._sink() is None and not opts.sync_stages
             and not opts.oracle_check
+            and not prof.has_wvc
             and opts.entropy_kernel == "auto"
             and opts.decorr_kernel == "auto"):
         from .fused import build_blob, fused_decode_blob, \
@@ -136,12 +140,24 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
                               bps=bps)
 
+    wvc_mc = wvc_base = None
     with trace.stage("entropy"):
-        residuals, broke, ndec = entropy_decode_any(
-            b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
-            mono=prof.mono, hybrid=prof.hybrid,
-            hybrid_bitrate=prof.hybrid_bitrate,
-            hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
+        if prof.has_wvc:
+            # hybrid-lossless: the exact-semantics XLA scan emits the
+            # per-word narrowed intervals the correction scan needs
+            from ..ops.entropy import entropy_decode
+            residuals, wvc_mc, wvc_base, broke, ndec = entropy_decode(
+                b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
+                mono=prof.mono, hybrid=True,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps,
+                wvc=True)
+        else:
+            residuals, broke, ndec = entropy_decode_any(
+                b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
+                mono=prof.mono, hybrid=prof.hybrid,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps)
         _sync(residuals)
 
     L = b.words.shape[0]
@@ -153,11 +169,31 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
             static_terms=(b.static_terms if should_specialize()
                           else None)))
 
-    with trace.stage("post"):
-        out, crc, mute = joint_mute_crc(
-            decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
-            mono=prof.mono)
-        _sync(out)
+    crc_wvc_dev = None
+    if prof.has_wvc:
+        with trace.stage("wvc"):
+            # corrections add AFTER the decorr chain (linear in the
+            # residual for the lossy-driven prediction sequence) and
+            # BEFORE the joint undo; int32 add wraps like C#
+            from ..ops.entropy import wvc_corrections
+            corr = wvc_corrections(b.wvc_words, wvc_mc, wvc_base,
+                                   residuals)
+            exact = decorr_out + corr
+        with trace.stage("post"):
+            out, crc_wvc_dev, mute = joint_mute_crc(
+                exact, b.nsamples, b.joint, b.mute_limit, broke,
+                mono=prof.mono)
+            # the wv header crc covers the LOSSY reconstruction
+            _, crc, _ = joint_mute_crc(
+                decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
+                mono=prof.mono)
+            _sync(out)
+    else:
+        with trace.stage("post"):
+            out, crc, mute = joint_mute_crc(
+                decorr_out, b.nsamples, b.joint, b.mute_limit, broke,
+                mono=prof.mono)
+            _sync(out)
 
     if prof.has_wvx:
         with trace.stage("wvx"):
@@ -187,9 +223,12 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
         payload = pack_samples(out, bps=bps)
     else:
         payload = out
-    crcmute = jnp.stack([jnp.asarray(crc, jnp.int32).astype(jnp.int32),
-                         jnp.asarray(mute).astype(jnp.int32),
-                         crc_x_dev.astype(jnp.int32)])
+    rows = [jnp.asarray(crc, jnp.int32).astype(jnp.int32),
+            jnp.asarray(mute).astype(jnp.int32),
+            crc_x_dev.astype(jnp.int32)]
+    if crc_wvc_dev is not None:
+        rows.append(jnp.asarray(crc_wvc_dev, jnp.int32).astype(jnp.int32))
+    crcmute = jnp.stack(rows)
     return LaunchedBucket(bucket=b, payload=payload, crcmute=crcmute,
                           bps=bps)
 
@@ -234,10 +273,16 @@ def finalize_bucket(lb: LaunchedBucket,
             vals = np.repeat(vals, 2, axis=1)
         crc_err = (int(crc_np[i]) != st.header.crc
                    or (prof.has_wvx and int(crc_x[i]) != st.crc_mvx))
+        crc_wvc = -1
+        if prof.has_wvc:
+            crc_wvc = int(cm[3][i])
+            if st.wvc_crc is not None and crc_wvc != int(b.wvc_crc[i]):
+                crc_err = True
         results.append(DecodedBlock(
             samples=np.ascontiguousarray(vals),
             crc=int(crc_np[i]), crc_x=int(crc_x[i]),
-            mute_error=bool(mute_np[i]), crc_error=bool(crc_err)))
+            mute_error=bool(mute_np[i]), crc_error=bool(crc_err),
+            crc_wvc=crc_wvc, wvc_applied=prof.has_wvc))
     return results
 
 

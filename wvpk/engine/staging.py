@@ -35,6 +35,10 @@ class Profile:
     is_float: bool
     is_int32: bool
     has_wvx: bool
+    # hybrid-lossless: a paired .wvc correction stream is attached
+    # (container.pair_wvc); such lanes decode exactly via the
+    # correction scan + dual-CRC post (beyond reference parity)
+    has_wvc: bool
     nsteps: int      # padded word-slot count for the entropy scan
     nsamples_cap: int
 
@@ -51,6 +55,8 @@ def profile_of(st: BlockState) -> Profile:
         is_float=bool(f & consts.FLOAT_DATA),
         is_int32=bool(f & consts.INT32_DATA),
         has_wvx=st.wvxbits is not None and not (f & consts.FLOAT_DATA),
+        has_wvc=(st.wvcbits is not None and st.wvc_crc is not None
+                 and bool(f & consts.HYBRID_FLAG)),
         nsteps=cap * (1 if mono else 2),
         nsamples_cap=cap,
     )
@@ -89,6 +95,10 @@ class Bucket:
     wvx_words: np.ndarray | None
     wvx_start_bit: np.ndarray | None
     wvx_start_bc: np.ndarray | None
+    # hybrid-lossless correction streams + the correction blocks'
+    # header CRCs (cover the EXACT samples)
+    wvc_words: np.ndarray | None = None
+    wvc_crc: np.ndarray | None = None
     # static (chain, start, stop, num_terms_max) lane segments for the
     # per-class decorr specialization on mixed-chain buckets; None when
     # the bucket is uniform (static_terms covers it) or nothing qualifies
@@ -223,6 +233,12 @@ def stage(states: list[BlockState], indices: list[int]) -> Bucket:
         wvx_words=None, wvx_start_bit=None, wvx_start_bc=None,
         chain_segments=chain_segments,
     )
+    if prof.has_wvc:
+        wvc_words, _ = pack_streams([st.wvcbits or b"" for st in states])
+        arr.wvc_words = wvc_words
+        arr.wvc_crc = np.asarray(
+            [st.wvc_crc if st.wvc_crc is not None else 0 for st in states],
+            np.int32)
     if prof.has_wvx:
         wvx_words, _ = pack_streams([st.wvxbits or b"" for st in states])
         arr.wvx_words = wvx_words

@@ -80,10 +80,10 @@ def _update_error_limit(slow, acc, delta, errlim, mask, mono, hybrid_bitrate,
 
 
 @partial(jax.jit, static_argnames=("mono", "hybrid", "hybrid_bitrate",
-                                   "hybrid_balance", "nsteps"))
+                                   "hybrid_balance", "nsteps", "wvc"))
 def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
                    *, mono: bool, hybrid: bool, hybrid_bitrate: bool,
-                   hybrid_balance: bool, nsteps: int):
+                   hybrid_balance: bool, nsteps: int, wvc: bool = False):
     """Decode up to `nsteps` residual words per lane.
 
     words:       (L, W) uint32 staged bitstreams (0xff-padded)
@@ -92,6 +92,13 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
     slow0/acc0/delta0: (L, 2) int64 hybrid state
     Returns (residuals (nsteps, L) int32, broke (L,) bool, ndec (L,) int32).
     nsteps counts WORDS (the scan internally steps over samples).
+
+    wvc=True (hybrid-lossless; requires hybrid) additionally emits, per
+    word, the NARROWED interval's `maxcode = high - low` and
+    `base = low - mid` after the error-limit binary search — everything
+    the correction-stream scan (`wvc_corrections`) needs to restore
+    exact residuals without re-deriving any serial entropy state.
+    Returns (residuals, maxcode, base, broke, ndec) in that case.
     """
     windows = make_windows(words)
     L = words.shape[0]
@@ -257,15 +264,23 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
                 return lo2, hi2, mid2, used + go.astype(I64)
 
             mid0 = (high + low + 1) >> 1
-            _, _, mid_hy, used_hy = jax.lax.fori_loop(
+            lo_f, hi_f, mid_hy, used_hy = jax.lax.fori_loop(
                 0, 32, search_body,
                 (low, high, mid0, jnp.zeros((L,), I64)))
             lossless = err_c == 0
             mid = jnp.where(lossless, mid_ll, mid_hy)
             consume_v = jnp.where(lossless, consume_ll, used_hy)
+            if wvc:
+                coded = code_mask & ~lossless
+                mc_out = jnp.where(coded, hi_f - lo_f, 0).astype(jnp.int32)
+                base_out = jnp.where(coded, lo_f - mid_hy, 0) \
+                    .astype(jnp.int32)
+            else:
+                mc_out = base_out = None
         else:
             mid = mid_ll
             consume_v = consume_ll
+            mc_out = base_out = None
 
         # sign bit comes from win_v: value consumption is <= 32 bits and the
         # window holds >= 33, so no extra gather is needed
@@ -287,10 +302,22 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
         ndec = ndec + (emit_zero | code_mask).astype(jnp.int32)
         st = (bitpos, med_a, med_b, slow_a, slow_b, acc, errlim,
               h1, h0, zacc1, done, ndec)
+        if wvc:
+            z = jnp.zeros((L,), jnp.int32)
+            return st, (out, mc_out if mc_out is not None else z,
+                        base_out if base_out is not None else z)
         return st, out
 
     def step(st, step_idx):
         active = step_idx < nsamples_lane
+        if wvc:
+            st, (oa, ma, ba) = decode_word(st, 0, active)
+            if mono:
+                return st, (oa[:, None], ma[:, None], ba[:, None])
+            st, (ob, mb, bb) = decode_word(st, 1, active)
+            return st, (jnp.stack([oa, ob], axis=1),
+                        jnp.stack([ma, mb], axis=1),
+                        jnp.stack([ba, bb], axis=1))
         st, out_a = decode_word(st, 0, active)
         if mono:
             return st, out_a[:, None]
@@ -315,4 +342,61 @@ def entropy_decode(words, nwords_lane, med0, slow0, acc0, delta0,
                                jnp.arange(nscan, dtype=jnp.int32))
     broke, ndec = carry[10], carry[11]
     # outs: (nscan, L, C) residuals in (sample, lane, channel) layout
+    if wvc:
+        res, mc, base = outs
+        return res, mc, base, broke, ndec
     return outs, broke, ndec
+
+
+@partial(jax.jit, static_argnames=())
+def wvc_corrections(wvc_words, maxcode, base, residuals):
+    """Hybrid-lossless correction-stream decode (beyond reference
+    parity; libwavpack wvc semantics — the reference parses the stream
+    at UnpackUtils.cs:93-108 but never reads it).
+
+    The main entropy scan already fixed every word's narrowed interval:
+    `maxcode` (T, L, C) is high - low after the error-limit search (0
+    when the word carries no correction code) and `base` is low - mid.
+    This scan only carries a bit cursor per lane: each word reads one
+    minimal-binary code (read_code, WordsUtils.cs:546-570) from the
+    correction bitstream and yields the signed sample-domain correction
+    `residual_exact - residual_lossy`; corrections then add elementwise
+    AFTER the decorr chain (which is linear in the residual for its
+    lossy-driven prediction sequence).
+
+    wvc_words: (L, W) uint32 staged correction bitstreams.
+    Returns corr (T, L, C) int32.
+    """
+    windows = make_windows(wvc_words)
+    T, L, C = maxcode.shape
+
+    def read_one(bitpos, mc, bs_, neg):
+        mc64 = mc.astype(I64)
+        bitcount = jnp.where(mc64 > 0, bit_length64(mc64), 0)
+        win_v = peek(windows, bitpos)
+        extras = wrap32(jnp.int64(1) << (bitcount & 31)) - mc64 - 1
+        code0 = bits_of(win_v, bitcount - 1)
+        need_extra = (bitcount > 0) & (code0 >= extras)
+        extra_bit = bits_of(
+            win_v >> jnp.clip(bitcount - 1, 0, 62).astype(jnp.uint64),
+            jnp.ones_like(bitcount))
+        code = jnp.where(need_extra, (code0 << 1) - extras + extra_bit,
+                         code0)
+        consume = jnp.where(bitcount == 0, 0,
+                            bitcount - 1 + need_extra.astype(I64))
+        mag = bs_.astype(I64) + code
+        corr = jnp.where(mc64 > 0, jnp.where(neg, -mag, mag), 0)
+        return bitpos + consume, corr.astype(jnp.int32)
+
+    def step(bitpos, xs):
+        mc_t, b_t, r_t = xs
+        outs = []
+        for c in range(C):
+            bitpos, corr = read_one(bitpos, mc_t[:, c], b_t[:, c],
+                                    r_t[:, c] < 0)
+            outs.append(corr)
+        return bitpos, jnp.stack(outs, axis=1)
+
+    _, corr = jax.lax.scan(step, jnp.zeros((L,), I64),
+                           (maxcode, base, residuals))
+    return corr

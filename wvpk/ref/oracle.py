@@ -195,8 +195,17 @@ def read_code(bs: OracleBitstream, maxcode: int) -> int:
 
 
 def get_words(nsamples: int, flags: int, w: WordsState, bs: OracleBitstream,
-              buffer: list[int], start: int = 0) -> int:
-    """Entropy word decoder, hot loop 1 (WordsUtils.cs:272-511)."""
+              buffer: list[int], start: int = 0,
+              wvc_bs: "OracleBitstream | None" = None,
+              corrections: "list[int] | None" = None) -> int:
+    """Entropy word decoder, hot loop 1 (WordsUtils.cs:272-511).
+
+    With `wvc_bs` (hybrid-lossless correction stream, beyond-parity:
+    the reference parses it at UnpackUtils.cs:93-108 but never decodes
+    it), every error_limit-quantized word also reads a minimal-binary
+    code over the narrowed [low, high] interval; `corrections` receives
+    one signed sample-domain correction per buffer slot written, such
+    that lossy_word + correction == the exact residual."""
     mono = bool(flags & consts.MONO_DATA)
     if not mono:
         nsamples *= 2
@@ -215,6 +224,8 @@ def get_words(nsamples: int, flags: int, w: WordsState, bs: OracleBitstream,
                     c = w.c[entidx]
                     c.slow_level -= (c.slow_level + consts.SLO) >> consts.SLS
                     buffer[bptr] = 0
+                    if corrections is not None:
+                        corrections.append(0)
                     bptr += 1
                     csamples += 1
                     continue
@@ -244,6 +255,8 @@ def get_words(nsamples: int, flags: int, w: WordsState, bs: OracleBitstream,
                         w.c[ch].median[1] = 0
                         w.c[ch].median[2] = 0
                     buffer[bptr] = 0
+                    if corrections is not None:
+                        corrections.append(0)
                     bptr += 1
                     csamples += 1
                     continue
@@ -297,6 +310,7 @@ def get_words(nsamples: int, flags: int, w: WordsState, bs: OracleBitstream,
         c = w.c[entidx]
         low, high = median_interval(c, ones_count)
         mid = (high + low + 1) >> 1
+        mag_delta = 0
         if c.error_limit == 0:
             mid = read_code(bs, high - low) + low
         else:
@@ -307,8 +321,18 @@ def get_words(nsamples: int, flags: int, w: WordsState, bs: OracleBitstream,
                 else:
                     high = mid - 1
                     mid = (high + low + 1) >> 1
+            if wvc_bs is not None:
+                # exact magnitude = low + code over the narrowed interval
+                mag_delta = read_code(wvc_bs, high - low) + low - mid
 
-        buffer[bptr] = i32(~mid) if bs.getbit() else i32(mid)
+        if bs.getbit():
+            buffer[bptr] = i32(~mid)
+            if corrections is not None:
+                corrections.append(-mag_delta)
+        else:
+            buffer[bptr] = i32(mid)
+            if corrections is not None:
+                corrections.append(mag_delta)
         bptr += 1
 
         if flags & consts.HYBRID_BITRATE:
@@ -677,6 +701,10 @@ class BlockResult:
     crc_x: int
     mute_error: bool
     crc_error: bool
+    # hybrid-lossless (wvc) extras: crc over the corrected (exact)
+    # samples and whether it matched the correction block's header crc
+    crc_wvc: int = -1
+    wvc_applied: bool = False
 
 
 def unpack_samples(st: BlockState) -> BlockResult:
@@ -702,6 +730,13 @@ def unpack_samples(st: BlockState) -> BlockResult:
 
     bs = OracleBitstream(st.wvbits or b"")
     wvx = OracleBitstream(st.wvxbits, st.wvx_start_bit) if st.wvxbits else None
+    # hybrid-lossless: a paired correction stream (attached by
+    # container.pair_wvc) upgrades this block to exact decode. An EMPTY
+    # payload is a valid pairing (an all-zero-run block needs no
+    # correction bits), so test presence, not truthiness.
+    has_wvc = st.wvcbits is not None and bool(flags & consts.HYBRID_FLAG)
+    wvc_bs = OracleBitstream(st.wvcbits) if has_wvc else None
+    corr: list[int] | None = [] if has_wvc else None
     w = WordsState.from_block(st)
     passes = [DecorrPass(st.terms[j], st.deltas[j], st.weights_a[j], st.weights_b[j],
                          st.samples_a[j], st.samples_b[j])
@@ -714,18 +749,12 @@ def unpack_samples(st: BlockState) -> BlockResult:
     nvals = sample_count if flags & consts.MONO_FLAG else sample_count * 2
     buf = [0] * nvals
 
+    i = get_words(sample_count, flags, w, bs, buf,
+                  wvc_bs=wvc_bs, corrections=corr)
     if mono:
-        i = get_words(sample_count, flags, w, bs, buf)
         for dpp in passes:
             decorr_mono_pass(dpp, buf, sample_count, 0)
-        for q in range(sample_count):
-            v = buf[q]
-            if cabs(v) > mute_limit:
-                i = q
-                break
-            crc = i32(crc * 3 + v)
     else:
-        i = get_words(sample_count, flags, w, bs, buf)
         if sample_count < 16:
             for dpp in passes:
                 decorr_stereo_pass(dpp, buf, sample_count, 0)
@@ -733,6 +762,27 @@ def unpack_samples(st: BlockState) -> BlockResult:
             for dpp in passes:
                 decorr_stereo_pass(dpp, buf, 8, 0)
                 decorr_stereo_pass_cont(dpp, buf, sample_count - 8, 16)
+
+    # hybrid-lossless: corrections add AFTER the decorr chain (it is
+    # linear in the residual for the lossy-driven prediction sequence)
+    # and BEFORE the joint-stereo undo; the main loops below then run on
+    # the exact values, and the lossy crc for the wv header check is
+    # replayed from a snapshot afterwards
+    buf_lossy: list[int] | None = None
+    if has_wvc:
+        buf_lossy = list(buf)
+        for k in range(min(len(corr), len(buf))):
+            if corr[k]:
+                buf[k] = i32(buf[k] + corr[k])
+
+    if mono:
+        for q in range(sample_count):
+            v = buf[q]
+            if cabs(v) > mute_limit:
+                i = q
+                break
+            crc = i32(crc * 3 + v)
+    else:
         if flags & consts.JOINT_STEREO:
             for q in range(0, sample_count * 2, 2):
                 buf[q + 1] = i32(buf[q + 1] - (buf[q] >> 1))
@@ -747,6 +797,36 @@ def unpack_samples(st: BlockState) -> BlockResult:
                     i = q // 2
                     break
                 crc = i32(i32(crc * 3 + buf[q]) * 3 + buf[q + 1])
+
+    crc_wvc = -1
+    if has_wvc:
+        # the main loops above accumulated the EXACT crc (correction
+        # block's header check); the wv header crc covers the lossy
+        # reconstruction — replay it from the pre-correction snapshot
+        crc_wvc = crc
+
+        def _replay_lossy_crc(b: list[int]) -> int:
+            cl = -1
+            if mono:
+                for q in range(sample_count):
+                    if cabs(b[q]) > mute_limit:
+                        break
+                    cl = i32(cl * 3 + b[q])
+            elif flags & consts.JOINT_STEREO:
+                for q in range(0, sample_count * 2, 2):
+                    r = i32(b[q + 1] - (b[q] >> 1))
+                    lft = i32(b[q] + r)
+                    if cabs(lft) > mute_limit or cabs(r) > mute_limit:
+                        break
+                    cl = i32(i32(cl * 3 + lft) * 3 + r)
+            else:
+                for q in range(0, sample_count * 2, 2):
+                    if cabs(b[q]) > mute_limit or cabs(b[q + 1]) > mute_limit:
+                        break
+                    cl = i32(i32(cl * 3 + b[q]) * 3 + b[q + 1])
+            return cl
+
+        crc = _replay_lossy_crc(buf_lossy)
 
     if i != sample_count:
         buf = [0] * nvals
@@ -767,8 +847,11 @@ def unpack_samples(st: BlockState) -> BlockResult:
 
     crc_error = (crc != hdr.crc or
                  ((flags & consts.FLOAT_DATA) == 0 and wvx is not None
-                  and crc_x != st.crc_mvx))
-    return BlockResult(out, crc, crc_x, mute_error, crc_error)
+                  and crc_x != st.crc_mvx) or
+                 (has_wvc and st.wvc_crc is not None
+                  and crc_wvc != st.wvc_crc))
+    return BlockResult(out, crc, crc_x, mute_error, crc_error,
+                       crc_wvc=crc_wvc, wvc_applied=has_wvc)
 
 
 def decode_block(st: BlockState) -> BlockResult:

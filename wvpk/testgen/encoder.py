@@ -85,6 +85,18 @@ class EncodeSpec:
     # nearest grid point instead of raising (opt-in; see
     # wvpk/encode.py's float grid note)
     float_lossy: bool = False
+    # hybrid-lossless: emit a parallel "wvc" correction block per audio
+    # block. The main stream stays a normal hybrid (lossy) stream; the
+    # correction block carries, per coded word, the minimal-binary code
+    # of (value - low) over the error_limit-narrowed interval, which
+    # restores the exact residual. The reference PARSES the wvc
+    # bitstream (UnpackUtils.cs:93-108) but never decodes it (readme
+    # "Correction files are not handled") — this is a beyond-parity
+    # surface matching libwavpack's hybrid-lossless semantics. Requires
+    # hybrid=True; incompatible with wvx sent-bits routing (real WavPack
+    # sends those bits inside the wvc file) and with the intra-sample
+    # cross terms -1/-2 (see encode_blocks' chain check).
+    wvc: bool = False
 
     @property
     def nch_data(self) -> int:
@@ -298,11 +310,16 @@ class EntropyEncoder:
     holding carry), so each word's bit output is deferred one word.
     """
 
-    def __init__(self, flags: int, w: WordsState, bw: BitWriter):
+    def __init__(self, flags: int, w: WordsState, bw: BitWriter,
+                 cw: BitWriter | None = None):
         self.flags = flags
         self.mono = bool(flags & consts.MONO_DATA)
         self.w = w
         self.bw = bw
+        # hybrid-lossless correction stream (the wvc block's payload):
+        # gets one minimal-binary code per error_limit-quantized word,
+        # in sample order — no unary/holding machinery of its own.
+        self.cw = cw
         self.csamples = 0
         self.clear = True              # holding_one == holding_zero == False
         self._pend_oc_eff: int | None = None
@@ -326,6 +343,21 @@ class EntropyEncoder:
 
     def finish(self) -> None:
         self._flush(0)
+
+    @staticmethod
+    def _write_code(bw: BitWriter, code: int, maxcode: int) -> None:
+        """Minimal binary code, the write mirror of the decoder's
+        read_code (WordsUtils.cs:546-570)."""
+        bitcount = count_bits(maxcode)
+        if bitcount == 0:
+            return
+        extras = (1 << bitcount) - maxcode - 1
+        if code < extras:
+            bw.putbits(code, bitcount - 1)
+        else:
+            cc = code + extras
+            bw.putbits(cc >> 1, bitcount - 1)
+            bw.putbits(cc & 1, 1)
 
     # -- zero-run helpers ----------------------------------------------------
     def _medians_tiny(self) -> bool:
@@ -436,6 +468,13 @@ class EntropyEncoder:
                     bits.append((0, 1))
                     high = mid - 1
                 mid = (high + low + 1) >> 1
+            if self.cw is not None:
+                # hybrid-lossless correction: code (av - low) over the
+                # NARROWED interval (high - low <= error_limit) into the
+                # wvc stream — the bits the binary search stopped short
+                # of. Decode mirrors with read_code(wvcbits, high - low)
+                # after its own (identical) narrowing loop.
+                self._write_code(self.cw, av - low, high - low)
 
         bits.append((sign, 1))
 
@@ -595,9 +634,13 @@ def _stored_domain(pcm: np.ndarray, spec: EncodeSpec) -> np.ndarray:
 def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
                  carry: CarryState, block_index: int, total_samples: int,
                  is_first: bool, is_last: bool,
-                 md5_digest: bytes | None = None) -> bytes:
+                 md5_digest: bytes | None = None,
+                 wvc_sink: list | None = None) -> bytes:
     """Encode one block; `stored` is (n, ch_data) in the stored domain,
-    `full_pcm` the original (for wvx low bits)."""
+    `full_pcm` the original (for wvx low bits).
+
+    With spec.wvc, the matching correction block's bytes are appended
+    to `wvc_sink` (the caller concatenates them into the .wvc file)."""
     n = stored.shape[0]
     mono = spec.nch_data == 1
     # MAG field: mute_limit = 2^mag + 2 must exceed the largest |value| the
@@ -626,8 +669,16 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     for ch in (0, 1):
         w.c[ch].error_limit = 0
 
+    use_wvc = bool(spec.wvc and spec.hybrid)
+    if spec.wvc and not spec.hybrid:
+        raise ValueError("wvc correction blocks require hybrid mode")
+    if use_wvc and (spec.int32_mode == "wvx" or spec.float_data):
+        raise ValueError(
+            "wvc is not supported with wvx sent-bits or float content "
+            "(real WavPack routes those bits inside the wvc file)")
     bw = BitWriter()
-    enc = EntropyEncoder(flags, w, bw)
+    cw = BitWriter() if use_wvc else None
+    enc = EntropyEncoder(flags, w, bw, cw)
 
     # joint-stereo forward transform on the stored-domain targets
     targ = stored.astype(np.int64).copy()
@@ -646,7 +697,7 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     # Degenerate regimes (wrapped medians) return None and fall through
     # to the Python loops, whose bignum arithmetic matches the oracle.
     native_payload = None
-    if len(passes) <= 16:
+    if len(passes) <= 16 and not use_wvc:
         from .. import native as _native
         pstate = np.zeros((len(passes), _native.PSTATE_INTS), np.int32)
         for pi, p in enumerate(passes):
@@ -802,6 +853,24 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     if spec.block_checksum:
         from ..container.checksum import add_block_checksum
         block = add_block_checksum(block, spec.block_checksum)
+
+    if use_wvc:
+        # the parallel correction block (one per audio block, same
+        # header fields). Its crc covers the EXACT (lossless) samples —
+        # the stored-domain source verbatim: decode's post-decorr
+        # correction addition reproduces the joint-domain targets, and
+        # the joint undo then yields `stored` (crc is computed before
+        # the fixup shift, UnpackUtils.cs:626).
+        wvc_body = mkmeta(consts.ID_WVC_BITSTREAM, cw.getvalue())
+        wvc_hdr = bytearray(header)
+        wvc_hdr[4:8] = (HEADER_SIZE + len(wvc_body) - 8).to_bytes(
+            4, "little")
+        wvc_hdr[28:32] = _crc_fast(stored).to_bytes(4, "little")
+        wvc_block = bytes(wvc_hdr) + wvc_body
+        if spec.block_checksum:
+            wvc_block = add_block_checksum(wvc_block, spec.block_checksum)
+        if wvc_sink is not None:
+            wvc_sink.append(wvc_block)
     return block
 
 
@@ -937,7 +1006,8 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec, *,
                   start_sample: int = 0, first: bool = True,
                   last: bool = True, md5_digest: bytes | None = None,
                   carry: CarryState | None = None,
-                  return_carry: bool = False):
+                  return_carry: bool = False,
+                  wvc_sink: list | None = None):
     """Encode PCM (n, ch_data) into a list of WavPack block byte strings.
 
     The keyword hooks position `pcm` as one window of a larger stream
@@ -952,6 +1022,18 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec, *,
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     assert pcm.shape[1] == spec.nch_data
+    if spec.wvc and any(t in (-1, -2) for t in spec.terms):
+        # decode applies corrections AFTER the decorr chain (the chain
+        # is linear in the residual for a fixed lossy-driven
+        # prediction sequence). Terms -1/-2 predict from the OTHER
+        # channel's CURRENT-sample output, so a decode-consistent
+        # residual for one channel needs the other's quantized value
+        # first — circular when both appear, and not what this
+        # encoder's pure peel computes. The public surface maps
+        # -1/-2 -> -3 (previous-sample cross prediction) under wvc.
+        raise ValueError(
+            "wvc requires a chain without intra-sample cross terms "
+            "(-1/-2); use -3 or a wvc preset")
     stored = _stored_domain(pcm, spec)
     total = spec.total_samples_override
     if total is None:
@@ -979,7 +1061,8 @@ def encode_blocks(pcm: np.ndarray, spec: EncodeSpec, *,
             stored[start:end], pcm[start:end], spec, carry,
             block_index=start_sample + start, total_samples=total,
             is_first=first and start == 0, is_last=last and end >= n,
-            md5_digest=md5_digest if spec.md5 else None))
+            md5_digest=md5_digest if spec.md5 else None,
+            wvc_sink=wvc_sink))
     if return_carry:
         return blocks, carry
     return blocks

@@ -57,7 +57,8 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
                         start_sample: int = 0, first: bool = True,
                         last: bool = True, md5_digest: bytes | None = None,
                         carries: list[CarryState] | None = None,
-                        return_carries: bool = False):
+                        return_carries: bool = False,
+                        wvc_sink: list | None = None):
     """Encode (n, ch>2) PCM into segment-structured WavPack blocks.
 
     The keyword hooks position `pcm` as one window of a larger stream
@@ -117,9 +118,20 @@ def encode_multichannel(pcm: np.ndarray, spec: EncodeSpec,
                                is_first=(first and start == 0 and si == 0),
                                is_last=(last and end >= n
                                         and si == len(streams) - 1),
-                               md5_digest=digest if spec.md5 else None)
+                               md5_digest=digest if spec.md5 else None,
+                               wvc_sink=wvc_sink)
             blk = _set_segment_flags(blk, initial=(si == 0),
                                      final=(si == len(streams) - 1))
+            if wvc_sink is not None and sspec.wvc and sspec.hybrid:
+                # the correction block's header mirrors the audio
+                # block's, segment flags included
+                wvc_sink[-1] = _set_segment_flags(
+                    wvc_sink[-1], initial=(si == 0),
+                    final=(si == len(streams) - 1))
+                if spec.block_checksum:
+                    from ..container.checksum import add_block_checksum
+                    wvc_sink[-1] = add_block_checksum(
+                        wvc_sink[-1], spec.block_checksum)
             if first_seg and si == 0:
                 blk = _inject_metadata(
                     blk, mkmeta(consts.ID_CHANNEL_INFO, chan_info))
