@@ -30,7 +30,7 @@ def _oracle_check_bucket(b, mesh):
     from wvpk import consts
     from wvpk.parallel import sharded_decode_bucket
     from wvpk.ref import decode_block
-    out, crc, mute, crc_x = sharded_decode_bucket(b, mesh)
+    out, crc, mute, crc_x, crc_wvc = sharded_decode_bucket(b, mesh)
     for i, st in enumerate(b.states):
         want = decode_block(st)
         n = st.header.block_samples
@@ -41,6 +41,8 @@ def _oracle_check_bucket(b, mesh):
         assert int(crc[i]) == want.crc
         if b.profile.has_wvx:
             assert int(crc_x[i]) == want.crc_x
+        if b.profile.has_wvc:
+            assert int(crc_wvc[i]) == want.crc_wvc
         assert not mute[i]
 
 

@@ -264,6 +264,35 @@ def test_cli_roundtrip(tmp_path):
     assert open(lossy, "rb").read() != src.read_bytes()
 
 
+def test_streaming_encode_wvc(tmp_path):
+    """encode_wav_file(wvc=True) writes <out>c window-by-window; the
+    pair decodes exactly (per-block corrections hold regardless of the
+    hybrid multiwindow median differences)."""
+    from wvpk.encode import encode_wav_file
+    from wvpk.io.pcm import format_samples
+    from wvpk.io.wav import make_wav_header
+    n = 20000
+    pcm = _sig(n, 2, seed=16)
+    src = tmp_path / "s.wav"
+    src.write_bytes(make_wav_header(n, 2, 44100, 16, 2)
+                    + format_samples(pcm, 2))
+    out = str(tmp_path / "s.wv")
+    info = encode_wav_file(str(src), out, hybrid=True, bitrate=430,
+                           wvc=True, block_samples=2048,
+                           window_samples=6144)
+    assert info["windows"] > 1 and info["wvc_bytes_written"] > 0
+    wpc = api.WavpackOpenFileInput(out, flags=consts.OPEN_WVC)
+    assert wpc.wvc_all_paired
+    buf = np.zeros(n * 2, np.int32)
+    assert api.WavpackUnpackSamples(wpc, buf, n) == n
+    assert api.WavpackGetNumErrors(wpc) == 0
+    np.testing.assert_array_equal(buf.reshape(-1, 2), pcm)
+    # device encode rejects wvc with a clear error
+    from wvpk.encode import encode_device
+    with pytest.raises(ValueError, match="host-encode only"):
+        encode_device(pcm, hybrid=True, wvc=True)
+
+
 def test_wvc_requires_hybrid_and_bans_intra_cross_terms():
     pcm = _sig(1000, 2, seed=15)
     with pytest.raises(ValueError, match="hybrid"):

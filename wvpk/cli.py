@@ -305,7 +305,7 @@ def encode_one(path: str, out_path: str, *, preset: str, block: int,
                 path, out_path, device=device, block_samples=block,
                 preset=preset, hybrid=hybrid_bitrate > 0,
                 bitrate=hybrid_bitrate or 512,
-                float_lossy=float_lossy,
+                float_lossy=float_lossy, wvc=wvc,
                 block_checksum=checksum_bytes)
             dt = time.perf_counter() - t0
             if not quiet:

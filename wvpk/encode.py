@@ -379,6 +379,11 @@ def encode_device(pcm: np.ndarray, **options) -> bytes:
                                         encode_multichannel_device)
     warmup = options.pop("warmup", 512)
     mesh = options.pop("mesh", None)
+    if options.get("wvc"):
+        raise ValueError(
+            "wvc (hybrid-lossless correction files) is host-encode only "
+            "for now — the device hybrid scan does not emit the "
+            "correction stream; use encode(..., wvc=True)")
     pcm = np.asarray(pcm)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -443,7 +448,9 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
 
     hybrid = options.get("hybrid", False)
     md5_opt = options.get("md5")
-    want_md5 = (not hybrid) if md5_opt is None else md5_opt
+    # wvc restores the source exactly, so it keeps the default digest
+    want_md5 = ((not hybrid or options.get("wvc", False))
+                if md5_opt is None else md5_opt)
     hasher = hashlib.md5() if want_md5 else None
     st = None
     with open(in_path, "rb") as f:
@@ -475,54 +482,74 @@ def encode_wav_file(in_path, out_path, *, device: bool = False,
         hasher = None
     digest = hasher.digest() if hasher is not None else None
 
+    use_wvc = bool(spec.wvc and spec.hybrid)
+    if use_wvc and device:
+        raise ValueError(
+            "wvc (hybrid-lossless correction files) is host-encode only "
+            "for now — drop device=True or wvc=True")
+
     if device:
         from .engine.device_encoder import (encode_blocks_device,
                                             encode_multichannel_device)
     else:
         from .testgen.encoder import encode_blocks
         from .testgen.multichannel import encode_multichannel
-    nbytes = nwin = 0
+    nbytes = nwvc = nwin = 0
     carry = carries = None
-    with open(in_path, "rb") as f, open(out_path, "wb") as out:
-        f.seek(off)
-        done = 0
-        while done < total:
-            m = min(total - done, win)
-            v = decode_pcm_bytes(f.read(m * frame), bps,
-                                 float_data=is_float).reshape(-1, ch)
-            if is_float:
-                v = float_to_stored(v, spec.float_norm_exp,
-                                    lossy=spec.float_lossy)
-            if spec.false_stereo:
-                v = v[:, :1]
-            first, last = done == 0, done + m >= total
-            if ch > 2 and device:
-                blocks = [encode_multichannel_device(
-                    v, spec, warmup=warmup, mesh=mesh, start_sample=done,
-                    first=first, last=last, md5_digest=digest,
-                    pad_to=total)]
-            elif ch > 2:
-                seg, carries = encode_multichannel(
-                    v, spec, start_sample=done, first=first, last=last,
-                    md5_digest=digest, carries=carries,
-                    return_carries=True)
-                blocks = [seg]
-            elif device:
-                blocks = encode_blocks_device(
-                    v, spec, warmup=warmup, mesh=mesh, start_sample=done,
-                    first=first, last=last, md5_digest=digest,
-                    pad_to=total)
-            else:
-                blocks, carry = encode_blocks(
-                    v, spec, start_sample=done, first=first, last=last,
-                    md5_digest=digest, carry=carry, return_carry=True)
-            for b in blocks:
-                out.write(b)
-                nbytes += len(b)
-            nwin += 1
-            done += m
-    return {"samples": total, "channels": ch, "bytes_written": nbytes,
+    wvc_out = open(out_path + "c", "wb") if use_wvc else None
+    try:
+        with open(in_path, "rb") as f, open(out_path, "wb") as out:
+            f.seek(off)
+            done = 0
+            while done < total:
+                m = min(total - done, win)
+                v = decode_pcm_bytes(f.read(m * frame), bps,
+                                     float_data=is_float).reshape(-1, ch)
+                if is_float:
+                    v = float_to_stored(v, spec.float_norm_exp,
+                                        lossy=spec.float_lossy)
+                if spec.false_stereo:
+                    v = v[:, :1]
+                first, last = done == 0, done + m >= total
+                sink = [] if use_wvc else None
+                if ch > 2 and device:
+                    blocks = [encode_multichannel_device(
+                        v, spec, warmup=warmup, mesh=mesh,
+                        start_sample=done, first=first, last=last,
+                        md5_digest=digest, pad_to=total)]
+                elif ch > 2:
+                    seg, carries = encode_multichannel(
+                        v, spec, start_sample=done, first=first,
+                        last=last, md5_digest=digest, carries=carries,
+                        return_carries=True, wvc_sink=sink)
+                    blocks = [seg]
+                elif device:
+                    blocks = encode_blocks_device(
+                        v, spec, warmup=warmup, mesh=mesh,
+                        start_sample=done, first=first, last=last,
+                        md5_digest=digest, pad_to=total)
+                else:
+                    blocks, carry = encode_blocks(
+                        v, spec, start_sample=done, first=first,
+                        last=last, md5_digest=digest, carry=carry,
+                        return_carry=True, wvc_sink=sink)
+                for b in blocks:
+                    out.write(b)
+                    nbytes += len(b)
+                if sink:
+                    for cb in sink:
+                        wvc_out.write(cb)
+                        nwvc += len(cb)
+                nwin += 1
+                done += m
+    finally:
+        if wvc_out is not None:
+            wvc_out.close()
+    info = {"samples": total, "channels": ch, "bytes_written": nbytes,
             "windows": nwin}
+    if use_wvc:
+        info["wvc_bytes_written"] = nwvc
+    return info
 
 
 def float_md5_digest(f: np.ndarray) -> bytes:

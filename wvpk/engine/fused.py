@@ -21,9 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.decorr_select import decorr_post_any
+from ..ops.decorr_select import decorr_decode_any, decorr_post_any
 from ..ops.entropy_select import entropy_decode_any
-from ..ops.post import fixup, wvx_inject
+from ..ops.post import fixup, joint_mute_crc, wvx_inject
 
 
 @partial(jax.jit, static_argnames=(
@@ -88,6 +88,46 @@ def fused_decode_wvx(words, nwords_lane, nsamples, med, slow, acc, delta,
     out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
                 is_float=False, int32_expand=False, hybrid=hybrid)
     return out, crc, mute, crc_x
+
+
+@partial(jax.jit, static_argnames=(
+    "mono", "hybrid_bitrate", "hybrid_balance", "int32_expand",
+    "nsteps", "num_terms_max", "static_terms"))
+def fused_decode_wvc(words, nwords_lane, nsamples, med, slow, acc, delta,
+                     terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
+                     joint, mute_limit, shift, bytes_stored,
+                     float_shift_eff, int32_zod, wvc_words, *,
+                     mono: bool, hybrid_bitrate: bool,
+                     hybrid_balance: bool, int32_expand: bool,
+                     nsteps: int, num_terms_max: int | None = None,
+                     static_terms: tuple | None = None):
+    """Single-dispatch hybrid-lossless decode (beyond reference parity;
+    the reference never reads the correction stream, WavPackUtils.cs:31).
+
+    The exact-semantics XLA entropy scan emits each word's narrowed
+    interval, the cursor-only correction scan reads the wvc stream, and
+    corrections add AFTER the decorr chain (linear in the residual for
+    its lossy-driven prediction sequence) and before the joint undo.
+    Both CRCs come back: the wv header's (lossy reconstruction) and the
+    wvc header's (exact samples).
+    Returns (out, crc_lossy, mute, crc_wvc)."""
+    from ..ops.entropy import entropy_decode, wvc_corrections
+    residuals, mc, base, broke, _ndec = entropy_decode(
+        words, nwords_lane, med, slow, acc, delta,
+        mono=mono, hybrid=True, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, nsteps=nsteps, wvc=True)
+    corr = wvc_corrections(wvc_words, mc, base, residuals)
+    decorr_out = decorr_decode_any(
+        residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,
+        mono=mono, num_terms_max=num_terms_max, static_terms=static_terms)
+    exact = decorr_out + corr                   # int32 add wraps like C#
+    out, crc_wvc, mute = joint_mute_crc(
+        exact, nsamples, joint, mute_limit, broke, mono=mono)
+    _, crc, _ = joint_mute_crc(
+        decorr_out, nsamples, joint, mute_limit, broke, mono=mono)
+    out = fixup(out, shift, bytes_stored, float_shift_eff, int32_zod,
+                is_float=False, int32_expand=int32_expand, hybrid=True)
+    return out, crc, mute, crc_wvc
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +241,32 @@ def fused_decode_blob(blob, *, metas, mono, hybrid, hybrid_bitrate,
         chain_segments=chain_segments)
     crc_x = jnp.full(crc.shape, -1, jnp.int32)
     return _deliver(out, crc, mute, crc_x, pack_bps)
+
+
+@partial(jax.jit, static_argnames=(
+    "metas", "mono", "hybrid_bitrate", "hybrid_balance", "int32_expand",
+    "nsteps", "num_terms_max", "pack_bps", "static_terms"))
+def fused_decode_wvc_blob(blob, *, metas, mono, hybrid_bitrate,
+                          hybrid_balance, int32_expand, nsteps,
+                          num_terms_max, pack_bps, static_terms=None):
+    """Blob-staged hybrid-lossless decode: one H2D buffer per bucket,
+    one dispatch; crcmute gains a 4th row (crc_wvc)."""
+    args = _restore_terms(_unpack_blob(blob, metas))
+    out, crc, mute, crc_wvc = fused_decode_wvc(
+        *args, mono=mono, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, int32_expand=int32_expand,
+        nsteps=nsteps, num_terms_max=num_terms_max,
+        static_terms=static_terms)
+    if pack_bps is not None:
+        from ..ops.pack import pack_samples
+        payload = pack_samples(out, bps=pack_bps)
+    else:
+        payload = out
+    crcmute = jnp.stack([crc.astype(jnp.int32),
+                         jnp.asarray(mute).astype(jnp.int32),
+                         jnp.full(crc.shape, -1, jnp.int32),
+                         crc_wvc.astype(jnp.int32)])
+    return payload, crcmute
 
 
 @partial(jax.jit, static_argnames=(

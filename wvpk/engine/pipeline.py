@@ -84,11 +84,10 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
     # (the ordering the reference requires, UnpackUtils.cs:1271-1314)
     if (trace._sink() is None and not opts.sync_stages
             and not opts.oracle_check
-            and not prof.has_wvc
             and opts.entropy_kernel == "auto"
             and opts.decorr_kernel == "auto"):
         from .fused import build_blob, fused_decode_blob, \
-            fused_decode_wvx_blob
+            fused_decode_wvc_blob, fused_decode_wvx_blob
         ntm = int(b.num_terms.max()) if len(b.states) else None
         stt = b.static_terms if should_specialize() else None
         segs = (b.chain_segments
@@ -110,7 +109,18 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
             arrays[i] = arrays[i][:, :tier, :]
         narrow = {3, 4, 6, 11, 12, 15}     # med slow delta hists mute_limit
         from . import xferstats
-        if prof.has_wvx:
+        if prof.has_wvc:
+            arrays += [b.wvc_words]
+            blob, metas = build_blob(arrays, narrow)
+            xferstats.add("h2d", blob.nbytes)
+            payload, crcmute = fused_decode_wvc_blob(
+                blob, metas=metas, mono=prof.mono,
+                hybrid_bitrate=prof.hybrid_bitrate,
+                hybrid_balance=prof.hybrid_balance,
+                int32_expand=prof.is_int32,
+                nsteps=prof.nsteps, num_terms_max=ntm, pack_bps=bps,
+                static_terms=stt)
+        elif prof.has_wvx:
             fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
                              for st in b.states])
             arrays += [b.wvx_words, b.wvx_start_bit, b.wvx_start_bc,

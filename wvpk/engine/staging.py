@@ -47,6 +47,7 @@ def profile_of(st: BlockState) -> Profile:
     f = st.flags
     mono = bool(f & consts.MONO_DATA)
     cap = _pow2_at_least(st.header.block_samples)
+    has_wvx = st.wvxbits is not None and not (f & consts.FLOAT_DATA)
     return Profile(
         mono=mono,
         hybrid=bool(f & consts.HYBRID_FLAG),
@@ -54,8 +55,9 @@ def profile_of(st: BlockState) -> Profile:
         hybrid_balance=bool(f & consts.HYBRID_BALANCE),
         is_float=bool(f & consts.FLOAT_DATA),
         is_int32=bool(f & consts.INT32_DATA),
-        has_wvx=st.wvxbits is not None and not (f & consts.FLOAT_DATA),
+        has_wvx=has_wvx,
         has_wvc=(st.wvcbits is not None and st.wvc_crc is not None
+                 and not has_wvx
                  and bool(f & consts.HYBRID_FLAG)),
         nsteps=cap * (1 if mono else 2),
         nsamples_cap=cap,

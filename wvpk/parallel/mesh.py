@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.fused import fused_decode, fused_decode_wvx
+from ..engine.fused import fused_decode, fused_decode_wvc, fused_decode_wvx
 from ..engine.staging import Bucket
 
 LANE_AXIS = "blocks"
@@ -29,6 +29,7 @@ _BASE_NAMES = ["words", "nwords_lane", "nsamples", "med", "slow", "acc",
                "float_shift_eff", "int32_zod"]
 _WVX_NAMES = ["wvx_words", "wvx_start_bit", "wvx_start_bc", "sent_bits",
               "max_width"]
+_WVC_NAMES = ["wvc_words"]
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -75,13 +76,24 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     from jax.experimental.shard_map import shard_map
 
     prof = b.profile
-    names = _BASE_NAMES + (_WVX_NAMES if prof.has_wvx else [])
+    names = _BASE_NAMES + (_WVX_NAMES if prof.has_wvx else []) \
+        + (_WVC_NAMES if prof.has_wvc else [])
     arrs, L = shard_bucket_arrays(b, mesh, names)
     args = [arrs[n] for n in names]
     ntm = int(np.asarray(b.num_terms).max())
     from ..ops.decorr_select import should_specialize
     stt = b.static_terms if should_specialize() else None
-    if prof.has_wvx:
+    if prof.has_wvc:
+        fn = partial(fused_decode_wvc,
+                     mono=prof.mono,
+                     hybrid_bitrate=prof.hybrid_bitrate,
+                     hybrid_balance=prof.hybrid_balance,
+                     int32_expand=prof.is_int32,
+                     nsteps=prof.nsteps, num_terms_max=ntm,
+                     static_terms=stt)
+        out_specs = (P(None, LANE_AXIS, None), P(LANE_AXIS), P(LANE_AXIS),
+                     P(LANE_AXIS))
+    elif prof.has_wvx:
         from .. import consts
         fs = np.asarray([bool(st.flags & consts.FALSE_STEREO)
                          for st in b.states])
@@ -110,14 +122,19 @@ def sharded_decode_bucket(b: Bucket, mesh: Mesh):
     sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_rep=False)
     res = jax.jit(sharded)(*args)
-    if prof.has_wvx:
+    crc_wvc = None
+    if prof.has_wvc:
+        out, crc, mute, crc_wvc = res
+        crc_wvc = np.asarray(crc_wvc)[:L]
+        crc_x = np.full(L, -1, np.int32)
+    elif prof.has_wvx:
         out, crc, mute, crc_x = res
         crc_x = np.asarray(crc_x)[:L]
     else:
         out, crc, mute = res
         crc_x = np.full(L, -1, np.int32)
     return (np.asarray(out)[:, :L, :], np.asarray(crc)[:L],
-            np.asarray(mute)[:L], crc_x)
+            np.asarray(mute)[:L], crc_x, crc_wvc)
 
 
 def sharded_decode_states(states, mesh: Mesh):
@@ -147,7 +164,7 @@ def sharded_decode_states(states, mesh: Mesh):
             pcm_idx.append(i)
     remap = {id(st): i for st, i in zip(pcm, pcm_idx)}
     for b in group_blocks(pcm):
-        out, crc, mute, crc_x = sharded_decode_bucket(b, mesh)
+        out, crc, mute, crc_x, crc_wvc = sharded_decode_bucket(b, mesh)
         for i, st in enumerate(b.states):
             n = st.header.block_samples
             vals = out[:n, i, :]
@@ -156,10 +173,16 @@ def sharded_decode_states(states, mesh: Mesh):
             crc_err = (int(crc[i]) != st.header.crc
                        or (b.profile.has_wvx
                            and int(crc_x[i]) != st.crc_mvx))
+            cw = -1
+            if b.profile.has_wvc:
+                cw = int(crc_wvc[i])
+                if st.wvc_crc is not None and cw != int(b.wvc_crc[i]):
+                    crc_err = True
             results[remap[id(st)]] = DecodedBlock(
                 samples=np.ascontiguousarray(vals), crc=int(crc[i]),
                 crc_x=int(crc_x[i]), mute_error=bool(mute[i]),
-                crc_error=bool(crc_err))
+                crc_error=bool(crc_err),
+                crc_wvc=cw, wvc_applied=b.profile.has_wvc)
     if dsd:
         for ld in launch_dsd_states(dsd, mesh=mesh):
             for i, res in zip(ld.idxs, finalize_dsd_group(ld)):

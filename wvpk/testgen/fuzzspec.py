@@ -86,6 +86,29 @@ def random_spec(rng: np.random.Generator,
     )
 
 
+def random_wvc_spec(rng: np.random.Generator) -> EncodeSpec:
+    """Random hybrid-lossless spec (wvc correction pair). Mirrors the
+    plain-family randomization with the wvc constraints applied: hybrid
+    on, shift off, intra-sample cross terms -1/-2 mapped to -3 (the
+    decode-consistent cross prediction; see encode_blocks)."""
+    from dataclasses import replace
+    spec = random_spec(rng, family="plain")
+    hybrid_bitrate = bool(rng.random() < 0.5)
+    return replace(
+        spec,
+        terms=tuple(-3 if t in (-1, -2) else t for t in spec.terms),
+        shift=0,
+        bytes_stored=int(rng.choice([1, 2, 2, 3])),
+        hybrid=True, wvc=True,
+        hybrid_bitrate=hybrid_bitrate,
+        bitrate=int(rng.integers(200, 1200)),
+        bitrate_delta=int(rng.integers(0, 3)),
+        hybrid_balance=(hybrid_bitrate and not spec.mono
+                        and not spec.false_stereo
+                        and bool(rng.random() < 0.4)),
+    )
+
+
 def random_pcm(rng: np.random.Generator, n: int, ch: int,
                spec: EncodeSpec) -> np.ndarray:
     bytes_stored, shift = spec.bytes_stored, spec.shift
@@ -131,16 +154,18 @@ def random_pcm(rng: np.random.Generator, n: int, ch: int,
 
 def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
                  corrupt: bool = True, verbose: bool = True,
-                 seed_base: int = 7000, n_mc: int = 2):
+                 seed_base: int = 7000, n_mc: int = 2, n_wvc: int = 4):
     """Differential sweep of decode_states vs the scalar oracle on the
     CURRENT backend (real kernels on TPU). Returns (fails, blocks).
     `seed_base` selects a disjoint randomized case pool (soak runs use
     fresh bases; PCM seeds are seed_base+i, DSD seeds seed_base+1000+i,
-    multichannel seeds seed_base+2000+i)."""
+    multichannel seeds seed_base+2000+i, wvc seeds seed_base+3000+i)."""
     from ..container import parse_blocks
+    from ..container.blocks import pair_wvc
     from ..engine import decode_states
     from ..ref import decode_block
     from . import encode_dsd_file, encode_file
+    from .encoder import encode_blocks
     from .multichannel import encode_multichannel
 
     fails = blocks_checked = 0
@@ -217,4 +242,43 @@ def run_hw_sweep(n_cases: int = 30, n_dsd: int = 8,
                 fails += 1
                 if verbose:
                     print(f"MC MISMATCH seed {seed} nch {nch}: {spec}")
+    for seed in range(n_wvc):
+        # hybrid-lossless pairs: device vs oracle AND exactness vs the
+        # source (the wvc guarantee itself), plus a corrupt-wvc case
+        rng = np.random.default_rng(seed_base + 3000 + seed)
+        spec = random_wvc_spec(rng)
+        n = int(rng.integers(spec.block_samples // 2,
+                             spec.block_samples * 2 + 1))
+        pcm = random_pcm(rng, n, spec.nch_data, spec)
+        pcm2 = pcm if pcm.ndim > 1 else pcm[:, None]
+        sink: list = []
+        data = b"".join(encode_blocks(pcm2, spec, wvc_sink=sink))
+        wvc = b"".join(sink)
+        if corrupt and rng.random() < 0.25:
+            wvc = bytearray(wvc)
+            wvc[int(rng.integers(40, len(wvc)))] ^= int(
+                rng.integers(1, 256))
+            wvc = bytes(wvc)
+        blocks = parse_blocks(data)
+        pair_wvc(blocks, wvc)
+        dev = decode_states([b.state for b in blocks])
+        any_err = False
+        out = []
+        for blk, dd in zip(blocks, dev):
+            want = decode_block(blk.state)
+            blocks_checked += 1
+            any_err |= dd.crc_error
+            out.append(dd.samples[:, :pcm2.shape[1]]
+                       if not spec.false_stereo else dd.samples[:, :1])
+            if not (np.array_equal(dd.samples, want.samples)
+                    and dd.crc_error == want.crc_error
+                    and dd.crc_wvc == want.crc_wvc):
+                fails += 1
+                if verbose:
+                    print(f"WVC MISMATCH seed {seed}: {spec}")
+        if not any_err and not np.array_equal(
+                np.concatenate(out), pcm2):
+            fails += 1
+            if verbose:
+                print(f"WVC NOT EXACT seed {seed}: {spec}")
     return fails, blocks_checked
