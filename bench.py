@@ -285,6 +285,11 @@ def main():
     # body is a measured number instead of an untimed hope
     sparse = _bench_secondary(_make_sparse, "sparse_v1")
 
+    # hybrid-lossless (wvc correction pairs, round-5 surface): the fused
+    # entropy + correction-scan + decorr + dual-CRC program, gated on
+    # BOTH crcs (wv header = lossy reconstruction, wvc header = exact)
+    wvc_ms = _bench_wvc()
+
     # DSD configs (BASELINE config 5): batch decode of DSD64-stereo
     # blocks, modes 1 (fast) and 3 (high), CRC-gated; realtime factor is
     # vs the DSD64 stereo byte rate (2ch x 2.8224 MHz / 8 = 705600
@@ -357,6 +362,7 @@ def main():
         "hybrid_msamples": hyb,
         "float_msamples": flt,
         "sparse_msamples": sparse,
+        "wvc_msamples": wvc_ms,
         "dsd_fast_realtime_x": dsd_fast,
         "dsd_fast_b32_realtime_x": dsd_fast_b32,
         "dsd_high_realtime_x": dsd_high,
@@ -786,6 +792,110 @@ def _bench_device_encode(rounds_lo: int = 2, rounds_hi: int = 12) -> float:
         t[k] = best
     per_round = (t[rounds_hi] - t[rounds_lo]) / (rounds_hi - rounds_lo)
     return round(2 * T * L / per_round / 1e6, 1)
+
+
+def _make_wvc():
+    """8 distinct hybrid-lossless (wv, wvc) pairs — bitrates 256..970,
+    balance on/off, fast/default presets — replicated to fill lane
+    tiles. Returns (pairs, copies)."""
+    from wvpk.encode import encode
+    n = 44100 * 2
+    t = np.arange(n)
+    pairs = []
+    blocks_per = 0
+    for i in range(8):
+        rng = np.random.default_rng(1100 + i)
+        f0 = 220 + 100 * i
+        sig = (4500 + 700 * i) * np.sin(2 * np.pi * f0 * t / 44100) \
+            + rng.normal(0, 250 + 140 * i, n)
+        pcm = np.stack([np.round(sig), np.round(sig * (0.5 + 0.05 * i))],
+                       1).astype(np.int64)
+        np.clip(pcm, -32768, 32767, out=pcm)
+        wv, wvc = encode(pcm.astype(np.int32), hybrid=True, wvc=True,
+                         bitrate=256 + 102 * i,
+                         preset="fast" if i % 2 else "default",
+                         block_samples=4096, md5=False)
+        pairs.append((wv, wvc))
+        blocks_per += -(-n // 4096)
+    copies = max(1, -(-1536 // blocks_per))
+    return pairs, copies
+
+
+def _bench_wvc(rounds_lo: int = 2, rounds_hi: int = 6) -> float:
+    """Hybrid-lossless decode rate: the fused wvc program
+    (entropy scan emitting narrowed intervals + cursor-only correction
+    scan + decorr + dual-CRC post), rounds-slope methodology as the
+    other secondaries, gated on BOTH crcs and mute-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from wvpk.container import parse_blocks
+    from wvpk.container.blocks import pair_wvc
+    from wvpk.engine.fused import fused_decode_wvc
+    from wvpk.engine.staging import group_blocks
+
+    pairs, copies = _cache_blob("wvc_v1", _make_wvc)
+    base_states = []
+    for wv, wvc in pairs:
+        blks = parse_blocks(wv)
+        paired = pair_wvc(blks, wvc)
+        assert paired == len(blks)
+        base_states += [b.state for b in blks]
+    states = base_states * copies
+    total = sum(st.header.block_samples for st in states)
+    buckets = group_blocks(states)
+    names = ("words", "nwords_lane", "nsamples", "med", "slow", "acc",
+             "delta", "terms", "deltas16", "wa", "wb", "hist_a", "hist_b",
+             "num_terms", "joint", "mute_limit", "shift", "bytes_stored",
+             "float_shift_eff", "int32_zod", "wvc_words")
+    staged = []
+    for b in buckets:
+        assert b.profile.has_wvc
+        dev = {k: jax.device_put(getattr(b, k)) for k in names}
+        for v in dev.values():
+            np.asarray(v)
+        staged.append(dev)
+
+    def run(rounds=1):
+        handles = []
+        for _ in range(rounds):
+            for b, dev in zip(buckets, staged):
+                prof = b.profile
+                _out, crc, mute, crc_wvc = fused_decode_wvc(
+                    *(dev[k] for k in names),
+                    mono=prof.mono,
+                    hybrid_bitrate=prof.hybrid_bitrate,
+                    hybrid_balance=prof.hybrid_balance,
+                    int32_expand=prof.is_int32,
+                    nsteps=prof.nsteps,
+                    num_terms_max=int(b.num_terms.max()),
+                    static_terms=b.static_terms)
+                handles.append(jnp.stack([crc.astype(jnp.int32),
+                                          mute.astype(jnp.int32),
+                                          crc_wvc.astype(jnp.int32)]))
+        cm = np.asarray(jnp.concatenate(handles, axis=1))
+        out = []
+        pos = 0
+        for b in buckets:
+            out.append(cm[:, pos:pos + len(b.states)])
+            pos += len(b.states)
+        return out
+
+    res = run()
+    for b, cm in zip(buckets, res):
+        assert not cm[1].any(), "wvc corpus must decode mute-free"
+        assert (cm[0] == b.hdr_crc).all(), "wvc corpus failed lossy CRC"
+        assert (cm[2] == b.wvc_crc).all(), "wvc corpus failed exact CRC"
+    t = {}
+    for k in (rounds_lo, rounds_hi):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    per_round = (t[rounds_hi] - t[rounds_lo]) / (rounds_hi - rounds_lo)
+    return round(total / per_round / 1e6, 3)
 
 
 def _bench_secondary(builder, tag: str, rounds_lo: int = 2,

@@ -264,6 +264,27 @@ def test_cli_roundtrip(tmp_path):
     assert open(lossy, "rb").read() != src.read_bytes()
 
 
+def test_native_wvc_encoder_byte_identical(monkeypatch):
+    """The C encoder's correction-stream emission must be byte-identical
+    to the Python coder on BOTH outputs (wv and wvc)."""
+    import wvpk.native as nat
+    if nat.get_encode_lib() is None:
+        pytest.skip("native encoder unavailable")
+    pcm = _sig(7000, 2, seed=17)
+    spec = EncodeSpec(hybrid=True, wvc=True, joint=True, bitrate=430,
+                      hybrid_bitrate=True, block_samples=1500)
+    s1: list = []
+    wv1 = b"".join(encode_blocks(pcm, spec, wvc_sink=s1))
+    monkeypatch.setattr(nat, "_enc_lib", None)
+    monkeypatch.setattr(nat, "_enc_tried", True)
+    spec2 = EncodeSpec(hybrid=True, wvc=True, joint=True, bitrate=430,
+                       hybrid_bitrate=True, block_samples=1500)
+    s2: list = []
+    wv2 = b"".join(encode_blocks(pcm, spec2, wvc_sink=s2))
+    assert wv1 == wv2
+    assert b"".join(s1) == b"".join(s2)
+
+
 def test_streaming_encode_wvc(tmp_path):
     """encode_wav_file(wvc=True) writes <out>c window-by-window; the
     pair decodes exactly (per-block corrections hold regardless of the

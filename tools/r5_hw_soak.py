@@ -144,6 +144,50 @@ def soak_device_pack(rng, n_cases):
     return fails, n_cases
 
 
+def soak_wvc(rng, n_cases):
+    """Hybrid-lossless pairs on the REAL TPU kernels: C-native encode
+    (Python-coder byte-identity assumed from the CI differential),
+    fused wvc decode must restore the source exactly with both CRC
+    gates green; every 4th case corrupts the correction payload and
+    must flag crc_error."""
+    from wvpk.container import parse_blocks
+    from wvpk.container.blocks import pair_wvc
+    from wvpk.encode import encode
+    from wvpk.engine import decode_states
+    fails = 0
+    for i in range(n_cases):
+        ch = 1 + (i // 2) % 2
+        n = int(rng.integers(3000, 20000))
+        sig = (3000 * np.sin(np.arange(n) / (5 + i))[:, None]
+               + rng.normal(0, 10 ** rng.uniform(1, 3.5), (n, ch)))
+        pcm = np.clip(np.round(sig), -32768, 32767).astype(np.int32)
+        if ch == 1:
+            pcm = pcm[:, 0]
+        wv, wvc = encode(pcm, hybrid=True, wvc=True,
+                         bitrate=int(rng.integers(250, 900)),
+                         preset=("fast", "default", "high")[i % 3],
+                         block_samples=int(rng.integers(1024, 4097)))
+        corrupt = i % 4 == 3
+        if corrupt:
+            wvc = bytearray(wvc)
+            wvc[int(rng.integers(40, len(wvc)))] ^= 0x20
+            wvc = bytes(wvc)
+        blocks = parse_blocks(wv)
+        pair_wvc(blocks, wvc)
+        res = decode_states([b.state for b in blocks])
+        out = np.concatenate([r.samples for r in res])
+        src = pcm if pcm.ndim > 1 else pcm[:, None]
+        if corrupt:
+            ok = any(r.crc_error for r in res)
+        else:
+            ok = (not any(r.crc_error or r.mute_error for r in res)
+                  and np.array_equal(out[:, :src.shape[1]], src))
+        if not ok:
+            fails += 1
+            print(f"  WVC FAIL case {i}: ch={ch} corrupt={corrupt}")
+    return fails, n_cases
+
+
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     rng = np.random.default_rng(int(os.environ.get("WVPK_SOAK_SEED",
@@ -153,6 +197,7 @@ def main():
             ("dsd_encode", soak_dsd_encode, n_cases),
             ("lossy_float", soak_lossy_float, max(n_cases // 2, 4)),
             ("dsf", soak_dsf, max(n_cases // 2, 6)),
+            ("wvc", soak_wvc, max(n_cases // 2, 8)),
             ("device_pack", soak_device_pack, max(n_cases // 3, 6))):
         t0 = time.perf_counter()
         f, c = fn(rng, cases)

@@ -159,7 +159,9 @@ def _build_encode() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int64)]
+        ctypes.POINTER(ctypes.c_int64),
+        # hybrid-lossless correction stream (NULL = plain hybrid)
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int64)]
     return lib
 
 
@@ -176,13 +178,14 @@ def get_encode_lib() -> ctypes.CDLL | None:
 
 def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
                         pstate: np.ndarray, medians: np.ndarray,
-                        wstate: np.ndarray):
+                        wstate: np.ndarray, wvc: bool = False):
     """Run the C block encoder (lossless AND hybrid). targ (n, ch) int32
     joint-domain targets; pstate (npasses, 21) int32, medians (6,) int32
     and wstate (6,) int64 [slow0, slow1, bacc0, bacc1, bdelta0, bdelta1]
     are mutated in place on success. Returns (payload_bytes, decoded
-    (n, ch) int32) or None (unavailable / degenerate regime -> Python
-    fallback)."""
+    (n, ch) int32) — or with wvc=True (hybrid-lossless) a 3-tuple with
+    the correction-stream payload appended — or None (unavailable /
+    degenerate regime -> Python fallback)."""
     from ..tables import EXP2_NP, LOG2_NP
     lib = get_encode_lib()
     if lib is None:
@@ -193,6 +196,8 @@ def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
     cap = n * ch * 24 + 4096
     buf = ctypes.create_string_buffer(cap)  # zero-initialized
     bitlen = ctypes.c_int64(0)
+    wvc_buf = ctypes.create_string_buffer(cap) if wvc else None
+    wvc_bitlen = ctypes.c_int64(0)
     i32p = ctypes.POINTER(ctypes.c_int32)
     rc = lib.wvpk_encode_block(
         targ.ctypes.data_as(i32p), n, int(mono), int(flags),
@@ -200,10 +205,14 @@ def encode_block_native(targ: np.ndarray, mono: bool, flags: int,
         medians.ctypes.data_as(i32p),
         wstate.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         LOG2_NP.ctypes.data_as(i32p), EXP2_NP.ctypes.data_as(i32p),
-        decoded.ctypes.data_as(i32p), buf, cap, ctypes.byref(bitlen))
+        decoded.ctypes.data_as(i32p), buf, cap, ctypes.byref(bitlen),
+        wvc_buf, cap if wvc else 0, ctypes.byref(wvc_bitlen))
     if rc != 0:
         return None
     nbytes = (int(bitlen.value) + 7) // 8
+    if wvc:
+        wn = (int(wvc_bitlen.value) + 7) // 8
+        return buf.raw[:nbytes], decoded, wvc_buf.raw[:wn]
     return buf.raw[:nbytes], decoded
 
 

@@ -420,7 +420,13 @@ static int median_interval(ent_t *e, int ch, int64_t oc,
  * consulted when a run could start here, pass -1 if not computed: the
  * caller must supply it whenever clear && medians_tiny && zeros_acc==0).
  * Returns the reconstructed residual. */
-static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
+/* cw: hybrid-lossless correction stream (the wvc block payload) —
+ * one minimal-binary code per error_limit-quantized word over the
+ * NARROWED interval; NULL = plain hybrid. Mirrors
+ * EntropyEncoder._write_code / the decoder's read_code
+ * (WordsUtils.cs:546-570). */
+static int32_t encode_word(ent_t *e, bw_t *b, bw_t *cw, int32_t r,
+                           int64_t zrun)
 {
     int ch = e->mono ? 0 : (int)(e->csamples & 1);
 
@@ -528,6 +534,22 @@ static int32_t encode_word(ent_t *e, bw_t *b, int32_t r, int64_t zrun)
             nbits++;
             mid = (high + low + 1) >> 1;
         }
+        if (cw) {
+            /* correction code over the NARROWED interval */
+            int64_t code = av - low, maxcode = high - low;
+            if (code < 0 || maxcode < 0) { e->err = 1; return 0; }
+            int bc = bitlen64((uint64_t)maxcode);
+            if (bc) {
+                int64_t extras = ((int64_t)1 << bc) - maxcode - 1;
+                if (code < extras) {
+                    putbits(cw, (uint64_t)code, bc - 1);
+                } else {
+                    int64_t cc2 = code + extras;
+                    putbits(cw, (uint64_t)(cc2 >> 1), bc - 1);
+                    putbit(cw, (int)(cc2 & 1));
+                }
+            }
+        }
     }
     bits |= (uint64_t)(sign ? 1 : 0) << nbits;
     nbits += 1;
@@ -618,7 +640,9 @@ long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
                        int64_t *wstate, const int32_t *log2tab,
                        const int32_t *exp2tab, int32_t *decoded,
                        uint8_t *bits_buf, long cap_bytes,
-                       int64_t *bitlen_out)
+                       int64_t *bitlen_out,
+                       uint8_t *wvc_buf, long wvc_cap_bytes,
+                       int64_t *wvc_bitlen_out)
 {
     if (npasses > MAX_PASSES)
         return -1;
@@ -650,14 +674,23 @@ long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
     b.pos = 0;
     b.err = 0;
 
+    bw_t cw_store, *cw = NULL;
+    if (wvc_buf) {
+        cw_store.buf = wvc_buf;
+        cw_store.cap_bits = (int64_t)wvc_cap_bytes * 8;
+        cw_store.pos = 0;
+        cw_store.err = 0;
+        cw = &cw_store;
+    }
+
     if (mono) {
         for (int64_t t = 0; t < n; t++) {
             int32_t r = invert_mono(ps, npasses, targ[t]);
             int64_t zrun = -1;
             if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
                 zrun = count_zero_run_mono(ps, npasses, targ, n, t);
-            int32_t rhat = encode_word(&e, &b, r, zrun);
-            if (e.err || b.err)
+            int32_t rhat = encode_word(&e, &b, cw, r, zrun);
+            if (e.err || b.err || (cw && cw->err))
                 return -1;
             decoded[t] = reconstruct_mono(ps, npasses, rhat);
         }
@@ -669,14 +702,14 @@ long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
             int64_t zrun = -1;
             if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
                 zrun = count_zero_run_stereo(ps, npasses, targ, n, t, 0);
-            int32_t ra_hat = encode_word(&e, &b, ra, zrun);
-            if (e.err || b.err)
+            int32_t ra_hat = encode_word(&e, &b, cw, ra, zrun);
+            if (e.err || b.err || (cw && cw->err))
                 return -1;
             zrun = -1;
             if (e.clear && medians_tiny(&e) && e.zeros_acc == 0)
                 zrun = count_zero_run_stereo(ps, npasses, targ, n, t, 1);
-            int32_t rb_hat = encode_word(&e, &b, rb, zrun);
-            if (e.err || b.err)
+            int32_t rb_hat = encode_word(&e, &b, cw, rb, zrun);
+            if (e.err || b.err || (cw && cw->err))
                 return -1;
             reconstruct_stereo(ps, npasses, ra_hat, rb_hat, &oa, &ob);
             decoded[2 * t] = oa;
@@ -686,6 +719,8 @@ long wvpk_encode_block(const int32_t *targ, long n, int mono, int flags,
     flush_pend(&e, &b, 0);      /* EntropyEncoder.finish() */
     if (b.err)
         return -1;
+    if (wvc_bitlen_out)
+        *wvc_bitlen_out = cw ? cw->pos : 0;
 
     for (int i = 0; i < npasses; i++) {
         int32_t *s = pstate + i * PSTATE_INTS;

@@ -697,7 +697,8 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
     # Degenerate regimes (wrapped medians) return None and fall through
     # to the Python loops, whose bignum arithmetic matches the oracle.
     native_payload = None
-    if len(passes) <= 16 and not use_wvc:
+    native_wvc_payload = None
+    if len(passes) <= 16:
         from .. import native as _native
         pstate = np.zeros((len(passes), _native.PSTATE_INTS), np.int32)
         for pi, p in enumerate(passes):
@@ -710,9 +711,13 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
                            w.bitrate_delta[0], w.bitrate_delta[1]],
                           np.int64)
         res = _native.encode_block_native(
-            targ.astype(np.int32), mono, flags, pstate, meds, wstate)
+            targ.astype(np.int32), mono, flags, pstate, meds, wstate,
+            wvc=use_wvc)
         if res is not None:
-            native_payload, dec = res
+            if use_wvc:
+                native_payload, dec, native_wvc_payload = res
+            else:
+                native_payload, dec = res
             for pi, p in enumerate(passes):
                 p.wa, p.wb, p.m = (int(pstate[pi, 2]), int(pstate[pi, 3]),
                                    int(pstate[pi, 4]))
@@ -861,7 +866,9 @@ def encode_block(stored: np.ndarray, full_pcm: np.ndarray, spec: EncodeSpec,
         # correction addition reproduces the joint-domain targets, and
         # the joint undo then yields `stored` (crc is computed before
         # the fixup shift, UnpackUtils.cs:626).
-        wvc_body = mkmeta(consts.ID_WVC_BITSTREAM, cw.getvalue())
+        wvc_body = mkmeta(consts.ID_WVC_BITSTREAM,
+                          native_wvc_payload if native_payload is not None
+                          else cw.getvalue())
         wvc_hdr = bytearray(header)
         wvc_hdr[4:8] = (HEADER_SIZE + len(wvc_body) - 8).to_bytes(
             4, "little")
