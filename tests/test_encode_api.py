@@ -234,7 +234,7 @@ def test_native_encoder_byte_identical():
             pcm = random_pcm(rng, n, spec.nch_data, spec)
             nv.encode_block_native = orig
             a = encode_file(pcm, spec)
-            nv.encode_block_native = lambda *args: None
+            nv.encode_block_native = lambda *args, **kw: None
             b = encode_file(pcm, spec)
             assert a == b, f"seed {seed}: {spec}"
             hybrids += int(spec.hybrid)
@@ -258,7 +258,7 @@ def test_native_encoder_rare_paths():
         try:
             nv.encode_block_native = orig
             a = encode_file(pcm, spec)
-            nv.encode_block_native = lambda *args: None
+            nv.encode_block_native = lambda *args, **kw: None
             b = encode_file(pcm, spec)
         finally:
             nv.encode_block_native = orig

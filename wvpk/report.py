@@ -30,6 +30,9 @@ class DecodeReport:
     segments: int = 0
     crc_errors: int = 0
     mute_blocks: int = 0
+    # hybrid-lossless pairing (beyond parity): blocks that decoded with
+    # a wvc correction stream attached
+    wvc_paired: int = 0
     decode_seconds: float = 0.0
     msamples_per_s: float = 0.0
     realtime_factor: float = 0.0
@@ -62,6 +65,7 @@ def build_report(wpc, *, file: str = "", decode_seconds: float = 0.0,
         segments=len(wpc._segments),
         crc_errors=wpc.crc_errors,
         mute_blocks=wpc.mute_blocks,
+        wvc_paired=wpc.wvc_paired,
         decode_seconds=decode_seconds,
         msamples_per_s=samples_decoded / secs / 1e6,
         realtime_factor=(samples_decoded / rate) / secs if rate else 0.0,
