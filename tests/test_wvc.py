@@ -264,6 +264,35 @@ def test_cli_roundtrip(tmp_path):
     assert open(lossy, "rb").read() != src.read_bytes()
 
 
+def test_pallas_wvc_intervals_match_xla():
+    """The Pallas entropy kernel's wvc outputs (residuals + narrowed
+    maxcode/base) must equal the exact-semantics XLA scan's (interpret
+    mode; on TPU the same kernel compiles via Mosaic)."""
+    from wvpk.engine.staging import group_blocks
+    from wvpk.ops.entropy import entropy_decode
+    from wvpk.ops.entropy_pallas import entropy_decode_pallas
+    pcm = _sig(5000, 2, seed=18)
+    wv, wvc = encode(pcm, hybrid=True, bitrate=420, wvc=True,
+                     block_samples=1024, md5=False)
+    blks = parse_blocks(wv)
+    pair_wvc(blks, wvc)
+    b = group_blocks([x.state for x in blks])[0]
+    prof = b.profile
+    kw = dict(mono=prof.mono, hybrid=True,
+              hybrid_bitrate=prof.hybrid_bitrate,
+              hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps,
+              wvc=True)
+    r1, mc1, ba1, br1, _ = entropy_decode(
+        b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta, **kw)
+    r2, mc2, ba2, br2, _ = entropy_decode_pallas(
+        b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
+        interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc2))
+    np.testing.assert_array_equal(np.asarray(ba1), np.asarray(ba2))
+    np.testing.assert_array_equal(np.asarray(br1), np.asarray(br2))
+
+
 def test_native_wvc_encoder_byte_identical(monkeypatch):
     """The C encoder's correction-stream emission must be byte-identical
     to the Python coder on BOTH outputs (wv and wvc)."""

@@ -111,11 +111,12 @@ def fused_decode_wvc(words, nwords_lane, nsamples, med, slow, acc, delta,
     Both CRCs come back: the wv header's (lossy reconstruction) and the
     wvc header's (exact samples).
     Returns (out, crc_lossy, mute, crc_wvc)."""
-    from ..ops.entropy import entropy_decode, wvc_corrections
-    residuals, mc, base, broke, _ndec = entropy_decode(
+    from ..ops.entropy import wvc_corrections
+    from ..ops.entropy_select import entropy_decode_wvc_any
+    residuals, mc, base, broke, _ndec = entropy_decode_wvc_any(
         words, nwords_lane, med, slow, acc, delta,
-        mono=mono, hybrid=True, hybrid_bitrate=hybrid_bitrate,
-        hybrid_balance=hybrid_balance, nsteps=nsteps, wvc=True)
+        mono=mono, hybrid_bitrate=hybrid_bitrate,
+        hybrid_balance=hybrid_balance, nsteps=nsteps)
     corr = wvc_corrections(wvc_words, mc, base, residuals)
     decorr_out = decorr_decode_any(
         residuals, terms, deltas16, wa, wb, hist_a, hist_b, num_terms,

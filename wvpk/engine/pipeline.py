@@ -153,15 +153,16 @@ def launch_bucket(b: Bucket) -> LaunchedBucket:
     wvc_mc = wvc_base = None
     with trace.stage("entropy"):
         if prof.has_wvc:
-            # hybrid-lossless: the exact-semantics XLA scan emits the
-            # per-word narrowed intervals the correction scan needs
-            from ..ops.entropy import entropy_decode
-            residuals, wvc_mc, wvc_base, broke, ndec = entropy_decode(
-                b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,
-                mono=prof.mono, hybrid=True,
-                hybrid_bitrate=prof.hybrid_bitrate,
-                hybrid_balance=prof.hybrid_balance, nsteps=prof.nsteps,
-                wvc=True)
+            # hybrid-lossless: the main scan also emits the per-word
+            # narrowed intervals the correction scan needs
+            from ..ops.entropy_select import entropy_decode_wvc_any
+            residuals, wvc_mc, wvc_base, broke, ndec = \
+                entropy_decode_wvc_any(
+                    b.words, b.nwords_lane, b.med, b.slow, b.acc,
+                    b.delta, mono=prof.mono,
+                    hybrid_bitrate=prof.hybrid_bitrate,
+                    hybrid_balance=prof.hybrid_balance,
+                    nsteps=prof.nsteps)
         else:
             residuals, broke, ndec = entropy_decode_any(
                 b.words, b.nwords_lane, b.med, b.slow, b.acc, b.delta,

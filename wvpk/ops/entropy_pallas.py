@@ -112,10 +112,22 @@ def _lane_tile(w_words: int) -> int:
     return 128
 
 
-def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
-                    stfin_ref, st, tmp, wvmem, bufs, dma_sem, *, mono: bool,
+def _entropy_kernel(state0_ref, words_ref, tables_ref, *refs, mono: bool,
                     hybrid: bool, hybrid_bitrate: bool, hybrid_balance: bool,
-                    chunk: int, w_total: int, lane_tile: int, unroll: int):
+                    chunk: int, w_total: int, lane_tile: int, unroll: int,
+                    wvc: bool = False):
+    # wvc (hybrid-lossless): four extra output blocks carry each word's
+    # error-limit-NARROWED interval — maxcode = high-low and
+    # base = low-mid — which the correction-stream scan needs to restore
+    # exact residuals (the values are live in the hybrid search below;
+    # beyond reference parity, WavPackUtils.cs:31)
+    if wvc:
+        (out_a_ref, out_b_ref, mca_ref, mcb_ref, ba_ref, bb_ref,
+         stfin_ref, st, tmp, wvmem, bufs, dma_sem) = refs
+    else:
+        (out_a_ref, out_b_ref, stfin_ref,
+         st, tmp, wvmem, bufs, dma_sem) = refs
+        mca_ref = mcb_ref = ba_ref = bb_ref = None
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -526,6 +538,7 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
                               bitcount - 1 + jnp.where(need_extra, 1, 0))
         mid = low + code
 
+        wvc_mc = wvc_base = None
         if hybrid:
             # error-limited binary search (WordsUtils.cs:486-492);
             # statically unrolled 32 single-bit steps read from the window
@@ -544,6 +557,10 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
             lossless_lane = err_c == 0
             mid = jnp.where(lossless_lane, mid, s_mid)
             consume_v = jnp.where(lossless_lane, consume_v, used)
+            if wvc:
+                coded = code_mask & jnp.logical_not(lossless_lane)
+                wvc_mc = _bc_i32(jnp.where(coded, s_hi - s_lo, U32(0)))
+                wvc_base = _bc_i32(jnp.where(coded, s_lo - s_mid, U32(0)))
 
         sign = jnp.where(consume_v >= 32, b32_v,
                          (lo_v >> _bc_u32(jnp.clip(consume_v, 0, 31))) & 1)
@@ -569,11 +586,16 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         # for any lane whose earlier words this iteration were common —
         # lanes already flagged by an earlier word are recomputed anyway.
         rare = start | esc_lanes
-        return ((win[0], win[1], win[2], win[3],
-                 m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
-                 done, ndec,
-                 slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db),
-                out, rare)
+        st_out = (win[0], win[1], win[2], win[3],
+                  m0a, m1a, m2a, m0b, m1b, m2b, h1, h0, zacc1,
+                  done, ndec,
+                  slow_a, slow_b, qa, ra, qb, rb, erra, errb, da, db)
+        if wvc:
+            z = jnp.zeros_like(out)
+            return (st_out, out,
+                    wvc_mc if wvc_mc is not None else z,
+                    wvc_base if wvc_base is not None else z, rare)
+        return st_out, out, rare
 
     def load_state():
         out = []
@@ -621,32 +643,50 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         spec = state
         outs = []
         rare = None
+        rows = 6 if wvc else 2          # tmp rows per unroll iteration
+
+        def _dw(s, entidx, active, inline):
+            if wvc:
+                s, o, mc, ba_, r = decode_word(s, entidx, active,
+                                               inline=inline)
+                return s, (o, mc, ba_), r
+            s, o, r = decode_word(s, entidx, active, inline=inline)
+            return s, (o, None, None), r
+
         for u in range(unroll):
             t = t0 * unroll + u
             active = (j * chunk + t) < limit
-            spec, out_a, r = decode_word(spec, 0, active, inline=False)
-            out_b = None
+            spec, pa, r = _dw(spec, 0, active, inline=False)
+            pb = (None, None, None)
             if not mono:
-                spec, out_b, rb = decode_word(spec, 1, active, inline=False)
+                spec, pb, rb = _dw(spec, 1, active, inline=False)
                 r = r | rb
-            outs.append((out_a, out_b))
+            outs.append((pa, pb))
             rare = r if rare is None else rare | r
         any_rare = jnp.max(jnp.where(rare, I32(1), I32(0)))
 
         # rare repair: re-decode the span from the pre-span state with
         # gammas inlined branchlessly (the span's ONLY cross-lane reduce
-        # gates this body)
+        # gates this body). tmp row layout per iteration u (base
+        # NSTATE + rows*u): [oa, ob] — plus [mca, mcb, ba, bb] under wvc
         @pl.when(any_rare > 0)
         def _rare_repair():
             s1 = state
             for u in range(unroll):
                 t = t0 * unroll + u
                 active = (j * chunk + t) < limit
-                s1, oa, _ = decode_word(s1, 0, active, inline=True)
-                tmp[NSTATE + 2 * u:NSTATE + 2 * u + 1, :] = oa
+                base = NSTATE + rows * u
+                s1, (oa, mca, baa), _ = _dw(s1, 0, active, inline=True)
+                tmp[base:base + 1, :] = oa
+                if wvc:
+                    tmp[base + 2:base + 3, :] = mca
+                    tmp[base + 4:base + 5, :] = baa
                 if not mono:
-                    s1, ob, _ = decode_word(s1, 1, active, inline=True)
-                    tmp[NSTATE + 2 * u + 1:NSTATE + 2 * u + 2, :] = ob
+                    s1, (ob, mcb, bab), _ = _dw(s1, 1, active, inline=True)
+                    tmp[base + 1:base + 2, :] = ob
+                    if wvc:
+                        tmp[base + 3:base + 4, :] = mcb
+                        tmp[base + 5:base + 6, :] = bab
             for k in range(NSTATE):
                 row = s1[k]
                 tmp[k:k + 1, :] = (_bc_i32(row)
@@ -663,13 +703,23 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
         merged.append(spec[NSTATE + 1])  # delta_b (read-only)
         for u in range(unroll):
             t = t0 * unroll + u
-            out_a, out_b = outs[u]
+            (out_a, mca, baa), (out_b, mcb, bab) = outs[u]
+            base = NSTATE + rows * u
             out_a_ref[pl.ds(t, 1), :] = jnp.where(
-                rare, tmp[NSTATE + 2 * u:NSTATE + 2 * u + 1, :], out_a)
+                rare, tmp[base:base + 1, :], out_a)
+            if wvc:
+                mca_ref[pl.ds(t, 1), :] = jnp.where(
+                    rare, tmp[base + 2:base + 3, :], mca)
+                ba_ref[pl.ds(t, 1), :] = jnp.where(
+                    rare, tmp[base + 4:base + 5, :], baa)
             if not mono:
                 out_b_ref[pl.ds(t, 1), :] = jnp.where(
-                    rare, tmp[NSTATE + 2 * u + 1:NSTATE + 2 * u + 2, :],
-                    out_b)
+                    rare, tmp[base + 1:base + 2, :], out_b)
+                if wvc:
+                    mcb_ref[pl.ds(t, 1), :] = jnp.where(
+                        rare, tmp[base + 3:base + 4, :], mcb)
+                    bb_ref[pl.ds(t, 1), :] = jnp.where(
+                        rare, tmp[base + 5:base + 6, :], bab)
         return tuple(merged)
 
     # static Python-int bounds; tracing runs under enable_x64(False), so
@@ -685,15 +735,23 @@ def _entropy_kernel(state0_ref, words_ref, tables_ref, out_a_ref, out_b_ref,
 
 
 @partial(jax.jit, static_argnames=("mono", "hybrid", "hybrid_bitrate",
-                                   "hybrid_balance", "nsteps", "interpret"))
+                                   "hybrid_balance", "nsteps", "interpret",
+                                   "wvc"))
 def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
                           delta0=None, *, mono: bool, hybrid: bool = False,
                           hybrid_bitrate: bool = False,
                           hybrid_balance: bool = False,
-                          nsteps: int, interpret: bool = False):
+                          nsteps: int, interpret: bool = False,
+                          wvc: bool = False):
     """Pallas entropy decode; same contract as entropy_decode. words
     (L, W) uint32; returns (residuals (T, L, C) int32, broke (L,) bool,
-    ndec (L,) int32)."""
+    ndec (L,) int32).
+
+    wvc=True (requires hybrid) additionally returns each word's
+    error-limit-narrowed interval — (maxcode, base) (T, L, C) int32 —
+    for the hybrid-lossless correction scan:
+    (residuals, maxcode, base, broke, ndec)."""
+    assert not wvc or hybrid
     L, W = words.shape
     C = 1 if mono else 2
     T = nsteps // C
@@ -701,9 +759,14 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     Lp = ((L + lane_tile - 1) // lane_tile) * lane_tile
     # chunk bounds the double-buffered output blocks (2 outs x 2 buffers x
     # chunk x tile x 4B); at tile 512 the words scratch + sweep temporary
-    # already push the 16 MB VMEM budget, so halve the chunk there
+    # already push the 16 MB VMEM budget, so halve the chunk there.
+    # wvc triples the output blocks (6 outs): halve again to stay inside
     chunk = min(T, 128 if lane_tile >= 512 else 256)
-    assert T % chunk == 0
+    if wvc:
+        chunk = min(T, max(chunk // 2, 32))
+    while T % chunk:
+        chunk //= 2
+    assert chunk >= 1
     # speculate UNROLL iterations per any-reduce (the reduce is ~0.23 us
     # latency-bound whether taken or not; spanning 2 iterations halves it)
     unroll = UNROLL if chunk % UNROLL == 0 else 1
@@ -750,14 +813,15 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
     kernel = partial(_entropy_kernel, mono=mono, hybrid=hybrid,
                      hybrid_bitrate=hybrid_bitrate,
                      hybrid_balance=hybrid_balance, chunk=chunk, w_total=W,
-                     lane_tile=lane_tile, unroll=unroll)
-    out_shape = [
-        jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_a
-        jax.ShapeDtypeStruct((T, Lp), jnp.int32),                 # out_b
-        jax.ShapeDtypeStruct((NSTATE + N_EXTRA, Lp), jnp.int32),  # state
-    ]
+                     lane_tile=lane_tile, unroll=unroll, wvc=wvc)
+    n_tl = 6 if wvc else 2               # (T, Lp) output blocks
+    tl_spec = pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
+                           memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((T, Lp), jnp.int32)] * n_tl
+                 + [jax.ShapeDtypeStruct((NSTATE + N_EXTRA, Lp),
+                                         jnp.int32)])
     with jax.enable_x64(False):
-        out_a, out_b, stfin = pl.pallas_call(
+        res_all = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -767,23 +831,24 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
                 pl.BlockSpec((tab_rows, lane_tile), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, lane_tile), lambda i, j: (j, i),
-                             memory_space=pltpu.VMEM),
+            out_specs=[tl_spec] * n_tl + [
                 pl.BlockSpec((NSTATE + N_EXTRA, lane_tile),
                              lambda i, j: (0, i), memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((NSTATE + N_EXTRA, lane_tile), jnp.int32),
-                pltpu.VMEM((NSTATE + 2 * unroll, lane_tile), jnp.int32),
+                pltpu.VMEM((NSTATE + (6 if wvc else 2) * unroll,
+                            lane_tile), jnp.int32),
                 pltpu.VMEM((W // 32, 32, lane_tile), jnp.uint32),
                 pltpu.VMEM((66, lane_tile), jnp.int32),
                 pltpu.SemaphoreType.DMA(())],
             out_shape=out_shape,
             interpret=interpret,
         )(state0, words_t, tables)
+    if wvc:
+        out_a, out_b, mc_a, mc_b, ba_a, ba_b, stfin = res_all
+    else:
+        out_a, out_b, stfin = res_all
 
     broke = stfin[R_DONE, :L] != 0
     ndec = stfin[R_NDEC, :L]  # counts words (both channels)
@@ -791,4 +856,12 @@ def entropy_decode_pallas(words, nwords_lane, med0, slow0=None, acc0=None,
         res = out_a[:, :L, None]
     else:
         res = jnp.stack([out_a[:, :L], out_b[:, :L]], axis=2)
+    if wvc:
+        if mono:
+            mc = mc_a[:, :L, None]
+            base = ba_a[:, :L, None]
+        else:
+            mc = jnp.stack([mc_a[:, :L], mc_b[:, :L]], axis=2)
+            base = jnp.stack([ba_a[:, :L], ba_b[:, :L]], axis=2)
+        return res, mc, base, broke, ndec
     return res, broke, ndec

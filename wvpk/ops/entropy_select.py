@@ -42,3 +42,28 @@ def entropy_decode_any(words, nwords_lane, med, slow, acc, delta, *,
                           mono=mono, hybrid=hybrid,
                           hybrid_bitrate=hybrid_bitrate,
                           hybrid_balance=hybrid_balance, nsteps=nsteps)
+
+
+def entropy_decode_wvc_any(words, nwords_lane, med, slow, acc, delta, *,
+                           mono: bool, hybrid_bitrate: bool,
+                           hybrid_balance: bool, nsteps: int):
+    """Hybrid-lossless variant: the main entropy scan also emits each
+    word's error-limit-narrowed interval for the correction scan.
+    Returns (residuals, maxcode, base, broke, ndec), all (T, L, C) /
+    (L,). Same Pallas-on-TPU / XLA-elsewhere dispatch as
+    entropy_decode_any."""
+    mode = get_options().entropy_kernel
+    use_pallas = mode == "pallas" or (mode == "auto" and _on_tpu())
+    if use_pallas:
+        import jax.numpy as jnp
+
+        return entropy_decode_pallas(
+            jnp.asarray(words).astype(jnp.uint32), nwords_lane, med,
+            slow, acc, delta, mono=mono, hybrid=True,
+            hybrid_bitrate=hybrid_bitrate, hybrid_balance=hybrid_balance,
+            nsteps=nsteps, interpret=not _on_tpu(), wvc=True)
+    return entropy_decode(words, nwords_lane, med, slow, acc, delta,
+                          mono=mono, hybrid=True,
+                          hybrid_bitrate=hybrid_bitrate,
+                          hybrid_balance=hybrid_balance, nsteps=nsteps,
+                          wvc=True)
