@@ -49,7 +49,7 @@ def read_wav(blob: bytes):
         if cid == b"fmt ":
             if size < 16 or body + 16 > len(blob):
                 raise ValueError("truncated WAV fmt chunk")
-            tag, ch, rate, _, _, bits = struct.unpack(
+            tag, ch, rate, _, balign, bits = struct.unpack(
                 "<HHIIHH", blob[body:body + 16])
             if tag == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 tag = int.from_bytes(blob[body + 24:body + 26], "little")
@@ -57,6 +57,12 @@ def read_wav(blob: bytes):
                 raise ValueError(f"unsupported WAV format tag {tag}")
             if tag == 3 and bits != 32:
                 raise ValueError(f"float WAV must be 32-bit, got {bits}")
+            if balign and ch and balign != ((bits + 7) // 8) * ch:
+                # inconsistent headers silently mis-frame the payload;
+                # reject like any mainstream reader would
+                raise ValueError(
+                    f"WAV block align {balign} contradicts "
+                    f"{bits}-bit x {ch}ch")
             fmt = (tag, ch, rate, bits)
         elif cid == b"data":
             if fmt is None:
@@ -130,12 +136,16 @@ def scan_wav_file(path):
                 cbody = f.read(min(size, 40))
                 hdr += chead + cbody + f.read(
                     size + (size & 1) - len(cbody))
-                tag, ch, rate, _, _, bits = struct.unpack(
+                tag, ch, rate, _, balign, bits = struct.unpack(
                     "<HHIIHH", cbody[:16])
                 if tag == 0xFFFE and size >= 40:
                     tag = int.from_bytes(cbody[24:26], "little")
                 if tag not in (1, 3):
                     raise ValueError(f"unsupported WAV format tag {tag}")
+                if balign and ch and balign != ((bits + 7) // 8) * ch:
+                    raise ValueError(
+                        f"WAV block align {balign} contradicts "
+                        f"{bits}-bit x {ch}ch")
                 if tag == 3 and bits != 32:
                     raise ValueError(
                         f"float WAV must be 32-bit, got {bits}")
